@@ -1,0 +1,28 @@
+"""Test config: force an 8-virtual-device CPU platform before JAX import.
+
+Distributed paths (pjit/shard_map over a Mesh) are exercised on a
+virtual 8-device CPU mesh, so the full sharding story is testable
+without TPU hardware (SURVEY.md §4 test-strategy note).
+"""
+
+import os
+
+# Force-override: the environment may pre-set JAX_PLATFORMS (e.g. a TPU
+# tunnel platform) and a sitecustomize may import jax before this file
+# runs, so set both the env var and the live jax config.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
