@@ -1,0 +1,194 @@
+"""Scene model: COLMAP ingest -> host-side view table + stacked device arrays.
+
+Replaces the reference's ``COLMAPModel`` (sfm.py:186-238) with a
+host-side dataclass holding numpy metadata plus a ``ViewStack`` of
+batched (V, ...) arrays ready for ``jax.device_put`` / vmapped geometry.
+
+Parity notes (sfm.py:186-238):
+  - PINHOLE-only assert (sfm.py:192).
+  - ``image_scale``: width = int(w * s), height = int(h * s), then
+    fx,cx scale by width/w and fy,cy by height/h (sfm.py:193-199).
+  - Poses are stored cam->world (COLMAP's cam_from_world inverted,
+    sfm.py:219-222).
+  - Depth path = depth_dir / ('depth_' + stem + '.png') (sfm.py:214).
+  - ``scene[name]`` looks up views by image name (sfm.py:226-234).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+from sucre_tpu.io import colmap as colmap_io
+
+
+def _qvec_to_rotmat_np(q: np.ndarray) -> np.ndarray:
+    """COLMAP (w, x, y, z) quaternion -> rotation matrix, float64 numpy."""
+    q = np.asarray(q, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+@dataclasses.dataclass
+class View:
+    """One registered image: paths + scaled intrinsics + cam->world pose."""
+
+    image_id: int
+    name: str
+    rgb_path: Path
+    depth_path: Path
+    camera_id: int
+    width: int
+    height: int
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    R: np.ndarray  # (3, 3) float32, cam->world
+    t: np.ndarray  # (3,) float32, cam->world
+
+    @property
+    def intrinsics(self) -> np.ndarray:
+        return np.array([self.fx, self.fy, self.cx, self.cy], dtype=np.float32)
+
+    @property
+    def K(self) -> np.ndarray:
+        return np.array(
+            [[self.fx, 0, self.cx], [0, self.fy, self.cy], [0, 0, 1]], dtype=np.float32
+        )
+
+    def __repr__(self) -> str:
+        return f"View({self.name!r}, {self.width}x{self.height})"
+
+
+@dataclasses.dataclass
+class ViewStack:
+    """Batched per-view arrays for vmapped geometry; all (V, ...) float32.
+
+    ``R``/``t`` are cam->world. All views in a stack share (width, height)
+    so dense (V, H, W) ops have static uniform shapes.
+    """
+
+    image_ids: np.ndarray  # (V,) int32
+    intrinsics: np.ndarray  # (V, 4) fx fy cx cy
+    R: np.ndarray  # (V, 3, 3)
+    t: np.ndarray  # (V, 3)
+    width: int
+    height: int
+
+    def __len__(self) -> int:
+        return len(self.image_ids)
+
+
+class Scene:
+    """The scene model: all registered views of a COLMAP reconstruction.
+
+    Use ``Scene.from_colmap(model_dir, image_dir, depth_dir, image_scale)``
+    for the reference ingest path, or construct directly from ``View``s
+    (synthetic scenes in tests).
+    """
+
+    def __init__(self, views: dict[int, View]):
+        self.views = views
+        self.name2id = {v.name: v.image_id for v in views.values()}
+
+    @classmethod
+    def from_colmap(
+        cls,
+        model_dir: Path | str,
+        image_dir: Path | str,
+        depth_dir: Path | str,
+        image_scale: float = 1.0,
+    ) -> "Scene":
+        cameras, images, _ = colmap_io.read_model(model_dir)
+        image_dir = Path(image_dir)
+        depth_dir = Path(depth_dir)
+
+        scaled: dict[int, tuple[int, int, float, float, float, float]] = {}
+        for cam in cameras.values():
+            if cam.model != "PINHOLE":
+                raise ValueError(
+                    f"Camera {cam.camera_id} uses model {cam.model}; only PINHOLE "
+                    f"(undistorted) models are supported — run COLMAP's image "
+                    f"undistorter first (parity: sfm.py:192)."
+                )
+            width = int(cam.width * image_scale)
+            height = int(cam.height * image_scale)
+            scale_w = width / cam.width
+            scale_h = height / cam.height
+            fx, fy, u0, v0 = cam.params
+            scaled[cam.camera_id] = (
+                width,
+                height,
+                fx * scale_w,
+                fy * scale_h,
+                u0 * scale_w,
+                v0 * scale_h,
+            )
+
+        views: dict[int, View] = {}
+        for im in images.values():
+            # COLMAP gives cam_from_world; store the inverse (cam->world).
+            R_wc = _qvec_to_rotmat_np(im.qvec)
+            t_wc = np.asarray(im.tvec, dtype=np.float64)
+            R_cw = R_wc.T
+            t_cw = -R_wc.T @ t_wc
+            width, height, fx, fy, cx, cy = scaled[im.camera_id]
+            rgb_path = image_dir / im.name
+            depth_path = depth_dir / f"depth_{Path(im.name).stem}.png"
+            views[im.image_id] = View(
+                image_id=im.image_id,
+                name=im.name,
+                rgb_path=rgb_path,
+                depth_path=depth_path,
+                camera_id=im.camera_id,
+                width=width,
+                height=height,
+                fx=fx,
+                fy=fy,
+                cx=cx,
+                cy=cy,
+                R=R_cw.astype(np.float32),
+                t=t_cw.astype(np.float32),
+            )
+        return cls(views)
+
+    def __getitem__(self, image_name: str) -> View:
+        return self.views[self.name2id[image_name]]
+
+    def __len__(self) -> int:
+        return len(self.views)
+
+    def __repr__(self) -> str:
+        return f"Scene({len(self.views)} views)"
+
+    def view_list(self) -> list[View]:
+        return list(self.views.values())
+
+    @staticmethod
+    def stack(views: list[View]) -> ViewStack:
+        """Stack views with uniform dims into batched arrays."""
+        widths = {v.width for v in views}
+        heights = {v.height for v in views}
+        if len(widths) != 1 or len(heights) != 1:
+            raise ValueError(
+                "ViewStack requires uniform image dimensions; bucket views by "
+                f"(width, height) first (got widths={widths}, heights={heights})"
+            )
+        return ViewStack(
+            image_ids=np.array([v.image_id for v in views], np.int32),
+            intrinsics=np.stack([v.intrinsics for v in views]).astype(np.float32),
+            R=np.stack([v.R for v in views]).astype(np.float32),
+            t=np.stack([v.t for v in views]).astype(np.float32),
+            width=views[0].width,
+            height=views[0].height,
+        )

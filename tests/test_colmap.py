@@ -1,0 +1,149 @@
+"""COLMAP parser round-trip tests + Scene ingest parity tests."""
+
+import numpy as np
+import pytest
+
+from sucre_tpu.io import colmap as cio
+from sucre_tpu.scene import Scene, _qvec_to_rotmat_np
+from tests.synthetic import make_scene, _rotmat_to_qvec
+
+
+def _sample_model():
+    cameras = {
+        1: cio.ColmapCamera(1, "PINHOLE", 640, 480, np.array([500.0, 480.0, 320.0, 240.0])),
+        2: cio.ColmapCamera(2, "PINHOLE", 1920, 1080, np.array([1000.0, 1000.0, 960.0, 540.0])),
+    }
+    images = {
+        3: cio.ColmapImage(
+            3,
+            qvec=np.array([0.99875, 0.0499, 0.0, 0.0]),
+            tvec=np.array([0.1, -0.2, 0.3]),
+            camera_id=1,
+            name="a_img.png",
+            xys=np.array([[1.5, 2.5], [3.0, 4.0]]),
+            point3D_ids=np.array([7, -1], np.int64),
+        ),
+        5: cio.ColmapImage(
+            5,
+            qvec=np.array([1.0, 0.0, 0.0, 0.0]),
+            tvec=np.zeros(3),
+            camera_id=2,
+            name="b dir/img2.jpg",
+            xys=np.zeros((0, 2)),
+            point3D_ids=np.zeros((0,), np.int64),
+        ),
+    }
+    points = {
+        11: cio.ColmapPoint3D(
+            11,
+            xyz=np.array([1.0, 2.0, 3.0]),
+            rgb=np.array([10, 20, 30], np.uint8),
+            error=0.5,
+            image_ids=np.array([3, 5], np.int32),
+            point2D_idxs=np.array([0, 1], np.int32),
+        )
+    }
+    return cameras, images, points
+
+
+@pytest.mark.parametrize("fmt", ["bin", "txt"])
+def test_roundtrip(tmp_path, fmt):
+    cameras, images, points = _sample_model()
+    if fmt == "bin":
+        cio.write_cameras_bin(cameras, tmp_path / "cameras.bin")
+        cio.write_images_bin(images, tmp_path / "images.bin")
+        cio.write_points3D_bin(points, tmp_path / "points3D.bin")
+    else:
+        cio.write_cameras_txt(cameras, tmp_path / "cameras.txt")
+        cio.write_images_txt(images, tmp_path / "images.txt")
+        cio.write_points3D_txt(points, tmp_path / "points3D.txt")
+
+    c2, i2, p2 = cio.read_model(tmp_path, with_points3D=True)
+
+    assert set(c2) == set(cameras)
+    for cid, cam in cameras.items():
+        assert c2[cid].model == cam.model
+        assert (c2[cid].width, c2[cid].height) == (cam.width, cam.height)
+        np.testing.assert_allclose(c2[cid].params, cam.params)
+
+    assert set(i2) == set(images)
+    for iid, im in images.items():
+        np.testing.assert_allclose(i2[iid].qvec, im.qvec)
+        np.testing.assert_allclose(i2[iid].tvec, im.tvec)
+        assert i2[iid].camera_id == im.camera_id
+        assert i2[iid].name == im.name
+        np.testing.assert_allclose(i2[iid].xys, im.xys)
+        np.testing.assert_array_equal(i2[iid].point3D_ids, im.point3D_ids)
+
+    assert set(p2) == set(points)
+    pt = p2[11]
+    np.testing.assert_allclose(pt.xyz, points[11].xyz)
+    np.testing.assert_array_equal(pt.rgb, points[11].rgb)
+    np.testing.assert_array_equal(pt.image_ids, points[11].image_ids)
+
+
+def test_non_pinhole_rejected(tmp_path):
+    cameras = {1: cio.ColmapCamera(1, "SIMPLE_RADIAL", 640, 480, np.array([500.0, 320.0, 240.0, 0.1]))}
+    cio.write_cameras_txt(cameras, tmp_path / "cameras.txt")
+    cio.write_images_txt({}, tmp_path / "images.txt")
+    with pytest.raises(ValueError, match="PINHOLE"):
+        Scene.from_colmap(tmp_path, tmp_path, tmp_path)
+
+
+def test_qvec_rotmat_roundtrip(rng):
+    for _ in range(10):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        if q[0] < 0:
+            q = -q
+        R = _qvec_to_rotmat_np(q)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+        q2 = _rotmat_to_qvec(R)
+        np.testing.assert_allclose(q2, q, atol=1e-8)
+
+
+class TestSceneIngest:
+    def test_from_colmap(self, tmp_path):
+        scene_def = make_scene(tmp_path, n_views=3)
+        scene = Scene.from_colmap(scene_def.model_dir, scene_def.image_dir, scene_def.depth_dir)
+        assert len(scene) == 3
+        view = scene["img_001.png"]
+        assert view.width == scene_def.width and view.height == scene_def.height
+        # Pose stored cam->world: matches the synthetic ground truth
+        R_gt, t_gt = scene_def.poses[1]
+        np.testing.assert_allclose(view.R, R_gt, atol=1e-6)
+        np.testing.assert_allclose(view.t, t_gt, atol=1e-6)
+        assert view.depth_path.name == "depth_img_001.png"
+        assert view.rgb_path.exists() and view.depth_path.exists()
+
+    def test_text_model(self, tmp_path):
+        scene_def = make_scene(tmp_path, n_views=2, binary=False)
+        scene = Scene.from_colmap(scene_def.model_dir, scene_def.image_dir, scene_def.depth_dir)
+        assert len(scene) == 2
+
+    def test_image_scale_parity(self, tmp_path):
+        # Parity with sfm.py:193-199: int() truncation of scaled dims, then
+        # separate w/h factors recomputed from the integer dims.
+        scene_def = make_scene(tmp_path, n_views=1, width=64, height=48)
+        scale = 0.37
+        scene = Scene.from_colmap(
+            scene_def.model_dir, scene_def.image_dir, scene_def.depth_dir, image_scale=scale
+        )
+        v = scene["img_000.png"]
+        width, height = int(64 * scale), int(48 * scale)
+        assert (v.width, v.height) == (width, height)
+        fx0, fy0 = 0.8 * 64, 0.8 * 64
+        cx0, cy0 = 32.0, 24.0
+        np.testing.assert_allclose(v.fx, fx0 * width / 64, rtol=1e-12)
+        np.testing.assert_allclose(v.fy, fy0 * height / 48, rtol=1e-12)
+        np.testing.assert_allclose(v.cx, cx0 * width / 64, rtol=1e-12)
+        np.testing.assert_allclose(v.cy, cy0 * height / 48, rtol=1e-12)
+
+    def test_stack(self, tmp_path):
+        scene_def = make_scene(tmp_path, n_views=4)
+        scene = Scene.from_colmap(scene_def.model_dir, scene_def.image_dir, scene_def.depth_dir)
+        stack = Scene.stack(scene.view_list())
+        assert stack.intrinsics.shape == (4, 4)
+        assert stack.R.shape == (4, 3, 3)
+        assert stack.t.shape == (4, 3)
+        assert len(stack) == 4

@@ -1,0 +1,74 @@
+"""Decode/resize parity tests for io.images."""
+
+import cv2
+import numpy as np
+import pytest
+
+from sucre_tpu.io.images import batched, load_depth_map, load_rgb, prefetch_views
+from sucre_tpu.scene import Scene
+from tests.synthetic import make_scene
+
+
+def test_load_rgb_values(tmp_path):
+    img = np.zeros((4, 6, 3), np.uint8)
+    img[0, 0] = [255, 0, 0]  # BGR on disk
+    img[1, 2] = [0, 128, 0]
+    cv2.imwrite(str(tmp_path / "a.png"), img)
+    rgb = load_rgb(tmp_path / "a.png", width=6, height=4)
+    assert rgb.shape == (4, 6, 3) and rgb.dtype == np.float32
+    np.testing.assert_allclose(rgb[0, 0], [0, 0, 1.0])  # BGR -> RGB swap
+    np.testing.assert_allclose(rgb[1, 2], [0, 128 / 255, 0])
+
+
+def test_load_rgb_resize_modes(tmp_path):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (32, 40, 3), np.uint8)
+    cv2.imwrite(str(tmp_path / "a.png"), img)
+    ref_float = cv2.cvtColor(img, cv2.COLOR_BGR2RGB) / 255
+    down = load_rgb(tmp_path / "a.png", width=20, height=16)
+    ref_down = cv2.resize(ref_float, (20, 16), interpolation=cv2.INTER_AREA)
+    np.testing.assert_allclose(down, ref_down.astype(np.float32), atol=1e-6)
+    up = load_rgb(tmp_path / "a.png", width=80, height=64)
+    ref_up = cv2.resize(ref_float, (80, 64), interpolation=cv2.INTER_CUBIC)
+    np.testing.assert_allclose(up, ref_up.astype(np.float32), atol=1e-6)
+
+
+def test_load_depth_16bit(tmp_path):
+    depth = np.array([[0, 1500], [65535, 2750]], np.uint16)
+    cv2.imwrite(str(tmp_path / "d.png"), depth)
+    d = load_depth_map(tmp_path / "d.png", width=2, height=2)
+    assert d.dtype == np.float32
+    np.testing.assert_allclose(d, [[0, 1.5], [65.535, 2.75]], rtol=1e-6)
+
+
+def test_load_depth_resize_nearest(tmp_path):
+    depth = (np.arange(12, dtype=np.uint16) * 100).reshape(3, 4)
+    cv2.imwrite(str(tmp_path / "d.png"), depth)
+    d = load_depth_map(tmp_path / "d.png", width=2, height=3)
+    ref = cv2.resize(depth / 1000, (2, 3), interpolation=cv2.INTER_NEAREST)
+    np.testing.assert_allclose(d, ref.astype(np.float32))
+
+
+@pytest.mark.parametrize("num_workers", [0, 2])
+def test_prefetch_views(tmp_path, num_workers):
+    scene_def = make_scene(tmp_path, n_views=4)
+    scene = Scene.from_colmap(scene_def.model_dir, scene_def.image_dir, scene_def.depth_dir)
+    views = scene.view_list()
+    seen = []
+    for i, rgb, depth in prefetch_views(views, num_workers=num_workers):
+        assert rgb.shape == (scene_def.height, scene_def.width, 3)
+        assert depth.shape == (scene_def.height, scene_def.width)
+        assert np.all(depth > 0)
+        seen.append(i)
+    assert seen == [0, 1, 2, 3]  # order preserved
+
+
+def test_prefetch_depth_only(tmp_path):
+    scene_def = make_scene(tmp_path, n_views=2)
+    scene = Scene.from_colmap(scene_def.model_dir, scene_def.image_dir, scene_def.depth_dir)
+    for _, rgb, depth in prefetch_views(scene.view_list(), rgb=False, num_workers=1):
+        assert rgb is None and depth is not None
+
+
+def test_batched():
+    assert list(batched(range(5), 2)) == [[0, 1], [2, 3], [4]]
