@@ -1,0 +1,182 @@
+"""Dense two-way cross-view matching — the geometric hot path.
+
+Reference semantics (sfm.py:115-138, 171-175): for a target pixel p1
+with valid depth, project its backprojected 3D point into view 2 and
+integer-truncate to candidate pixel q2; keep the pair iff view 2's own
+backprojection at q2, projected into view 1 and truncated, lands exactly
+back on p1 ("two-way consistency" — this IS the occlusion test).
+
+The reference implements the reverse check by scatter-rasterizing view
+2's matches into an (H2, W2, 2) map and gathering it (sfm.py:154-159,
+171-175). Because the scatter indices (view-2 pixels with valid depth)
+are unique, that map is exactly the function q2 -> trunc(proj1(unproj2(q2)))
+restricted to {valid depth, in-bounds}, so the whole check reduces to a
+pure *gather* formulation with identical results:
+
+    consistent(p1) <=> depth2[q2] > 0  and  trunc(proj1(unproj2(q2))) == p1
+
+(the in-bounds condition of the reverse projection is implied by the
+equality: p1 is in-bounds by construction). No scatter appears anywhere,
+every array is dense (H, W) with a validity mask — static shapes, VPU
+elementwise + two gathers per view pair, vmappable over the view axis
+and shardable over pixel rows.
+
+Outputs are laid out dense on the *target* pixel grid: entry [v, u] of
+each (H, W) output describes view 2's observation of target pixel
+(u, v). Stacked over V views this gives the (V, H, W) observation stack
+the fit stage consumes with zero gathers/scatters.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sucre_tpu.ops.pinhole import Intrinsics, pixel_grid, project, unproject
+from sucre_tpu.ops.se3 import pose_inverse, transform_points
+
+# Sentinel for "no match" pixel coordinates (parity: the reference's
+# match-map is initialized to -1, sfm.py:155).
+NO_MATCH = -1
+
+
+class PairMatch(NamedTuple):
+    """Dense matching of one target view against one other view.
+
+    All arrays are on the target pixel grid (H, W).
+    """
+
+    u2: jnp.ndarray  # int32, matched pixel x in view 2 (NO_MATCH if invalid)
+    v2: jnp.ndarray  # int32, matched pixel y in view 2
+    d2: jnp.ndarray  # float32, view 2 depth at (v2, u2) (0 if invalid)
+    valid: jnp.ndarray  # bool
+
+
+class DenseObs(NamedTuple):
+    """Dense observation stack for the fit stage.
+
+    Entry [k, v, u]: view k's observation of target pixel (u, v).
+    ``cP`` is the 3D point in *view k's* camera frame (the observing
+    camera — parity with loader.py:103-118 where z = ||cP2||).
+    """
+
+    valid: jnp.ndarray  # (V, H, W) bool
+    cP: jnp.ndarray  # (V, H, W, 3) float32
+    I: jnp.ndarray  # (V, H, W, 3) float32 observed colors
+
+    @property
+    def n_obs(self) -> jnp.ndarray:
+        return jnp.sum(self.valid)
+
+
+def _trunc_px(x: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Integer-truncate float pixel coords toward zero (torch .long()
+    parity, sfm.py:116), mapping non-finite values to NO_MATCH (torch
+    turns them into huge negatives that the bounds mask rejects)."""
+    finite = jnp.isfinite(x) & jnp.isfinite(y)
+    # Clamp before the f32->i32 convert: XLA's conversion of values outside
+    # int32 range is implementation-defined, so keep inputs in a safe range.
+    xs = jnp.clip(jnp.where(finite, x, -1.0), -2.0e9, 2.0e9)
+    ys = jnp.clip(jnp.where(finite, y, -1.0), -2.0e9, 2.0e9)
+    return xs.astype(jnp.int32), ys.astype(jnp.int32)
+
+
+def match_pair(
+    depth1: jnp.ndarray,  # (H, W) target depth, meters, 0/neg = invalid
+    intr1: jnp.ndarray,  # (4,) fx fy cx cy
+    R1: jnp.ndarray,  # (3, 3) cam->world
+    t1: jnp.ndarray,  # (3,)
+    depth2: jnp.ndarray,  # (H2, W2) other view depth
+    intr2: jnp.ndarray,  # (4,)
+    R2: jnp.ndarray,
+    t2: jnp.ndarray,
+) -> PairMatch:
+    """Two-way-consistent dense matching of one view pair (see module doc)."""
+    H, W = depth1.shape
+    H2, W2 = depth2.shape
+    i1 = Intrinsics(intr1[0], intr1[1], intr1[2], intr1[3])
+    i2 = Intrinsics(intr2[0], intr2[1], intr2[2], intr2[3])
+
+    u1, v1 = pixel_grid(H, W)
+    valid1 = depth1 > 0
+
+    # Forward: target pixel -> world -> view-2 pixel candidate q2
+    cP1 = unproject(i1, u1, v1, depth1)
+    wP1 = transform_points(R1, t1, cP1)
+    R2i, t2i = pose_inverse(R2, t2)
+    x2, y2 = project(i2, transform_points(R2i, t2i, wP1))
+    u2, v2 = _trunc_px(x2, y2)
+    inb2 = (u2 >= 0) & (u2 < W2) & (v2 >= 0) & (v2 < H2)
+
+    u2s = jnp.where(inb2, u2, 0)
+    v2s = jnp.where(inb2, v2, 0)
+    d2 = depth2[v2s, u2s]
+    valid2 = inb2 & (d2 > 0)
+
+    # Reverse: view-2 candidate pixel -> world -> back into target view
+    cP2 = unproject(i2, u2s, v2s, d2)
+    wP2 = transform_points(R2, t2, cP2)
+    R1i, t1i = pose_inverse(R1, t1)
+    x1b, y1b = project(i1, transform_points(R1i, t1i, wP2))
+    u1b, v1b = _trunc_px(x1b, y1b)
+    consistent = (u1b == u1) & (v1b == v1)
+
+    valid = valid1 & valid2 & consistent
+    return PairMatch(
+        u2=jnp.where(valid, u2, NO_MATCH),
+        v2=jnp.where(valid, v2, NO_MATCH),
+        d2=jnp.where(valid, d2, 0.0),
+        valid=valid,
+    )
+
+
+def pair_observation(
+    match: PairMatch,
+    intr2: jnp.ndarray,  # (4,)
+    rgb2: jnp.ndarray,  # (H2, W2, 3) float32
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Extract (cP, I) for a matched pair, dense on the target grid.
+
+    cP = view-2-frame 3D point of the matched pixel (unproject at integer
+    pixel center + its depth; parity loader.py:103-118); I = view-2 color
+    at the matched pixel, nearest-pixel gather (parity loader.py:78-87).
+    Invalid entries are zero-filled.
+    """
+    i2 = Intrinsics(intr2[0], intr2[1], intr2[2], intr2[3])
+    u2s = jnp.maximum(match.u2, 0)
+    v2s = jnp.maximum(match.v2, 0)
+    cP = unproject(i2, u2s, v2s, match.d2)
+    I = rgb2[v2s, u2s]
+    zero3 = jnp.zeros((), jnp.float32)
+    cP = jnp.where(match.valid[..., None], cP, zero3)
+    I = jnp.where(match.valid[..., None], I, zero3)
+    return cP, I
+
+
+def match_and_observe_chunk(
+    depth1: jnp.ndarray,  # (H, W)
+    intr1: jnp.ndarray,  # (4,)
+    R1: jnp.ndarray,
+    t1: jnp.ndarray,
+    depths2: jnp.ndarray,  # (V, H2, W2)
+    rgbs2: jnp.ndarray,  # (V, H2, W2, 3)
+    intrs2: jnp.ndarray,  # (V, 4)
+    Rs2: jnp.ndarray,  # (V, 3, 3)
+    ts2: jnp.ndarray,  # (V, 3)
+) -> tuple[DenseObs, PairMatch]:
+    """Match the target against a chunk of V views and build the dense
+    observation stack — the jit unit of the matching stage (vmapped over
+    the view axis; one compile per (V, H, W, H2, W2) shape bucket)."""
+
+    def one(depth2, rgb2, intr2, R2, t2):
+        m = match_pair(depth1, intr1, R1, t1, depth2, intr2, R2, t2)
+        cP, I = pair_observation(m, intr2, rgb2)
+        return m, cP, I
+
+    m, cP, I = jax.vmap(one)(depths2, rgbs2, intrs2, Rs2, ts2)
+    return DenseObs(valid=m.valid, cP=cP, I=I), m
+
+
+match_and_observe_chunk_jit = jax.jit(match_and_observe_chunk)

@@ -1,0 +1,187 @@
+"""Matching-stage tests: identity self-match, analytic two-view scenes,
+occlusion rejection, and an independent numpy oracle implementing the
+reference's scatter-map algorithm (sfm.py:115-175) for equivalence."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sucre_tpu.ops.matching import (
+    NO_MATCH,
+    match_and_observe_chunk_jit,
+    match_pair,
+    pair_observation,
+)
+
+
+def _intr(fx, fy, cx, cy):
+    return np.array([fx, fy, cx, cy], np.float32)
+
+
+def oracle_match(depth1, K1, R1, t1, depth2, K2, R2, t2):
+    """Reference algorithm, independently implemented in numpy float32:
+    one-way match both directions, rasterize the reverse into a match map
+    (scatter), intersect (sfm.py:121-125, 171-175). Returns the set of
+    (u1, v1, u2, v2) tuples."""
+
+    def one_way(depthA, KA, RA, tA, KB, RB, tB, WB, HB):
+        vA, uA = np.nonzero(depthA > 0)
+        dA = depthA[vA, uA].astype(np.float32)
+        hom = np.stack([uA + 0.5, vA + 0.5, np.ones_like(dA)]).astype(np.float32)
+        cP = np.linalg.inv(KA).astype(np.float32) @ (dA * hom)
+        wP = RA @ cP + tA[:, None]
+        cpB = KB @ (RB.T @ (wP - tB[:, None]))
+        px = cpB[:2] / cpB[2]
+        with np.errstate(invalid="ignore"):
+            q = np.trunc(px).astype(np.int64)  # toward zero, like torch .long()
+        ok = (q[0] >= 0) & (q[0] < WB) & (q[1] >= 0) & (q[1] < HB)
+        ok &= np.isfinite(px).all(axis=0)
+        return uA[ok], vA[ok], q[0][ok], q[1][ok]
+
+    H2, W2 = depth2.shape
+    H1, W1 = depth1.shape
+    m1 = one_way(depth1, K1, R1, t1, K2, R2, t2, W2, H2)
+    m2 = one_way(depth2, K2, R2, t2, K1, R1, t1, W1, H1)
+    # rasterize m2 into a (H2, W2, 2) map: view-2 pixel -> its view-1 match
+    match_map = np.full((H2, W2, 2), -1, np.int64)
+    match_map[m2[1], m2[0], 0] = m2[3]  # v
+    match_map[m2[1], m2[0], 1] = m2[2]  # u
+    u1, v1, u2, v2 = m1
+    keep = (match_map[v2, u2, 0] == v1) & (match_map[v2, u2, 1] == u1)
+    return set(zip(u1[keep].tolist(), v1[keep].tolist(), u2[keep].tolist(), v2[keep].tolist()))
+
+
+def dense_to_set(match):
+    """PairMatch dense arrays -> set of (u1, v1, u2, v2)."""
+    valid = np.asarray(match.valid)
+    v1, u1 = np.nonzero(valid)
+    u2 = np.asarray(match.u2)[v1, u1]
+    v2 = np.asarray(match.v2)[v1, u1]
+    return set(zip(u1.tolist(), v1.tolist(), u2.tolist(), v2.tolist()))
+
+
+class TestMatchPair:
+    def test_self_match_identity(self):
+        H, W = 12, 16
+        rng = np.random.default_rng(0)
+        depth = rng.uniform(1.0, 5.0, (H, W)).astype(np.float32)
+        depth[0, :4] = 0.0  # some invalid pixels
+        intr = _intr(20.0, 18.0, W / 2, H / 2)
+        R = np.eye(3, dtype=np.float32)
+        t = np.zeros(3, np.float32)
+        m = match_pair(jnp.array(depth), jnp.array(intr), jnp.array(R), jnp.array(t),
+                       jnp.array(depth), jnp.array(intr), jnp.array(R), jnp.array(t))
+        valid = np.asarray(m.valid)
+        np.testing.assert_array_equal(valid, depth > 0)
+        v, u = np.nonzero(valid)
+        np.testing.assert_array_equal(np.asarray(m.u2)[v, u], u)
+        np.testing.assert_array_equal(np.asarray(m.v2)[v, u], v)
+        np.testing.assert_allclose(np.asarray(m.d2)[v, u], depth[v, u])
+        # invalid entries carry the NO_MATCH sentinel
+        assert np.all(np.asarray(m.u2)[~valid] == NO_MATCH)
+
+    def test_disjoint_views_no_match(self):
+        # Two cameras looking at planes far apart -> no overlap
+        H, W = 8, 10
+        depth = np.full((H, W), 2.0, np.float32)
+        intr = _intr(10.0, 10.0, W / 2, H / 2)
+        R = np.eye(3, dtype=np.float32)
+        m = match_pair(
+            jnp.array(depth), jnp.array(intr), jnp.array(R), jnp.array(np.zeros(3, np.float32)),
+            jnp.array(depth), jnp.array(intr), jnp.array(R),
+            jnp.array(np.array([100.0, 0, 0], np.float32)),
+        )
+        assert int(np.asarray(m.valid).sum()) == 0
+
+    def test_occlusion_rejected_by_consistency(self):
+        # View 2's depth at the candidate pixel belongs to a *nearer* surface:
+        # reprojection lands elsewhere -> match rejected.
+        H, W = 8, 10
+        intr = _intr(10.0, 10.0, W / 2, H / 2)
+        R = np.eye(3, dtype=np.float32)
+        t1 = np.zeros(3, np.float32)
+        t2 = np.array([0.5, 0.0, 0.0], np.float32)
+        depth1 = np.full((H, W), 4.0, np.float32)
+        depth2 = np.full((H, W), 1.0, np.float32)  # a different (occluding) surface
+        m = match_pair(jnp.array(depth1), jnp.array(intr), jnp.array(R), jnp.array(t1),
+                       jnp.array(depth2), jnp.array(intr), jnp.array(R), jnp.array(t2))
+        assert int(np.asarray(m.valid).sum()) == 0
+
+    def test_matches_oracle_random_scene(self):
+        # Smooth random depth, small pose offsets; compare against the
+        # independently-implemented reference (scatter-map) algorithm.
+        rng = np.random.default_rng(42)
+        H, W = 24, 32
+        base = 3.0 + 0.5 * np.sin(np.linspace(0, 3, W))[None, :] + 0.3 * np.cos(
+            np.linspace(0, 2, H)
+        )[:, None]
+        depth1 = base.astype(np.float32)
+        depth2 = (base + 0.05 * rng.standard_normal((H, W))).astype(np.float32)
+        depth1[rng.uniform(size=(H, W)) < 0.1] = 0.0
+        depth2[rng.uniform(size=(H, W)) < 0.1] = 0.0
+        K = np.array([[25.0, 0, W / 2], [0, 25.0, H / 2], [0, 0, 1]], np.float32)
+        intr = _intr(25.0, 25.0, W / 2, H / 2)
+        R1 = np.eye(3, dtype=np.float32)
+        t1 = np.zeros(3, np.float32)
+        c, s = np.cos(0.02), np.sin(0.02)
+        R2 = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        t2 = np.array([0.15, -0.05, 0.02], np.float32)
+
+        expected = oracle_match(depth1, K, R1, t1, depth2, K, R2, t2)
+        m = match_pair(jnp.array(depth1), jnp.array(intr), jnp.array(R1), jnp.array(t1),
+                       jnp.array(depth2), jnp.array(intr), jnp.array(R2), jnp.array(t2))
+        got = dense_to_set(m)
+        # Allow a sliver of boundary-truncation disagreement from float32
+        # op-order differences (K-matmul vs scalar intrinsics).
+        sym_diff = expected ^ got
+        assert len(expected) > 100  # sanity: real overlap
+        assert len(sym_diff) <= max(1, len(expected) // 500), (
+            f"{len(sym_diff)} disagreements vs oracle ({len(expected)} expected)"
+        )
+
+
+class TestObservations:
+    def test_pair_observation_gather(self):
+        H, W = 6, 8
+        depth = np.full((H, W), 2.0, np.float32)
+        intr = _intr(10.0, 10.0, W / 2, H / 2)
+        R = np.eye(3, dtype=np.float32)
+        t = np.zeros(3, np.float32)
+        rgb = np.arange(H * W * 3, dtype=np.float32).reshape(H, W, 3) / (H * W * 3)
+        m = match_pair(jnp.array(depth), jnp.array(intr), jnp.array(R), jnp.array(t),
+                       jnp.array(depth), jnp.array(intr), jnp.array(R), jnp.array(t))
+        cP, I = pair_observation(m, jnp.array(intr), jnp.array(rgb))
+        # Self match: I equals rgb everywhere (all valid), cP z == depth
+        np.testing.assert_allclose(np.asarray(I), rgb, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(cP)[..., 2], depth, atol=1e-6)
+        # z = ||cP|| >= depth
+        z = np.linalg.norm(np.asarray(cP), axis=-1)
+        assert np.all(z >= depth - 1e-5)
+
+    def test_chunked_stack(self):
+        H, W = 6, 8
+        V = 3
+        depth = np.full((H, W), 2.0, np.float32)
+        intr = _intr(10.0, 10.0, W / 2, H / 2)
+        R = np.eye(3, dtype=np.float32)
+        t = np.zeros(3, np.float32)
+        depths2 = np.stack([depth] * V)
+        rgbs2 = np.stack([np.full((H, W, 3), 0.1 * (k + 1), np.float32) for k in range(V)])
+        intrs2 = np.stack([intr] * V)
+        Rs2 = np.stack([R] * V)
+        ts2 = np.stack([t, np.array([0.05, 0, 0], np.float32), np.array([50.0, 0, 0], np.float32)])
+        obs, m = match_and_observe_chunk_jit(
+            jnp.array(depth), jnp.array(intr), jnp.array(R), jnp.array(t),
+            jnp.array(depths2), jnp.array(rgbs2), jnp.array(intrs2),
+            jnp.array(Rs2), jnp.array(ts2),
+        )
+        assert obs.valid.shape == (V, H, W)
+        assert obs.cP.shape == (V, H, W, 3)
+        assert obs.I.shape == (V, H, W, 3)
+        # view 0 = self: all valid; view 2 = far away: none valid
+        assert int(np.asarray(obs.valid[0]).sum()) == H * W
+        assert int(np.asarray(obs.valid[2]).sum()) == 0
+        # colors gathered from the right view
+        np.testing.assert_allclose(np.asarray(obs.I[0]), 0.1, atol=1e-7)
+        # invalid entries zero-filled
+        np.testing.assert_allclose(np.asarray(obs.I[2]), 0.0)
+        assert int(obs.n_obs) == int(np.asarray(m.valid).sum())
