@@ -1,0 +1,251 @@
+"""Full-batch Adam solver for the formation model, fully on device.
+
+Parity with the reference's ``adam()`` loop (sucre.py:124-157):
+  - exact full-batch gradient: objective = sum of squared residuals over
+    ALL observations, normalized by n_obs*3 (sucre.py:146); the
+    reference's pair-batch loop is pure gradient accumulation, so a
+    single whole-stack gradient (or a chunked lax.scan accumulation with
+    rematerialization — the ``view_chunk`` memory knob, analog of
+    ``--batch-size``) is mathematically identical.
+  - one Adam step per iteration, torch hyperparameters (b1=0.9,
+    b2=0.999, eps=1e-8, bias correction) == optax.adam defaults.
+  - closed-form mode: J is recomputed from current params each iteration
+    *outside* the gradient path (torch.no_grad, sucre.py:66-77), then
+    treated as a constant in the forward; direct mode: J is a learnable
+    leaf of the params pytree.
+  - telemetry: per-iteration raw cost + B/beta/gamma collected as scan
+    outputs (host printing happens between scan segments, so the loop
+    itself never leaves the device).
+
+TPU design: iterations run as ``lax.scan`` segments under one jit, with
+buffers donated across segments; segment boundaries exist only to host
+snapshot/telemetry callbacks (``--save-interval`` parity). When the
+observation stack is sharded over a device mesh (views and/or pixel
+rows), XLA turns the reductions into psums/all-reduces automatically —
+the solver is mesh-agnostic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sucre_tpu.models.sucre import SucreParams, closed_form_J, residual_loss
+from sucre_tpu.ops.matching import DenseObs
+
+
+class FitTelemetry(NamedTuple):
+    """Per-iteration telemetry (scan outputs), shapes (num_iter, ...)."""
+
+    cost: jnp.ndarray  # raw sum of squared residuals
+    B: jnp.ndarray  # (num_iter, 3)
+    beta: jnp.ndarray
+    gamma: jnp.ndarray
+
+
+@dataclasses.dataclass
+class FitConfig:
+    lr: float = 0.05  # sucre.py:289
+    num_iter: int = 200  # sucre.py:291
+    use_closed_form: bool = False
+    view_chunk: int | None = None  # grad-accum chunk over the view axis
+    save_interval: int | None = None
+
+
+class FitResult(NamedTuple):
+    params: SucreParams
+    J: jnp.ndarray  # (H, W, 3) final restored image (finite; mask separate)
+    observed: jnp.ndarray  # (H, W) bool — pixels with >= 1 observation
+    telemetry: FitTelemetry
+
+
+def _pad_views(obs: DenseObs, chunk: int) -> DenseObs:
+    """Pad the view axis to a multiple of ``chunk`` with invalid views."""
+    V = obs.valid.shape[0]
+    pad = (-V) % chunk
+    if pad == 0:
+        return obs
+    pw = [(0, pad)] + [(0, 0)] * (obs.valid.ndim - 1)
+    return DenseObs(
+        valid=jnp.pad(obs.valid, pw),
+        cP=jnp.pad(obs.cP, pw + [(0, 0)]),
+        I=jnp.pad(obs.I, pw + [(0, 0)]),
+    )
+
+
+def _chunked(obs: DenseObs, chunk: int) -> DenseObs:
+    """(V, ...) -> (V/chunk, chunk, ...) for lax.scan grad accumulation."""
+    def r(x):
+        return x.reshape((-1, chunk) + x.shape[1:])
+    return DenseObs(valid=r(obs.valid), cP=r(obs.cP), I=r(obs.I))
+
+
+def _loss(params: SucreParams, J: jnp.ndarray, obs: DenseObs, n_obs, chunked: bool):
+    """Normalized loss + raw cost, optionally accumulated over view chunks
+    with rematerialization (constant activation memory in V)."""
+    if not chunked:
+        return residual_loss(params, J, obs, n_obs)
+
+    @jax.checkpoint
+    def body(acc, chunk_obs):
+        nl, cost = residual_loss(params, J, chunk_obs, n_obs)
+        return (acc[0] + nl, acc[1] + cost), None
+
+    (nl, cost), _ = jax.lax.scan(body, (jnp.float32(0.0), jnp.float32(0.0)), obs)
+    return nl, cost
+
+
+def _closed_form(params: SucreParams, obs: DenseObs, chunked: bool):
+    """Closed-form J over (possibly chunked) observations: accumulate the
+    numerator/denominator reductions across chunks."""
+    if not chunked:
+        return closed_form_J(params, obs)
+
+    def body(acc, chunk_obs):
+        # Reuse the unchunked reduction on each chunk; J = num/den per chunk
+        # does not compose, so accumulate num/den directly.
+        from sucre_tpu.models.sucre import compute_l_z  # local to avoid cycle
+
+        l, z = compute_l_z(params, chunk_obs.cP, chunk_obs.valid)
+        z = z[..., None]
+        if not isinstance(l, float):
+            l = l[..., None]
+        a = l * jnp.exp(-params.beta * z)
+        bs = l * params.B * (1.0 - jnp.exp(-params.gamma * z))
+        mask = chunk_obs.valid[..., None]
+        num = acc[0] + jnp.sum(jnp.where(mask, a * (chunk_obs.I - bs), 0.0), axis=0)
+        den = acc[1] + jnp.sum(jnp.where(mask, a * a, 0.0), axis=0)
+        return (num, den), None
+
+    H, W = obs.valid.shape[-2:]
+    zero = jnp.zeros((H, W, 3), jnp.float32)
+    (num, den), _ = jax.lax.scan(body, (zero, zero), obs)
+    pos = den > 0
+    J = jnp.where(pos, num / jnp.where(pos, den, 1.0), 0.0)
+    return J, jnp.any(pos, axis=-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_steps", "use_closed_form", "chunked", "lr"),
+    donate_argnums=(0, 1),
+)
+def _run_segment(
+    params: SucreParams,
+    opt_state,
+    obs: DenseObs,
+    n_obs: jnp.ndarray,
+    n_steps: int,
+    use_closed_form: bool,
+    chunked: bool,
+    lr: float,
+):
+    """Run ``n_steps`` Adam iterations as a lax.scan, returning telemetry."""
+    opt = optax.adam(lr)
+
+    def step(carry, _):
+        params, opt_state = carry
+        if use_closed_form:
+            J_const, _ = _closed_form(params, obs, chunked)
+            loss_fn = lambda p: _loss(p, J_const, obs, n_obs, chunked)
+        else:
+            loss_fn = lambda p: _loss(p, p.J, obs, n_obs, chunked)
+        (_, cost), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), (cost, params.B, params.beta, params.gamma)
+
+    (params, opt_state), ys = jax.lax.scan(step, (params, opt_state), None, length=n_steps)
+    return params, opt_state, FitTelemetry(*ys)
+
+
+def fit(
+    params: SucreParams,
+    obs: DenseObs,
+    cfg: FitConfig,
+    *,
+    telemetry_fn: Callable[[int, FitTelemetry], None] | None = None,
+    snapshot_fn: Callable[[int, SucreParams, jnp.ndarray, jnp.ndarray], None] | None = None,
+) -> FitResult:
+    """Fit the formation model to an observation stack.
+
+    ``telemetry_fn(start_iter, seg_telemetry)`` is called after each scan
+    segment; ``snapshot_fn(iteration, params, J, observed)`` at
+    ``save_interval`` boundaries (parity: sucre.py:153-154 saves at
+    iteration % save_interval == 0, i.e. after iterations 0, s, 2s, ...).
+    """
+    use_closed_form = cfg.use_closed_form
+    # _run_segment donates params/opt_state buffers; copy so the caller's
+    # params pytree stays alive (it may be reused, e.g. warm starts).
+    params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+    chunked = cfg.view_chunk is not None and cfg.view_chunk < obs.valid.shape[0]
+    if chunked:
+        obs = _chunked(_pad_views(obs, cfg.view_chunk), cfg.view_chunk)
+
+    n_obs = jnp.float32(obs.n_obs if not chunked else jnp.sum(obs.valid))
+
+    opt_state = optax.adam(cfg.lr).init(params)
+
+    # Segment lengths: break after iteration 0 and then every save_interval
+    # iterations, so snapshots fire at iterations 0, s, 2s, ... (parity:
+    # sucre.py:153-154). Without snapshots, one segment = the whole loop.
+    if cfg.save_interval and snapshot_fn is not None and cfg.num_iter > 0:
+        s = cfg.save_interval
+        segments = [1]
+        done = 1
+        while done + s <= cfg.num_iter:
+            segments.append(s)
+            done += s
+        if done < cfg.num_iter:
+            segments.append(cfg.num_iter - done)
+    else:
+        segments = [cfg.num_iter]
+
+    tel_parts = []
+    it = 0
+    for n_steps in segments:
+        params, opt_state, tel = _run_segment(
+            params, opt_state, obs, n_obs, n_steps, use_closed_form, chunked, cfg.lr
+        )
+        tel_parts.append(jax.device_get(tel))
+        if telemetry_fn is not None:
+            telemetry_fn(it, tel_parts[-1])
+        it += n_steps
+        if snapshot_fn is not None and cfg.save_interval and (it - 1) % cfg.save_interval == 0:
+            J_snap, observed_snap = _final_J(params, obs, use_closed_form, chunked)
+            snapshot_fn(it - 1, params, J_snap, observed_snap)
+
+    J, observed = _final_J(params, obs, use_closed_form, chunked)
+    telemetry = FitTelemetry(*(np.concatenate(parts) for parts in zip(*tel_parts)))
+    return FitResult(params=params, J=J, observed=observed, telemetry=telemetry)
+
+
+def _final_J(params, obs, use_closed_form, chunked):
+    """Final restored image: closed-form recompute (sucre.py:156) or the
+    learned J parameter; ``observed`` mask for NaN export parity."""
+    if use_closed_form:
+        return _closed_form_jit(params, obs, chunked)
+    valid = obs.valid.reshape((-1,) + obs.valid.shape[-2:])
+    return params.J, jnp.any(valid, axis=0)
+
+
+@partial(jax.jit, static_argnames=("chunked",))
+def _closed_form_jit(params, obs, chunked):
+    return _closed_form(params, obs, chunked)
+
+
+def print_telemetry(start_iter: int, tel: FitTelemetry) -> None:
+    """Reference-format per-iteration telemetry lines (sucre.py:149-152)."""
+    for i in range(len(tel.cost)):
+        with np.printoptions(precision=4):
+            print(
+                f"iter: {start_iter + i:04d}, cost: {float(tel.cost[i]):.4e}, "
+                f"B: {np.asarray(tel.B[i])}, beta: {np.asarray(tel.beta[i])}, "
+                f"gamma: {np.asarray(tel.gamma[i])}"
+            )
