@@ -1,0 +1,150 @@
+"""Command-line interface — same surface as the reference (sucre.py:222-307).
+
+All 18 reference flags are accepted with identical names, semantics and
+defaults (device selection is TPU-native: JAX picks the platform; use
+``--platform`` to force cpu/tpu). Extra TPU-framework flags are additive.
+
+Usage:
+    python -m sucre_tpu --image-dir ... --depth-dir ... --model-dir ... \
+        --output-dir ... (--image-name X | --image-list f.txt | --image-ids A B)
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from sucre_tpu.pipeline import RestoreConfig, restore_image
+from sucre_tpu.scene import Scene
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="SUCRe-TPU: multi-view underwater color restoration.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("--image-dir", required=True, type=Path,
+                        help="path to images directory.")
+    parser.add_argument("--depth-dir", required=True, type=Path,
+                        help="path to depth maps directory.")
+    parser.add_argument("--model-dir", required=True, type=Path,
+                        help="path to undistorted COLMAP model directory.")
+    parser.add_argument("--output-dir", required=True, type=Path,
+                        help="path to output directory.")
+    group = parser.add_mutually_exclusive_group(required=True)
+    group.add_argument("--image-name", type=str, help="name of image to restore.")
+    group.add_argument("--image-list", type=Path,
+                       help="path to .txt file with names of images to restore, "
+                            "one name per line.")
+    group.add_argument("--image-ids", type=int, nargs=2, metavar=("MIN_ID", "MAX_ID"),
+                       help="range of ids of images to restore in the COLMAP "
+                            "model [min, max).")
+    parser.add_argument("--light-model", action="store_true",
+                        help="model artificial lights.")
+    parser.add_argument("--use-closed-form", action="store_true",
+                        help="use the partial closed-form solution for computing the "
+                             "restored image from absorption, backscatter and light "
+                             "parameters.")
+    parser.add_argument("--min-cover", type=float, default=0.000001,
+                        help="minimum percentile of shared observations to keep the "
+                             "pairs of an image.")
+    parser.add_argument("--image-scale", type=float, default=1.0,
+                        help="rescale all images by this factor.")
+    parser.add_argument("--filter-images-path", type=Path,
+                        help="path to a .txt file with names of images to discard "
+                             "when computing matches, one name per line.")
+    parser.add_argument("--learning-rate", type=float, default=0.05,
+                        help="learning rate for Adam optimizer.")
+    parser.add_argument("--num-iter", type=int, default=200,
+                        help="number of optimization steps.")
+    parser.add_argument("--batch-size", type=int, default=5,
+                        help="number of views per gradient-accumulation chunk; "
+                             "higher is faster but requires more memory.")
+    parser.add_argument("--save-interval", type=int,
+                        help="save restored image every given optimization step.")
+    parser.add_argument("--params-path", type=Path,
+                        help="load underwater image formation model parameters from "
+                             "a .npz or torch .pt file (warm start).")
+    parser.add_argument("--force-compute-matches", action="store_true",
+                        help="if matches file already exists, erase it and recompute "
+                             "matches.")
+    parser.add_argument("--keep-matches", action="store_true",
+                        help="keep matches file (can take a lot of space).")
+    parser.add_argument("--num-workers", type=int, default=0,
+                        help="number of decode prefetch threads, 0 decodes on the "
+                             "main thread.")
+    parser.add_argument("--device", type=str, default=None,
+                        help="accepted for reference-CLI compatibility; the JAX "
+                             "platform is selected automatically (see --platform).")
+    # TPU-framework extras
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a JAX platform (cpu/tpu).")
+    parser.add_argument("--match-chunk", type=int, default=8,
+                        help="views matched per device batch.")
+    parser.add_argument("--quiet", action="store_true", help="suppress telemetry.")
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    print("Loading COLMAP model.")
+    scene = Scene.from_colmap(
+        model_dir=args.model_dir,
+        image_dir=args.image_dir,
+        depth_dir=args.depth_dir,
+        image_scale=args.image_scale,
+    )
+
+    # Target selection (3 mutually-exclusive modes, sucre.py:228-235)
+    if args.image_name is not None:
+        targets = [scene[args.image_name].name]
+    elif args.image_list is not None:
+        targets = [
+            scene[name].name for name in args.image_list.read_text().splitlines() if name
+        ]
+    else:
+        targets = [
+            scene.views[i].name
+            for i in range(args.image_ids[0], args.image_ids[1])
+            if i in scene.views
+        ]
+
+    # Pairing filter (targets stay restorable, sucre.py:237-239)
+    filter_names = (
+        set(args.filter_images_path.read_text().splitlines())
+        if args.filter_images_path
+        else set()
+    )
+    image_list = [v for v in scene.view_list() if v.name not in filter_names]
+
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+
+    cfg = RestoreConfig(
+        light_model=args.light_model,
+        use_closed_form=args.use_closed_form,
+        min_cover=args.min_cover,
+        lr=args.learning_rate,
+        num_iter=args.num_iter,
+        batch_size=args.batch_size,
+        save_interval=args.save_interval,
+        params_path=args.params_path,
+        force_compute_matches=args.force_compute_matches,
+        keep_matches=args.keep_matches,
+        num_workers=args.num_workers,
+        match_chunk=args.match_chunk,
+        verbose=not args.quiet,
+    )
+
+    for name in targets:
+        restore_image(scene, name, args.output_dir, cfg, image_list=image_list)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

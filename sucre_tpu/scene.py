@@ -163,6 +163,11 @@ class Scene:
         return cls(views)
 
     def __getitem__(self, image_name: str) -> View:
+        if image_name not in self.name2id:
+            raise KeyError(
+                f"Image {image_name!r} is not in the COLMAP model "
+                f"({len(self.views)} registered images)."
+            )
         return self.views[self.name2id[image_name]]
 
     def __len__(self) -> int:

@@ -1,0 +1,168 @@
+"""Matches cache + observation-stack assembly.
+
+Lifecycle parity with the reference (sucre.py:160-219, loader.py:56-130):
+``<output>/<image_name>.h5`` holds one group per paired image with
+datasets ``u1 v1 u2 v2`` (int16), ``d`` (float32 view-2 depth at the
+matched pixel) and ``I`` ((3, N) float32 matched colors) — byte-level
+schema-compatible with files written by the reference, so caches are
+interchangeable. Exists => matching is skipped; ``overwrite`` unlinks;
+``check_integrity`` applies the reference's NaN/range asserts
+(loader.py:89-101); callers delete the file after a successful restore
+unless ``keep``.
+
+Where the reference loads packed per-pair tensors and concatenates them
+per batch (loader.py:33-53), this store *rasterizes* the packed matches
+back onto the target pixel grid into the dense (V, H, W) ``DenseObs``
+stack (indices are unique per pair by construction) — the fit stage's
+native layout.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import h5py
+import numpy as np
+
+from sucre_tpu.ops.matching import DenseObs, PairMatch
+
+
+def _unproject_np(intr: np.ndarray, u, v, d) -> np.ndarray:
+    """Host-side unproject (same convention as ops.pinhole.unproject):
+    parity with loader.py:103-118 where cP is rebuilt at load time."""
+    fx, fy, cx, cy = (np.float32(x) for x in intr)
+    u = u.astype(np.float32)
+    v = v.astype(np.float32)
+    d = d.astype(np.float32)
+    X = d * (u + np.float32(0.5) - cx) / fx
+    Y = d * (v + np.float32(0.5) - cy) / fy
+    return np.stack([X, Y, d], axis=-1)
+
+
+class MatchesFile:
+    """HDF5-backed per-target matches DB (see module docstring)."""
+
+    def __init__(self, path: Path | str, *, overwrite: bool = False):
+        self.path = Path(path)
+        if overwrite:
+            self.path.unlink(missing_ok=True)
+
+    def exists(self) -> bool:
+        return self.path.exists()
+
+    def pair_names(self) -> list[str]:
+        with h5py.File(self.path, "r", libver="latest") as f:
+            return list(f)
+
+    def save_pair(
+        self,
+        image2_name: str,
+        u1: np.ndarray,
+        v1: np.ndarray,
+        u2: np.ndarray,
+        v2: np.ndarray,
+        d: np.ndarray,
+        I: np.ndarray,  # (N, 3) or (3, N)
+    ) -> None:
+        """Append one paired image's packed matches (reference schema:
+        loader.py:68-76 — int16 coords, (3, N) float32 colors)."""
+        I = np.asarray(I, np.float32)
+        if I.ndim != 2:
+            raise ValueError("I must be 2D")
+        if I.shape[0] != 3:
+            I = I.T
+        with h5py.File(self.path, "a", libver="latest") as f:
+            group = f.create_group(image2_name)
+            group.create_dataset("u1", data=np.asarray(u1, np.int16))
+            group.create_dataset("v1", data=np.asarray(v1, np.int16))
+            group.create_dataset("u2", data=np.asarray(u2, np.int16))
+            group.create_dataset("v2", data=np.asarray(v2, np.int16))
+            group.create_dataset("d", data=np.asarray(d, np.float32))
+            group.create_dataset("I", data=I)
+
+    def save_pair_from_dense(self, image2_name: str, match: PairMatch, I_dense) -> int:
+        """Pack a dense-on-target-grid PairMatch (+ dense colors) and save.
+        Returns the number of matches saved."""
+        valid = np.asarray(match.valid)
+        v1, u1 = np.nonzero(valid)
+        u2 = np.asarray(match.u2)[v1, u1]
+        v2 = np.asarray(match.v2)[v1, u1]
+        d = np.asarray(match.d2)[v1, u1]
+        I = np.asarray(I_dense)[v1, u1]
+        self.save_pair(image2_name, u1, v1, u2, v2, d, I)
+        return len(u1)
+
+    def check_integrity(self) -> None:
+        """Reference integrity gate (loader.py:89-101): no NaNs anywhere,
+        non-negative coords/colors, strictly positive depths."""
+        with h5py.File(self.path, "r", libver="latest") as f:
+            for group in f.values():
+                for name in ["u1", "v1", "u2", "v2", "d", "I"]:
+                    data = group[name][()]
+                    assert not np.isnan(data).any(), (
+                        f"In {self.path}, dataset {group.name}/{name} contains NaN(s)."
+                    )
+                    if name in ["u1", "v1", "u2", "v2", "I"]:
+                        assert np.all(data >= 0), (
+                            f"In {self.path}, dataset {group.name}/{name} contains "
+                            f"invalid value(s)."
+                        )
+                    if name == "d":
+                        assert np.all(data > 0), (
+                            f"In {self.path}, dataset {group.name}/{name} contains "
+                            f"null or negative depth(s)."
+                        )
+
+    def __len__(self) -> int:
+        if not self.path.exists():
+            return 0
+        size = 0
+        with h5py.File(self.path, "r", libver="latest") as f:
+            for group in f.values():
+                size += group["u1"].shape[0]
+        return size
+
+    def load_dense(self, scene, height: int, width: int) -> tuple[DenseObs, list[str]]:
+        """Rasterize the packed matches onto the target grid.
+
+        ``scene`` provides per-pair-view intrinsics (cP is rebuilt from
+        (u2, v2, d) in the observing camera's frame — loader.py:103-118).
+        Groups are iterated in h5py order (alphabetical), matching the
+        reference's ``f.items()`` iteration.
+        """
+        names: list[str] = []
+        with h5py.File(self.path, "r", libver="latest") as f:
+            names = list(f)
+            V = len(names)
+            valid = np.zeros((V, height, width), bool)
+            cP = np.zeros((V, height, width, 3), np.float32)
+            I = np.zeros((V, height, width, 3), np.float32)
+            for k, name in enumerate(names):
+                g = f[name]
+                u1 = g["u1"][()].astype(np.int64)
+                v1 = g["v1"][()].astype(np.int64)
+                u2 = g["u2"][()].astype(np.int64)
+                v2 = g["v2"][()].astype(np.int64)
+                d = g["d"][()]
+                Ik = g["I"][()]  # (3, N)
+                view2 = scene[name]
+                valid[k, v1, u1] = True
+                cP[k, v1, u1] = _unproject_np(view2.intrinsics, u2, v2, d)
+                I[k, v1, u1] = Ik.T
+        import jax.numpy as jnp
+
+        return (
+            DenseObs(valid=jnp.asarray(valid), cP=jnp.asarray(cP), I=jnp.asarray(I)),
+            names,
+        )
+
+
+def dense_obs_concat(parts: list[DenseObs]) -> DenseObs:
+    """Concatenate observation stacks along the view axis."""
+    import jax.numpy as jnp
+
+    return DenseObs(
+        valid=jnp.concatenate([p.valid for p in parts], axis=0),
+        cP=jnp.concatenate([p.cP for p in parts], axis=0),
+        I=jnp.concatenate([p.I for p in parts], axis=0),
+    )

@@ -1,0 +1,116 @@
+"""Visualization / artifact export (parity: sucre.py:84-121).
+
+Artifacts per restored image (same names as the reference):
+  <stem>_rgb[_NNNN].png             percentile-normalized restored image
+  <stem>_reconstruction[_NNNN].png  formation model re-rendered from own depth
+  <stem>_vignetting[_NNNN].png      jet-mapped light footprint (light model)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+from PIL import Image as PILImage
+
+import jax.numpy as jnp
+
+from sucre_tpu.models.sucre import SucreParams, compute_l_z, formation_forward
+from sucre_tpu.ops.pinhole import Intrinsics, pixel_grid, unproject
+
+
+def plot_J(J: np.ndarray, valid: np.ndarray) -> PILImage.Image:
+    """Percentile-normalize the restored image for display.
+
+    Parity with sucre.py:84-94: per-channel clip to [p1, p99] computed
+    over valid pixels, then min-max normalize; invalid pixels black.
+    ``valid`` is (H, W) bool (the reference encodes it as non-NaN).
+    """
+    J = np.asarray(J, np.float64).copy()
+    valid = np.asarray(valid, bool)
+    if valid.any():
+        J_valid = J[valid]
+        lo = np.percentile(J_valid, 1, axis=0)
+        hi = np.percentile(J_valid, 99, axis=0)
+        J_valid = np.clip(J_valid, lo, hi)
+        J_valid = J_valid - np.min(J_valid, axis=0)
+        maxv = np.max(J_valid, axis=0)
+        maxv[maxv == 0] = 1.0
+        J_valid = J_valid / maxv
+        J[~valid] = 0.0
+        J[valid] = J_valid
+    else:
+        J[:] = 0.0
+    return PILImage.fromarray(np.uint8(J * 255))
+
+
+def render_reconstruction(
+    params: SucreParams, J: jnp.ndarray, intrinsics: np.ndarray, depth_map: np.ndarray
+) -> np.ndarray:
+    """Re-render the observed image from the model and the target's own
+    depth map (parity: sucre.py:106-113). Returns (H, W, 3) float in [0, 1];
+    invalid-depth pixels are 0."""
+    H, W = depth_map.shape
+    intr = Intrinsics(*(jnp.float32(x) for x in intrinsics))
+    u, v = pixel_grid(H, W)
+    d = jnp.asarray(depth_map, jnp.float32)
+    valid = d > 0
+    cP = unproject(intr, u, v, d)[None]  # (1, H, W, 3) fake view axis
+    I_hat = formation_forward(params, jnp.asarray(J), cP, valid[None])[0]
+    I_hat = jnp.clip(I_hat, 0.0, 1.0)
+    I_hat = jnp.where(valid[..., None], I_hat, 0.0)
+    return np.asarray(I_hat)
+
+
+def render_vignetting(
+    params: SucreParams, intrinsics: np.ndarray, depth_map: np.ndarray
+) -> np.ndarray:
+    """The light-footprint map l over the target's own depth (parity:
+    sucre.py:96-104). Returns (H, W) float; invalid pixels 0."""
+    H, W = depth_map.shape
+    intr = Intrinsics(*(jnp.float32(x) for x in intrinsics))
+    u, v = pixel_grid(H, W)
+    d = jnp.asarray(depth_map, jnp.float32)
+    valid = d > 0
+    cP = unproject(intr, u, v, d)
+    l, _ = compute_l_z(params, cP, valid)
+    if isinstance(l, float):
+        l = jnp.where(valid, 1.0, 0.0)
+    return np.asarray(jnp.where(valid, l, 0.0))
+
+
+def save_plots(
+    save_dir: Path,
+    image_name: str,
+    params: SucreParams,
+    J: np.ndarray,
+    valid: np.ndarray,
+    intrinsics: np.ndarray,
+    depth_map: np.ndarray,
+    iteration: int | None = None,
+) -> list[Path]:
+    """Write the artifact set with reference-parity filenames
+    (sucre.py:115-121)."""
+    save_dir = Path(save_dir)
+    stem = Path(image_name).stem
+    suffix = "" if iteration is None else f"_{iteration:04d}"
+    written = []
+
+    p = save_dir / f"{stem}_rgb{suffix}.png"
+    plot_J(J, valid).save(p)
+    written.append(p)
+
+    p = save_dir / f"{stem}_reconstruction{suffix}.png"
+    rec = render_reconstruction(params, J, intrinsics, depth_map)
+    PILImage.fromarray(np.uint8(rec * 255)).save(p)
+    written.append(p)
+
+    if params.cam2light is not None:
+        import matplotlib
+
+        p = save_dir / f"{stem}_vignetting{suffix}.png"
+        l_map = render_vignetting(params, intrinsics, depth_map)
+        rgb = matplotlib.colormaps["jet"](l_map)[:, :, :3]
+        PILImage.fromarray(np.uint8(rgb * 255)).save(p)
+        written.append(p)
+    return written

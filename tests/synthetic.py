@@ -25,6 +25,7 @@ class SyntheticScene:
     names: list[str]
     # Ground truth
     J: np.ndarray  # (H, W, 3) true restored image (plane texture as seen by cam 0)
+    J_views: list  # per-view true restored images
     B: np.ndarray  # (3,)
     beta: np.ndarray  # (3,)
     gamma: np.ndarray  # (3,)
@@ -75,14 +76,17 @@ def make_scene(
     B=(0.20, 0.25, 0.30),
     beta=(0.12, 0.10, 0.08),
     gamma=(0.35, 0.30, 0.25),
+    slope: float = 0.35,
     binary: bool = True,
     jpeg: bool = False,
 ) -> SyntheticScene:
-    """Cameras at z=0 looking down +z at the plane z=plane_z, small x-offsets.
+    """Cameras at z=0 looking down +z at the tilted plane Z = plane_z +
+    slope*X, small x/y camera offsets.
 
     Images are rendered with the underwater formation model
     I = J exp(-beta z) + B (1 - exp(-gamma z)) with z the camera-to-point
     range, J sampled from the analytic ``texture`` at the plane hit point.
+    The tilt makes z vary across the image so beta/gamma are identifiable.
     """
     model_dir = tmp_path / "model"
     image_dir = tmp_path / "images"
@@ -108,11 +112,17 @@ def make_scene(
         )
     }
 
-    # Camera positions: spread along x, identity orientation (looking +z).
+    # Camera positions: spread along x with varying altitude (z), identity
+    # orientation (looking +z). The z spread gives every pixel genuine
+    # range diversity across views — without it the per-pixel J can absorb
+    # any global-parameter error (the real identifiability driver in
+    # survey data).
     offsets = np.linspace(-0.6, 0.6, n_views)
+    offsets_z = 0.5 * np.cos(2.1 * np.arange(n_views))
     images = {}
     names = []
     poses = []
+    J_views = []
     J0 = None
     uu, vv = np.meshgrid(np.arange(width), np.arange(height))
     for i, dx in enumerate(offsets):
@@ -120,7 +130,7 @@ def make_scene(
         name = f"img_{i:03d}.{'jpg' if jpeg else 'png'}"
         names.append(name)
         R_cw = np.eye(3)
-        t_cw = np.array([dx, 0.02 * i, 0.0])
+        t_cw = np.array([dx, 0.02 * i, offsets_z[i]])
         poses.append((R_cw.astype(np.float32), t_cw.astype(np.float32)))
         # COLMAP stores world->cam
         R_wc = R_cw.T
@@ -135,16 +145,20 @@ def make_scene(
             point3D_ids=np.zeros((0,), np.int64),
         )
 
-        # Render: ray through pixel center hits plane z = plane_z (world).
+        # Render: ray through pixel center hits the tilted plane
+        # Z = plane_z + slope * X (world). Camera at (x0, y0, 0), identity
+        # orientation: ray X = x0 + xr*zc, Z = zc =>
+        # zc = (plane_z + slope*x0) / (1 - slope*xr).
         xr = (uu + 0.5 - cx) / fx
         yr = (vv + 0.5 - cy) / fy
-        d = plane_z - t_cw[2]  # camera looks straight down +z
-        Pw_x = t_cw[0] + xr * d
-        Pw_y = t_cw[1] + yr * d
+        zc = (plane_z + slope * t_cw[0] - t_cw[2]) / (1.0 - slope * xr)
+        Pw_x = t_cw[0] + xr * zc
+        Pw_y = t_cw[1] + yr * zc
         J = texture(Pw_x, Pw_y)
-        z = np.sqrt((xr * d) ** 2 + (yr * d) ** 2 + d * d)  # range, camera frame
+        z = zc * np.sqrt(xr**2 + yr**2 + 1.0)  # camera-to-point range
         I = J * np.exp(-beta * z[..., None]) + B * (1 - np.exp(-gamma * z[..., None]))
         I = np.clip(I, 0.0, 1.0)
+        J_views.append(J.copy())
         if i == 0:
             J0 = J.copy()
 
@@ -159,8 +173,9 @@ def make_scene(
                 str(image_dir / name),
                 cv2.cvtColor((I * 255).round().astype(np.uint8), cv2.COLOR_RGB2BGR),
             )
-        depth_mm = np.round(d * 1000.0 * np.ones_like(z)).astype(np.uint16)
-        # NOTE: depth PNG stores the Z-depth (plane is fronto-parallel here)
+        depth_mm = np.round(zc * 1000.0).astype(np.uint16)
+        # depth PNG stores the Z-depth (camera-frame z), parity with the
+        # reference's millimeter 16-bit convention (loader.py:166-170)
         cv2.imwrite(str(depth_dir / f"depth_img_{i:03d}.png"), depth_mm)
 
     if binary:
@@ -178,6 +193,7 @@ def make_scene(
         depth_dir=depth_dir,
         names=names,
         J=J0,
+        J_views=J_views,
         B=B,
         beta=beta,
         gamma=gamma,

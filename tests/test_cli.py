@@ -1,0 +1,101 @@
+"""CLI surface tests: the reference's flag set drives the full pipeline."""
+
+import numpy as np
+import pytest
+
+from sucre_tpu.cli import build_parser, main
+from tests.synthetic import make_scene
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    return make_scene(tmp_path_factory.mktemp("cli_scene"), n_views=4)
+
+
+def _base_args(scene_dir, out):
+    return [
+        "--image-dir", str(scene_dir.image_dir),
+        "--depth-dir", str(scene_dir.depth_dir),
+        "--model-dir", str(scene_dir.model_dir),
+        "--output-dir", str(out),
+        "--num-iter", "3",
+        "--quiet",
+    ]
+
+
+def test_image_name_mode(scene_dir, tmp_path):
+    out = tmp_path / "o1"
+    rc = main(_base_args(scene_dir, out) + ["--image-name", "img_001.png"])
+    assert rc == 0
+    assert (out / "img_001_rgb.png").exists()
+    assert (out / "img_001.npz").exists()
+    assert not (out / "img_001.h5").exists()  # deleted by default
+
+
+def test_image_list_mode(scene_dir, tmp_path):
+    out = tmp_path / "o2"
+    lst = tmp_path / "list.txt"
+    lst.write_text("img_000.png\nimg_002.png\n")
+    main(_base_args(scene_dir, out) + ["--image-list", str(lst)])
+    assert (out / "img_000.npz").exists()
+    assert (out / "img_002.npz").exists()
+    assert not (out / "img_001.npz").exists()
+
+
+def test_image_ids_mode(scene_dir, tmp_path):
+    out = tmp_path / "o3"
+    # half-open range [2, 4) -> image ids 2, 3 -> img_001, img_002
+    main(_base_args(scene_dir, out) + ["--image-ids", "2", "4"])
+    assert (out / "img_001.npz").exists()
+    assert (out / "img_002.npz").exists()
+    assert not (out / "img_003.npz").exists()
+
+
+def test_filter_images(scene_dir, tmp_path):
+    out = tmp_path / "o4"
+    filt = tmp_path / "filter.txt"
+    filt.write_text("img_000.png\nimg_003.png\n")
+    main(
+        _base_args(scene_dir, out)
+        + ["--image-name", "img_001.png", "--filter-images-path", str(filt),
+           "--keep-matches"]
+    )
+    import h5py
+
+    with h5py.File(out / "img_001.h5", "r") as f:
+        names = set(f)
+    assert names <= {"img_001.png", "img_002.png"}
+
+
+def test_save_interval_snapshots(scene_dir, tmp_path):
+    out = tmp_path / "o5"
+    main(
+        _base_args(scene_dir, out)
+        + ["--image-name", "img_001.png", "--save-interval", "2"]
+    )
+    assert (out / "img_001_rgb_0000.png").exists()
+    assert (out / "img_001_rgb_0002.png").exists()
+    assert (out / "img_001_rgb.png").exists()
+
+
+def test_mutually_exclusive_targets(scene_dir, tmp_path):
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(
+            _base_args(scene_dir, tmp_path)
+            + ["--image-name", "a", "--image-ids", "0", "2"]
+        )
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(_base_args(scene_dir, tmp_path))  # no target
+
+
+def test_defaults_parity():
+    args = build_parser().parse_args(
+        ["--image-dir", "a", "--depth-dir", "b", "--model-dir", "c",
+         "--output-dir", "d", "--image-name", "x"]
+    )
+    assert args.min_cover == 0.000001
+    assert args.image_scale == 1.0
+    assert args.learning_rate == 0.05
+    assert args.num_iter == 200
+    assert args.batch_size == 5
+    assert args.num_workers == 0

@@ -1,0 +1,166 @@
+"""End-to-end pipeline tests on the synthetic scene: the full minimum slice
+(SURVEY.md §7 step 6) — match, store lifecycle, fit, artifacts, recovery of
+the ground-truth restored image."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from sucre_tpu.pipeline import RestoreConfig, restore_image
+from sucre_tpu.scene import Scene
+from sucre_tpu.store import MatchesFile
+from sucre_tpu.utils import checkpoint as ckpt
+from sucre_tpu.models.sucre import init_params
+from tests.synthetic import make_scene
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("scene")
+    scene_def = make_scene(tmp, n_views=5, width=64, height=48)
+    return scene_def
+
+
+def _psnr(a, b, mask):
+    mse = np.mean((a[mask] - b[mask]) ** 2)
+    return 10 * np.log10(1.0 / mse)
+
+
+class TestEndToEnd:
+    def test_restore_recovers_ground_truth(self, scene_dir, tmp_path):
+        scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+        out = tmp_path / "out"
+        cfg = RestoreConfig(num_iter=200, verbose=False, keep_matches=True)
+        res = restore_image(scene, "img_002.png", out, cfg)
+
+        # Observations: 5 views x ~full coverage of the overlapping region
+        assert res.n_obs > 5 * 0.5 * 64 * 48
+
+        # The restored J approximates the true plane texture as seen by
+        # the target camera (per-view ground truth from the generator).
+        J_true = scene_dir.J_views[2]
+
+        valid = res.valid & ~np.isnan(res.J).any(axis=-1)
+        assert valid.mean() > 0.9
+        # Ceiling is set by the 8-bit quantization of the rendered inputs
+        # (the ~1/255 noise is amplified by exp(beta*z) in the inversion);
+        # ~24 dB is the expected recovery at these settings.
+        psnr = _psnr(res.J, J_true.astype(np.float32), valid)
+        assert psnr > 23.0, f"PSNR {psnr:.2f} dB too low"
+
+        # Global-parameter recovery: beta approaches truth (fully converging
+        # B/gamma takes far more than the default 200 full-batch Adam
+        # iterations — identical behavior to the reference, whose math this
+        # solver matches step-for-step; see test_solve one-step parity).
+        np.testing.assert_allclose(np.asarray(res.params.beta), scene_dir.beta, atol=0.05)
+
+        # Artifacts with reference-parity names
+        assert (out / "img_002_rgb.png").exists()
+        assert (out / "img_002_reconstruction.png").exists()
+        assert (out / "img_002.npz").exists()
+        assert (out / "img_002.h5").exists()  # keep_matches
+
+        # Cost decreased substantially
+        cost = np.asarray(res.telemetry.cost)
+        assert cost[-1] < cost[0] * 0.1
+
+    def test_cache_lifecycle(self, scene_dir, tmp_path):
+        scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+        out = tmp_path / "out"
+        cfg = RestoreConfig(num_iter=2, verbose=False, keep_matches=True)
+        res1 = restore_image(scene, "img_001.png", out, cfg)
+        h5 = out / "img_001.h5"
+        assert h5.exists()
+        mtime = h5.stat().st_mtime_ns
+
+        # Second run reuses the cache (same file, untouched)
+        res2 = restore_image(scene, "img_001.png", out, cfg)
+        assert h5.stat().st_mtime_ns == mtime
+        assert res2.n_obs == res1.n_obs
+
+        # force recompute rewrites it
+        cfg2 = RestoreConfig(num_iter=2, verbose=False, force_compute_matches=True)
+        restore_image(scene, "img_001.png", out, cfg2)
+        assert not h5.exists()  # keep_matches=False deletes it
+
+    def test_closed_form_mode(self, scene_dir, tmp_path):
+        scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+        cfg = RestoreConfig(num_iter=100, verbose=False, use_closed_form=True)
+        res = restore_image(scene, "img_002.png", tmp_path / "out", cfg)
+        cost = np.asarray(res.telemetry.cost)
+        assert cost[-1] < cost[0] * 0.1
+        assert np.isnan(res.J[~res.valid]).all()
+
+    def test_warm_start(self, scene_dir, tmp_path):
+        scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+        out = tmp_path / "out"
+        cfg = RestoreConfig(num_iter=50, verbose=False)
+        res1 = restore_image(scene, "img_002.png", out, cfg)
+        # warm start from saved params: initial cost must be near res1's final
+        cfg2 = RestoreConfig(num_iter=3, verbose=False, params_path=out / "img_002.npz")
+        res2 = restore_image(scene, "img_002.png", out, cfg2)
+        assert res2.telemetry.cost[0] < res1.telemetry.cost[0] * 0.5
+
+    def test_pairing_filter(self, scene_dir, tmp_path):
+        scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+        cfg = RestoreConfig(num_iter=2, verbose=False, keep_matches=True)
+        # restrict pairing to 2 views (target not among them — still works)
+        image_list = [scene["img_000.png"], scene["img_001.png"]]
+        res = restore_image(scene, "img_004.png", tmp_path / "o", cfg, image_list=image_list)
+        mf = MatchesFile((tmp_path / "o" / "img_004.png").with_suffix(".h5"))
+        assert set(mf.pair_names()) <= {"img_000.png", "img_001.png"}
+        assert res.n_obs > 0
+
+
+class TestStoreParity:
+    def test_h5_reload_equals_memory(self, scene_dir, tmp_path):
+        """The dense stack rebuilt from the HDF5 cache must equal the
+        in-memory stack from matching (same observations, any view order)."""
+        from sucre_tpu.pipeline import compute_matches
+
+        scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+        target = scene["img_002.png"]
+        mf = MatchesFile(tmp_path / "m.h5")
+        obs_mem, names = compute_matches(target, scene.view_list(), mf)
+        obs_h5, names_h5 = mf.load_dense(scene, target.height, target.width)
+        assert sorted(names) == sorted(names_h5)
+        # reorder memory stack to h5 (alphabetical) order
+        order = [names.index(n) for n in names_h5]
+        np.testing.assert_array_equal(
+            np.asarray(obs_mem.valid)[order], np.asarray(obs_h5.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(obs_mem.cP)[order], np.asarray(obs_h5.cP), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(obs_mem.I)[order], np.asarray(obs_h5.I), atol=1e-7
+        )
+        mf.check_integrity()
+        assert len(mf) == int(np.asarray(obs_mem.valid).sum())
+
+
+class TestCheckpoints:
+    def test_npz_roundtrip(self, tmp_path, rng):
+        J = rng.uniform(0, 1, (4, 5, 3)).astype(np.float32)
+        params = init_params(image=J, light_model=True)
+        valid = rng.uniform(size=(4, 5)) < 0.8
+        ckpt.save_params(tmp_path / "p.npz", params, J=J, valid=valid)
+        loaded = ckpt.load_params(tmp_path / "p.npz", init_params(image=np.zeros_like(J), light_model=True))
+        np.testing.assert_allclose(np.asarray(loaded.B), np.asarray(params.B))
+        np.testing.assert_allclose(np.asarray(loaded.sigma), np.asarray(params.sigma))
+        # NaN pixels in checkpoint keep the target's init values
+        np.testing.assert_allclose(np.asarray(loaded.J)[valid], J[valid])
+        np.testing.assert_allclose(np.asarray(loaded.J)[~valid], 0.0)
+
+    def test_pt_interop(self, tmp_path, rng):
+        import torch
+
+        J = rng.uniform(0, 1, (4, 5, 3)).astype(np.float32)
+        params = init_params(image=J)
+        ckpt.save_params(tmp_path / "p.pt", params, J=J)
+        raw = torch.load(tmp_path / "p.pt", weights_only=True)
+        assert raw["B"].shape == (3, 1)  # reference state-dict shape
+        assert raw["J"].shape == (4, 5, 3)
+        loaded = ckpt.load_params(tmp_path / "p.pt", init_params(image=np.zeros_like(J)))
+        np.testing.assert_allclose(np.asarray(loaded.J), J)
