@@ -1,0 +1,100 @@
+"""End-to-end restoration benchmark.
+
+Measures steady-state end-to-end throughput (decode + match + fit +
+export) restoring a batch of targets of a synthetic survey, on whatever
+platform JAX selects (the real TPU chip under the driver).
+
+Prints ONE JSON line:
+  {"metric": "restore_throughput", "value": <Mpix/s>, "unit": "Mpix/s",
+   "vs_baseline": <value / 50.0>}
+
+The baseline denominator is the driver-set north star from BASELINE.json
+(>= 50 Mpix/s on a v5e-8 slice); this harness runs on a single chip, so
+vs_baseline ~ 0.125 equals the per-chip north-star share. Detail goes to
+stderr. Configuration via env:
+  BENCH_VIEWS (default 16), BENCH_W (960), BENCH_H (544),
+  BENCH_TARGETS (4), BENCH_ITERS (200).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    V = int(os.environ.get("BENCH_VIEWS", 16))
+    W = int(os.environ.get("BENCH_W", 960))
+    H = int(os.environ.get("BENCH_H", 544))
+    T = int(os.environ.get("BENCH_TARGETS", 4))
+    ITERS = int(os.environ.get("BENCH_ITERS", 200))
+
+    import jax
+
+    # Persistent compile cache: first-ever compile of the big programs can
+    # take minutes (remote-compile environments); cached binaries make
+    # subsequent benchmark runs start in seconds.
+    jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    log(f"devices: {jax.devices()}")
+
+    from sucre_tpu.pipeline import RestoreConfig, ViewCache, restore_many
+    from sucre_tpu.scene import Scene
+    from sucre_tpu.synth import make_scene
+
+    tmp = Path(tempfile.mkdtemp(prefix="sucre_bench_"))
+    t0 = time.perf_counter()
+    sd = make_scene(tmp, n_views=V, width=W, height=H)
+    log(f"scene gen: {time.perf_counter() - t0:.2f}s ({V} views {W}x{H})")
+
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    targets = sd.names[:T]
+    cfg = RestoreConfig(
+        num_iter=ITERS, store="memory", verbose=False, num_workers=4, match_chunk=8
+    )
+
+    # Warmup: compile every shape bucket (matching chunk + batched fit).
+    t0 = time.perf_counter()
+    cache = ViewCache()
+    cache.prefill(scene.view_list(), num_workers=4)
+    log(f"decode (cached once): {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    restore_many(scene, targets, tmp / "warmup", cfg, cache=cache)
+    log(f"warmup (incl. compile): {time.perf_counter() - t0:.2f}s")
+
+    # Timed steady-state run: full end-to-end (matching + fit + export)
+    # with the decode cache warm (surveys decode each view once).
+    t0 = time.perf_counter()
+    results = restore_many(scene, targets, tmp / "out", cfg, cache=cache)
+    wall = time.perf_counter() - t0
+
+    mpix = T * W * H / 1e6
+    value = mpix / wall
+    log(
+        f"restored {T} x {W}x{H} in {wall:.2f}s "
+        f"(fit_batch={results[0].timings['fit_batch']:.2f}s), "
+        f"n_obs[0]={results[0].n_obs}"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "restore_throughput",
+                "value": round(value, 3),
+                "unit": "Mpix/s",
+                "vs_baseline": round(value / 50.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

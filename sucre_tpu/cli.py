@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="force a JAX platform (cpu/tpu).")
     parser.add_argument("--match-chunk", type=int, default=8,
                         help="views matched per device batch.")
+    parser.add_argument("--compile-cache", type=Path,
+                        default=Path.home() / ".cache" / "sucre_tpu_xla",
+                        help="persistent XLA compilation cache directory "
+                             "(pass an empty string to disable).")
     parser.add_argument("--quiet", action="store_true", help="suppress telemetry.")
     return parser
 
@@ -88,10 +92,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache and str(args.compile_cache):
+        jax.config.update("jax_compilation_cache_dir", str(args.compile_cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     print("Loading COLMAP model.")
     scene = Scene.from_colmap(

@@ -51,12 +51,58 @@ def load_depth_map(depth_map_path: Path | str, width: int, height: int) -> np.nd
     return np.ascontiguousarray(depth, dtype=np.float32)
 
 
+def load_rgb_raw(rgb_path: Path | str, width: int, height: int) -> np.ndarray:
+    """Decode RGB keeping uint8 when no resize is needed (exact: u8/255 on
+    device equals the f32 decode); falls back to the float path when
+    resizing (the reference resizes in float — loader.py:156-163 — and
+    uint8-domain resampling would round differently)."""
+    bgr = cv2.imread(str(rgb_path))
+    if bgr is None:
+        raise FileNotFoundError(f"Cannot decode image {rgb_path}")
+    if bgr.shape[0] == height and bgr.shape[1] == width:
+        return np.ascontiguousarray(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+    return load_rgb(rgb_path, width, height)
+
+
+def load_depth_raw(depth_map_path: Path | str, width: int, height: int) -> np.ndarray:
+    """Decode depth keeping uint16 millimeters (INTER_NEAREST resampling
+    commutes with the /1000 scale, so this is always exact parity)."""
+    raw = cv2.imread(str(depth_map_path), cv2.IMREAD_UNCHANGED)
+    if raw is None:
+        raise FileNotFoundError(f"Cannot decode depth map {depth_map_path}")
+    if raw.shape[0] != height or raw.shape[1] != width:
+        raw = cv2.resize(raw, (width, height), interpolation=cv2.INTER_NEAREST)
+    return np.ascontiguousarray(raw)
+
+
+def rgb_to_f32(rgb: np.ndarray) -> np.ndarray:
+    """Host-side raw->float conversion (no-op on float input)."""
+    if np.issubdtype(rgb.dtype, np.integer):
+        return (rgb / 255).astype(np.float32)
+    return rgb
+
+
+def depth_to_f32(depth: np.ndarray) -> np.ndarray:
+    if np.issubdtype(depth.dtype, np.integer):
+        return (depth / 1000).astype(np.float32)
+    return depth
+
+
 def load_view_arrays(
-    view, *, rgb: bool = True, depth: bool = True
+    view, *, rgb: bool = True, depth: bool = True, raw: bool = False
 ) -> tuple[np.ndarray | None, np.ndarray | None]:
-    """Load (rgb, depth) for a Scene View at its scaled dimensions."""
-    r = load_rgb(view.rgb_path, view.width, view.height) if rgb else None
-    d = load_depth_map(view.depth_path, view.width, view.height) if depth else None
+    """Load (rgb, depth) for a Scene View at its scaled dimensions.
+
+    ``raw=True`` keeps compact integer dtypes (u8/u16) for cheap
+    host->device transfer; convert with rgb_to_f32/depth_to_f32 or let
+    the matching kernel convert on device.
+    """
+    if raw:
+        r = load_rgb_raw(view.rgb_path, view.width, view.height) if rgb else None
+        d = load_depth_raw(view.depth_path, view.width, view.height) if depth else None
+    else:
+        r = load_rgb(view.rgb_path, view.width, view.height) if rgb else None
+        d = load_depth_map(view.depth_path, view.width, view.height) if depth else None
     return r, d
 
 
@@ -67,6 +113,7 @@ def prefetch_views(
     depth: bool = True,
     num_workers: int = 0,
     lookahead: int = 4,
+    raw: bool = False,
 ) -> Iterator[tuple[int, np.ndarray | None, np.ndarray | None]]:
     """Iterate (index, rgb, depth) over views with threaded lookahead decode.
 
@@ -77,7 +124,7 @@ def prefetch_views(
     """
     if num_workers <= 0:
         for i, v in enumerate(views):
-            r, d = load_view_arrays(v, rgb=rgb, depth=depth)
+            r, d = load_view_arrays(v, rgb=rgb, depth=depth, raw=raw)
             yield i, r, d
         return
 
@@ -89,7 +136,7 @@ def prefetch_views(
         while next_yield < n:
             while next_submit < n and len(pending) < max(lookahead, num_workers):
                 pending[next_submit] = pool.submit(
-                    load_view_arrays, views[next_submit], rgb=rgb, depth=depth
+                    load_view_arrays, views[next_submit], rgb=rgb, depth=depth, raw=raw
                 )
                 next_submit += 1
             r, d = pending.pop(next_yield).result()

@@ -155,24 +155,49 @@ def pair_observation(
     return cP, I
 
 
+def to_f32_depth(depth: jnp.ndarray) -> jnp.ndarray:
+    """Raw uint16 millimeter depth -> float32 meters (no-op on float input).
+
+    Keeping depth uint16 until it reaches the device cuts H2D traffic 2x;
+    the /1000 conversion (loader.py:166-170 parity) fuses into the kernel.
+    """
+    if jnp.issubdtype(depth.dtype, jnp.integer):
+        return depth.astype(jnp.float32) / 1000
+    return depth
+
+
+def to_f32_rgb(rgb: jnp.ndarray) -> jnp.ndarray:
+    """Raw uint8 RGB -> float32 in [0, 1] (no-op on float input); /255
+    parity with loader.py:156-163, fused on device (4x less H2D)."""
+    if jnp.issubdtype(rgb.dtype, jnp.integer):
+        return rgb.astype(jnp.float32) / 255
+    return rgb
+
+
 def match_and_observe_chunk(
-    depth1: jnp.ndarray,  # (H, W)
+    depth1: jnp.ndarray,  # (H, W) f32 meters or u16 mm
     intr1: jnp.ndarray,  # (4,)
     R1: jnp.ndarray,
     t1: jnp.ndarray,
-    depths2: jnp.ndarray,  # (V, H2, W2)
-    rgbs2: jnp.ndarray,  # (V, H2, W2, 3)
+    depths2: jnp.ndarray,  # (V, H2, W2) f32 meters or u16 mm
+    rgbs2: jnp.ndarray,  # (V, H2, W2, 3) f32 [0,1] or u8
     intrs2: jnp.ndarray,  # (V, 4)
     Rs2: jnp.ndarray,  # (V, 3, 3)
     ts2: jnp.ndarray,  # (V, 3)
 ) -> tuple[DenseObs, PairMatch]:
     """Match the target against a chunk of V views and build the dense
     observation stack — the jit unit of the matching stage (vmapped over
-    the view axis; one compile per (V, H, W, H2, W2) shape bucket)."""
+    the view axis; one compile per (V, H, W, H2, W2) shape bucket).
+
+    Accepts raw integer image dtypes (u8 RGB / u16 depth) and converts on
+    device, minimizing host->device traffic.
+    """
+    depth1 = to_f32_depth(depth1)
+    depths2 = to_f32_depth(depths2)
 
     def one(depth2, rgb2, intr2, R2, t2):
         m = match_pair(depth1, intr1, R1, t1, depth2, intr2, R2, t2)
-        cP, I = pair_observation(m, intr2, rgb2)
+        cP, I = pair_observation(m, intr2, to_f32_rgb(rgb2))
         return m, cP, I
 
     m, cP, I = jax.vmap(one)(depths2, rgbs2, intrs2, Rs2, ts2)

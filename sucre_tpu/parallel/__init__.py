@@ -1,0 +1,15 @@
+"""Device-mesh parallelism: sharding the observation stack and batching
+targets across chips."""
+
+from sucre_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    pad_obs_to_mesh,
+    shard_obs,
+    replicate,
+    fit_sharded,
+)
+from sucre_tpu.parallel.batch import (  # noqa: F401
+    fit_many,
+    stack_obs,
+    stack_params,
+)

@@ -1,0 +1,115 @@
+"""Multi-target batched fit: restore several images in one device program.
+
+The reference loops targets sequentially on one GPU (sucre.py:243-261).
+Here a batch of T same-shaped targets becomes a leading axis: params and
+observation stacks stack to (T, ...), the Adam step is vmapped over T,
+and the batch axis shards across devices — different chips restore
+different images concurrently (the outer data parallelism of
+SURVEY.md §2.3), composable with (view, row) sharding of each stack.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sucre_tpu.models.sucre import SucreParams, closed_form_J, residual_loss
+from sucre_tpu.ops.matching import DenseObs
+from sucre_tpu.solve import FitConfig, FitTelemetry
+
+
+def stack_params(params_list: list[SucreParams]) -> SucreParams:
+    """Stack per-target params pytrees along a new leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def stack_obs(obs_list: list[DenseObs]) -> DenseObs:
+    """Stack per-target observation stacks, padding the view axis to the
+    largest V (padded views are invalid => no contribution)."""
+    V = max(o.valid.shape[0] for o in obs_list)
+
+    def padv(x):
+        return jnp.pad(x, [(0, V - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
+
+    return DenseObs(
+        valid=jnp.stack([padv(o.valid) for o in obs_list]),
+        cP=jnp.stack([padv(o.cP) for o in obs_list]),
+        I=jnp.stack([padv(o.I) for o in obs_list]),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_iter", "use_closed_form", "lr"),
+    donate_argnums=(0,),
+)
+def _fit_many_jit(
+    params: SucreParams,  # leaves with leading T axis
+    obs: DenseObs,  # (T, V, H, W, ...)
+    n_obs: jnp.ndarray,  # (T,)
+    num_iter: int,
+    use_closed_form: bool,
+    lr: float,
+):
+    opt = optax.adam(lr)
+    opt_state = jax.vmap(opt.init)(params)
+
+    def one_target_grads(p, o, n):
+        if use_closed_form:
+            J_const, _ = closed_form_J(p, o)
+            loss_fn = lambda q: residual_loss(q, J_const, o, n)
+        else:
+            loss_fn = lambda q: residual_loss(q, q.J, o, n)
+        (_, cost), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        return cost, grads
+
+    def step(carry, _):
+        params, opt_state = carry
+        cost, grads = jax.vmap(one_target_grads)(params, obs, n_obs)
+        updates, opt_state = jax.vmap(opt.update)(grads, opt_state, params)
+        params = jax.vmap(optax.apply_updates)(params, updates)
+        return (params, opt_state), (cost, params.B, params.beta, params.gamma)
+
+    (params, _), ys = jax.lax.scan(step, (params, opt_state), None, length=num_iter)
+    if use_closed_form:
+        J, observed = jax.vmap(closed_form_J)(params, obs)
+    else:
+        J = params.J
+        observed = jnp.any(obs.valid, axis=1)
+    return params, J, observed, FitTelemetry(*ys)
+
+
+def fit_many(
+    params: SucreParams,
+    obs: DenseObs,
+    cfg: FitConfig,
+    mesh: Mesh | None = None,
+):
+    """Fit T targets at once; with a mesh, shard the batch axis.
+
+    Returns (params, J (T,H,W,3), observed (T,H,W), telemetry with
+    leading iteration axis and (num_iter, T, ...) shapes).
+    """
+    n_obs = jnp.sum(obs.valid, axis=(1, 2, 3)).astype(jnp.float32)
+    if mesh is not None:
+        batch_axis = mesh.axis_names[0]
+        obs = DenseObs(
+            **{
+                k: jax.device_put(
+                    v, NamedSharding(mesh, P(*([batch_axis] + [None] * (v.ndim - 1))))
+                )
+                for k, v in obs._asdict().items()
+            }
+        )
+        params = jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, P(*([batch_axis] + [None] * (x.ndim - 1))))
+            ),
+            params,
+        )
+        n_obs = jax.device_put(n_obs, NamedSharding(mesh, P(batch_axis)))
+    return _fit_many_jit(params, obs, n_obs, cfg.num_iter, cfg.use_closed_form, cfg.lr)

@@ -1,0 +1,112 @@
+"""Mesh construction + observation-stack sharding.
+
+The workload's parallel axes (SURVEY.md §2.3):
+
+  - ``view``  — data parallelism over the observation stack's view axis:
+    each device holds a slice of views; gradient reductions for the
+    global params (B/beta/gamma/light) and the closed-form J
+    numerator/denominator become psums that GSPMD inserts automatically.
+  - ``row``   — spatial parallelism over pixel rows: J, the stack and
+    all per-pixel state shard by rows with *zero* communication in the
+    fit (every reduction over views is row-local); this is the
+    TP/SP analog for this workload.
+  - target batching (``fit_many`` / the CLI --image-list path) is the
+    outer data parallelism: different chips restore different images.
+
+Everything is expressed as NamedSharding annotations on jit inputs —
+XLA GSPMD partitions the fit loop and inserts ICI collectives; the
+solver code itself is mesh-agnostic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sucre_tpu.ops.matching import DenseObs
+
+
+def make_mesh(
+    n_view_shards: int = 1,
+    n_row_shards: int | None = None,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a ('view', 'row') mesh over the given (or all) devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_row_shards is None:
+        n_row_shards = len(devices) // n_view_shards
+    n = n_view_shards * n_row_shards
+    if n > len(devices):
+        raise ValueError(
+            f"mesh {n_view_shards}x{n_row_shards} needs {n} devices, "
+            f"have {len(devices)}"
+        )
+    dev = np.asarray(devices[:n]).reshape(n_view_shards, n_row_shards)
+    return Mesh(dev, axis_names=("view", "row"))
+
+
+def pad_obs_to_mesh(obs: DenseObs, mesh: Mesh) -> DenseObs:
+    """Pad the view axis and the row axis to multiples of their mesh axis
+    sizes (padding is invalid/zero => contributes nothing to the fit).
+
+    Note: row padding changes J's padded height; ``fit_sharded`` crops
+    the result back.
+    """
+    vs = mesh.shape["view"]
+    rs = mesh.shape["row"]
+    V, H, W = obs.valid.shape
+    pad_v = (-V) % vs
+    pad_h = (-H) % rs
+    if pad_v == 0 and pad_h == 0:
+        return obs
+    return DenseObs(
+        valid=jnp.pad(obs.valid, [(0, pad_v), (0, pad_h), (0, 0)]),
+        cP=jnp.pad(obs.cP, [(0, pad_v), (0, pad_h), (0, 0), (0, 0)]),
+        I=jnp.pad(obs.I, [(0, pad_v), (0, pad_h), (0, 0), (0, 0)]),
+    )
+
+
+def shard_obs(obs: DenseObs, mesh: Mesh) -> DenseObs:
+    """Place the stack with (view, row) sharding on the mesh."""
+    s3 = NamedSharding(mesh, P("view", "row", None))
+    s4 = NamedSharding(mesh, P("view", "row", None, None))
+    return DenseObs(
+        valid=jax.device_put(obs.valid, s3),
+        cP=jax.device_put(obs.cP, s4),
+        I=jax.device_put(obs.I, s4),
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params / opt state) across the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def fit_sharded(params, obs: DenseObs, cfg, mesh: Mesh, **kwargs):
+    """Run the solver with the stack sharded over the mesh.
+
+    J stays replicated (its per-view gradient reduction becomes a psum
+    over the 'view' axis); the stack shards over (view, row). Rows are
+    padded as needed and the restored image is cropped back.
+    """
+    from sucre_tpu.solve import fit
+
+    H = obs.valid.shape[1]
+    obs = shard_obs(pad_obs_to_mesh(obs, mesh), mesh)
+    Hp = obs.valid.shape[1]
+    if params.J is not None and Hp != H:
+        params = params._replace(J=jnp.pad(params.J, [(0, Hp - H), (0, 0), (0, 0)]))
+    params = replicate(params, mesh)
+    result = fit(params, obs, cfg, **kwargs)
+    if result.J.shape[0] != H:
+        result = result._replace(
+            J=result.J[:H],
+            observed=result.observed[:H],
+            params=result.params._replace(
+                J=None if result.params.J is None else result.params.J[:H]
+            ),
+        )
+    return result

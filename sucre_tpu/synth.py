@@ -1,0 +1,207 @@
+"""Synthetic scene generation: known geometry => exact expectations.
+
+Used by the test suite, the benchmark harness and demos.
+
+Builds a camera rig looking at a textured plane (or a smooth analytic
+surface), writes a COLMAP model + 16-bit depth PNGs + RGB images to
+disk, and returns the ground truth so tests can verify matching and
+restoration against analytic values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+from sucre_tpu.io import colmap as colmap_io
+
+
+@dataclasses.dataclass
+class SyntheticScene:
+    model_dir: Path
+    image_dir: Path
+    depth_dir: Path
+    names: list[str]
+    # Ground truth
+    J: np.ndarray  # (H, W, 3) true restored image (plane texture as seen by cam 0)
+    J_views: list  # per-view true restored images
+    B: np.ndarray  # (3,)
+    beta: np.ndarray  # (3,)
+    gamma: np.ndarray  # (3,)
+    width: int
+    height: int
+    poses: list[tuple[np.ndarray, np.ndarray]]  # cam->world (R, t)
+    K: np.ndarray  # (3, 3)
+    plane_z: float
+
+
+def _rotmat_to_qvec(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> COLMAP (w, x, y, z) quaternion."""
+    K = (
+        np.array(
+            [
+                [R[0, 0] - R[1, 1] - R[2, 2], 0, 0, 0],
+                [R[0, 1] + R[1, 0], R[1, 1] - R[0, 0] - R[2, 2], 0, 0],
+                [R[0, 2] + R[2, 0], R[1, 2] + R[2, 1], R[2, 2] - R[0, 0] - R[1, 1], 0],
+                [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1], R[0, 0] + R[1, 1] + R[2, 2]],
+            ]
+        )
+        / 3.0
+    )
+    w, V = np.linalg.eigh(K)
+    q = V[[3, 0, 1, 2], np.argmax(w)]
+    if q[0] < 0:
+        q = -q
+    return q
+
+
+def texture(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Smooth analytic plane texture in [0.05, 0.95], per RGB channel.
+
+    u, v are world-plane coordinates (meters). Returns (..., 3).
+    """
+    r = 0.5 + 0.45 * np.sin(2.0 * u) * np.cos(1.5 * v)
+    g = 0.5 + 0.45 * np.cos(1.3 * u + 0.7) * np.sin(1.1 * v)
+    b = 0.5 + 0.45 * np.sin(0.9 * u * v * 0.5 + 1.0)
+    return np.stack([r, g, b], axis=-1)
+
+
+def make_scene(
+    tmp_path: Path,
+    n_views: int = 5,
+    width: int = 64,
+    height: int = 48,
+    plane_z: float = 3.0,
+    B=(0.20, 0.25, 0.30),
+    beta=(0.12, 0.10, 0.08),
+    gamma=(0.35, 0.30, 0.25),
+    slope: float = 0.35,
+    binary: bool = True,
+    jpeg: bool = False,
+) -> SyntheticScene:
+    """Cameras at z=0 looking down +z at the tilted plane Z = plane_z +
+    slope*X, small x/y camera offsets.
+
+    Images are rendered with the underwater formation model
+    I = J exp(-beta z) + B (1 - exp(-gamma z)) with z the camera-to-point
+    range, J sampled from the analytic ``texture`` at the plane hit point.
+    The tilt makes z vary across the image so beta/gamma are identifiable.
+    """
+    model_dir = tmp_path / "model"
+    image_dir = tmp_path / "images"
+    depth_dir = tmp_path / "depth"
+    for d in (model_dir, image_dir, depth_dir):
+        d.mkdir(parents=True, exist_ok=True)
+
+    B = np.asarray(B, np.float64)
+    beta = np.asarray(beta, np.float64)
+    gamma = np.asarray(gamma, np.float64)
+
+    fx = fy = 0.8 * width
+    cx, cy = width / 2.0, height / 2.0
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+
+    cameras = {
+        1: colmap_io.ColmapCamera(
+            camera_id=1,
+            model="PINHOLE",
+            width=width,
+            height=height,
+            params=np.array([fx, fy, cx, cy], np.float64),
+        )
+    }
+
+    # Camera positions: spread along x with varying altitude (z), identity
+    # orientation (looking +z). The z spread gives every pixel genuine
+    # range diversity across views — without it the per-pixel J can absorb
+    # any global-parameter error (the real identifiability driver in
+    # survey data).
+    offsets = np.linspace(-0.6, 0.6, n_views)
+    offsets_z = 0.5 * np.cos(2.1 * np.arange(n_views))
+    images = {}
+    names = []
+    poses = []
+    J_views = []
+    J0 = None
+    uu, vv = np.meshgrid(np.arange(width), np.arange(height))
+    for i, dx in enumerate(offsets):
+        image_id = i + 1
+        name = f"img_{i:03d}.{'jpg' if jpeg else 'png'}"
+        names.append(name)
+        R_cw = np.eye(3)
+        t_cw = np.array([dx, 0.02 * i, offsets_z[i]])
+        poses.append((R_cw.astype(np.float32), t_cw.astype(np.float32)))
+        # COLMAP stores world->cam
+        R_wc = R_cw.T
+        t_wc = -R_cw.T @ t_cw
+        images[image_id] = colmap_io.ColmapImage(
+            image_id=image_id,
+            qvec=_rotmat_to_qvec(R_wc),
+            tvec=t_wc,
+            camera_id=1,
+            name=name,
+            xys=np.zeros((0, 2)),
+            point3D_ids=np.zeros((0,), np.int64),
+        )
+
+        # Render: ray through pixel center hits the tilted plane
+        # Z = plane_z + slope * X (world). Camera at (x0, y0, 0), identity
+        # orientation: ray X = x0 + xr*zc, Z = zc =>
+        # zc = (plane_z + slope*x0) / (1 - slope*xr).
+        xr = (uu + 0.5 - cx) / fx
+        yr = (vv + 0.5 - cy) / fy
+        zc = (plane_z + slope * t_cw[0] - t_cw[2]) / (1.0 - slope * xr)
+        Pw_x = t_cw[0] + xr * zc
+        Pw_y = t_cw[1] + yr * zc
+        J = texture(Pw_x, Pw_y)
+        z = zc * np.sqrt(xr**2 + yr**2 + 1.0)  # camera-to-point range
+        I = J * np.exp(-beta * z[..., None]) + B * (1 - np.exp(-gamma * z[..., None]))
+        I = np.clip(I, 0.0, 1.0)
+        J_views.append(J.copy())
+        if i == 0:
+            J0 = J.copy()
+
+        if jpeg:
+            cv2.imwrite(
+                str(image_dir / name),
+                cv2.cvtColor((I * 255).astype(np.uint8), cv2.COLOR_RGB2BGR),
+                [cv2.IMWRITE_JPEG_QUALITY, 98],
+            )
+        else:
+            cv2.imwrite(
+                str(image_dir / name),
+                cv2.cvtColor((I * 255).round().astype(np.uint8), cv2.COLOR_RGB2BGR),
+            )
+        depth_mm = np.round(zc * 1000.0).astype(np.uint16)
+        # depth PNG stores the Z-depth (camera-frame z), parity with the
+        # reference's millimeter 16-bit convention (loader.py:166-170)
+        cv2.imwrite(str(depth_dir / f"depth_img_{i:03d}.png"), depth_mm)
+
+    if binary:
+        colmap_io.write_cameras_bin(cameras, model_dir / "cameras.bin")
+        colmap_io.write_images_bin(images, model_dir / "images.bin")
+        colmap_io.write_points3D_bin({}, model_dir / "points3D.bin")
+    else:
+        colmap_io.write_cameras_txt(cameras, model_dir / "cameras.txt")
+        colmap_io.write_images_txt(images, model_dir / "images.txt")
+        colmap_io.write_points3D_txt({}, model_dir / "points3D.txt")
+
+    return SyntheticScene(
+        model_dir=model_dir,
+        image_dir=image_dir,
+        depth_dir=depth_dir,
+        names=names,
+        J=J0,
+        J_views=J_views,
+        B=B,
+        beta=beta,
+        gamma=gamma,
+        width=width,
+        height=height,
+        poses=poses,
+        K=K,
+        plane_z=plane_z,
+    )

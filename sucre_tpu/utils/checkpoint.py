@@ -36,6 +36,11 @@ def save_params(
     (closed-form mode has no J leaf; direct mode NaN-masks at export).
     """
     path = Path(path)
+    # One batched device->host fetch (per-leaf np.asarray would pay the
+    # transfer latency once per array).
+    import jax
+
+    params = SucreParams(*jax.device_get(tuple(params)))
     J_out = J if J is not None else params.J
     if J_out is not None:
         J_out = np.asarray(J_out, np.float32).copy()

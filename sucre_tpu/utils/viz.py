@@ -13,6 +13,7 @@ from pathlib import Path
 import numpy as np
 from PIL import Image as PILImage
 
+import jax
 import jax.numpy as jnp
 
 from sucre_tpu.models.sucre import SucreParams, compute_l_z, formation_forward
@@ -44,22 +45,45 @@ def plot_J(J: np.ndarray, valid: np.ndarray) -> PILImage.Image:
     return PILImage.fromarray(np.uint8(J * 255))
 
 
+@jax.jit
+def _render_reconstruction_jit(params, J, intr4, d):
+    intr = Intrinsics(intr4[0], intr4[1], intr4[2], intr4[3])
+    H, W = d.shape
+    u, v = pixel_grid(H, W)
+    valid = d > 0
+    cP = unproject(intr, u, v, d)[None]  # (1, H, W, 3) fake view axis
+    I_hat = formation_forward(params, J, cP, valid[None])[0]
+    I_hat = jnp.clip(I_hat, 0.0, 1.0)
+    return jnp.where(valid[..., None], I_hat, 0.0)
+
+
 def render_reconstruction(
     params: SucreParams, J: jnp.ndarray, intrinsics: np.ndarray, depth_map: np.ndarray
 ) -> np.ndarray:
     """Re-render the observed image from the model and the target's own
     depth map (parity: sucre.py:106-113). Returns (H, W, 3) float in [0, 1];
-    invalid-depth pixels are 0."""
-    H, W = depth_map.shape
-    intr = Intrinsics(*(jnp.float32(x) for x in intrinsics))
+    invalid-depth pixels are 0. Jitted: one device dispatch."""
+    return np.asarray(
+        _render_reconstruction_jit(
+            params,
+            jnp.asarray(J, jnp.float32),
+            jnp.asarray(intrinsics, jnp.float32),
+            jnp.asarray(depth_map, jnp.float32),
+        )
+    )
+
+
+@jax.jit
+def _render_vignetting_jit(params, intr4, d):
+    intr = Intrinsics(intr4[0], intr4[1], intr4[2], intr4[3])
+    H, W = d.shape
     u, v = pixel_grid(H, W)
-    d = jnp.asarray(depth_map, jnp.float32)
     valid = d > 0
-    cP = unproject(intr, u, v, d)[None]  # (1, H, W, 3) fake view axis
-    I_hat = formation_forward(params, jnp.asarray(J), cP, valid[None])[0]
-    I_hat = jnp.clip(I_hat, 0.0, 1.0)
-    I_hat = jnp.where(valid[..., None], I_hat, 0.0)
-    return np.asarray(I_hat)
+    cP = unproject(intr, u, v, d)
+    l, _ = compute_l_z(params, cP, valid)
+    if isinstance(l, float):
+        l = jnp.where(valid, 1.0, 0.0)
+    return jnp.where(valid, l, 0.0)
 
 
 def render_vignetting(
@@ -67,16 +91,11 @@ def render_vignetting(
 ) -> np.ndarray:
     """The light-footprint map l over the target's own depth (parity:
     sucre.py:96-104). Returns (H, W) float; invalid pixels 0."""
-    H, W = depth_map.shape
-    intr = Intrinsics(*(jnp.float32(x) for x in intrinsics))
-    u, v = pixel_grid(H, W)
-    d = jnp.asarray(depth_map, jnp.float32)
-    valid = d > 0
-    cP = unproject(intr, u, v, d)
-    l, _ = compute_l_z(params, cP, valid)
-    if isinstance(l, float):
-        l = jnp.where(valid, 1.0, 0.0)
-    return np.asarray(jnp.where(valid, l, 0.0))
+    return np.asarray(
+        _render_vignetting_jit(
+            params, jnp.asarray(intrinsics, jnp.float32), jnp.asarray(depth_map, jnp.float32)
+        )
+    )
 
 
 def save_plots(

@@ -164,3 +164,49 @@ class TestCheckpoints:
         assert raw["J"].shape == (4, 5, 3)
         loaded = ckpt.load_params(tmp_path / "p.pt", init_params(image=np.zeros_like(J)))
         np.testing.assert_allclose(np.asarray(loaded.J), J)
+
+
+class TestRestoreMany:
+    def test_matches_restore_image(self, scene_dir, tmp_path):
+        """Batched multi-target restore must reproduce the single-target
+        pipeline (same observations, same fit results)."""
+        from sucre_tpu.pipeline import restore_many
+
+        scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+        cfg = RestoreConfig(num_iter=5, verbose=False)
+        names = ["img_001.png", "img_003.png"]
+        many = restore_many(scene, names, tmp_path / "many", cfg)
+        for name, res_m in zip(names, many):
+            res_1 = restore_image(scene, name, tmp_path / f"one_{name}", cfg)
+            assert res_m.n_obs == res_1.n_obs
+            np.testing.assert_allclose(
+                np.asarray(res_m.params.B), np.asarray(res_1.params.B), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.nan_to_num(res_m.J), np.nan_to_num(res_1.J), atol=1e-4
+            )
+            np.testing.assert_allclose(
+                res_m.telemetry.cost, np.asarray(res_1.telemetry.cost), rtol=1e-4
+            )
+            assert (tmp_path / "many" / f"{Path(name).stem}_rgb.png").exists()
+
+    def test_memory_store_skips_h5(self, scene_dir, tmp_path):
+        from sucre_tpu.pipeline import restore_many
+
+        scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+        cfg = RestoreConfig(num_iter=2, verbose=False, store="memory", keep_matches=True)
+        restore_many(scene, ["img_000.png"], tmp_path / "m", cfg)
+        assert not (tmp_path / "m" / "img_000.h5").exists()
+        assert (tmp_path / "m" / "img_000.npz").exists()
+
+    def test_h5_cache_reused(self, scene_dir, tmp_path):
+        from sucre_tpu.pipeline import restore_many
+
+        scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+        cfg = RestoreConfig(num_iter=2, verbose=False, keep_matches=True)
+        r1 = restore_many(scene, ["img_002.png"], tmp_path / "c", cfg)
+        h5 = tmp_path / "c" / "img_002.h5"
+        mtime = h5.stat().st_mtime_ns
+        r2 = restore_many(scene, ["img_002.png"], tmp_path / "c", cfg)
+        assert h5.stat().st_mtime_ns == mtime
+        assert r1[0].n_obs == r2[0].n_obs
