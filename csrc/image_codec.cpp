@@ -1,0 +1,226 @@
+// Native image decode: 16-bit depth PNG (libpng) + 8-bit RGB JPEG/PNG
+// (libjpeg / libpng), with a thread-pool batch API.
+//
+// The reference decoded on the host through OpenCV inside DataLoader
+// worker processes (loader.py:133-180). This module is the framework's
+// own decode path: direct libpng/libjpeg calls into caller-provided
+// buffers (zero copies beyond the codec), and decode_batch() fans a
+// list of files across std::threads — called via ctypes, so the GIL is
+// released for the whole batch.
+
+#include <cstddef>
+#include <cstdio>
+
+// jpeglib.h requires size_t/FILE to be declared before inclusion.
+#include <jpeglib.h>
+#include <png.h>
+
+#include <atomic>
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct PngReadCtx {
+    FILE* f = nullptr;
+    png_structp png = nullptr;
+    png_infop info = nullptr;
+    ~PngReadCtx() {
+        if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+        if (f) std::fclose(f);
+    }
+};
+
+bool open_png(const char* path, PngReadCtx& ctx, uint32_t* w, uint32_t* h,
+              int* bit_depth, int* color_type) {
+    ctx.f = std::fopen(path, "rb");
+    if (!ctx.f) return false;
+    unsigned char sig[8];
+    if (std::fread(sig, 1, 8, ctx.f) != 8 || png_sig_cmp(sig, 0, 8)) return false;
+    ctx.png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+    if (!ctx.png) return false;
+    ctx.info = png_create_info_struct(ctx.png);
+    if (!ctx.info) return false;
+    if (setjmp(png_jmpbuf(ctx.png))) return false;
+    png_init_io(ctx.png, ctx.f);
+    png_set_sig_bytes(ctx.png, 8);
+    png_read_info(ctx.png, ctx.info);
+    *w = png_get_image_width(ctx.png, ctx.info);
+    *h = png_get_image_height(ctx.png, ctx.info);
+    *bit_depth = png_get_bit_depth(ctx.png, ctx.info);
+    *color_type = png_get_color_type(ctx.png, ctx.info);
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Probe dimensions so Python can allocate the output buffer.
+// kind: 0 = unknown/error, 1 = png, 2 = jpeg. Returns 0 on success.
+int image_probe(const char* path, int32_t* width, int32_t* height, int32_t* kind) {
+    *kind = 0;
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    unsigned char sig[2] = {0, 0};
+    size_t got = std::fread(sig, 1, 2, f);
+    std::fclose(f);
+    if (got != 2) return -1;
+    if (sig[0] == 0x89 && sig[1] == 'P') {
+        PngReadCtx ctx;
+        uint32_t w, h;
+        int bd, ct;
+        if (!open_png(path, ctx, &w, &h, &bd, &ct)) return -1;
+        *width = static_cast<int32_t>(w);
+        *height = static_cast<int32_t>(h);
+        *kind = 1;
+        return 0;
+    }
+    if (sig[0] == 0xFF && sig[1] == 0xD8) {
+        jpeg_decompress_struct cinfo;
+        jpeg_error_mgr jerr;
+        cinfo.err = jpeg_std_error(&jerr);
+        jpeg_create_decompress(&cinfo);
+        FILE* jf = std::fopen(path, "rb");
+        if (!jf) { jpeg_destroy_decompress(&cinfo); return -1; }
+        jpeg_stdio_src(&cinfo, jf);
+        jpeg_read_header(&cinfo, TRUE);
+        *width = static_cast<int32_t>(cinfo.image_width);
+        *height = static_cast<int32_t>(cinfo.image_height);
+        jpeg_destroy_decompress(&cinfo);
+        std::fclose(jf);
+        *kind = 2;
+        return 0;
+    }
+    return -1;
+}
+
+// 16-bit grayscale PNG -> uint16 row-major (native endianness).
+// Returns 0 on success.
+int decode_depth_png16(const char* path, uint16_t* out, int32_t width, int32_t height) {
+    PngReadCtx ctx;
+    uint32_t w, h;
+    int bd, ct;
+    if (!open_png(path, ctx, &w, &h, &bd, &ct)) return -1;
+    if (static_cast<int32_t>(w) != width || static_cast<int32_t>(h) != height) return -2;
+    if (ct != PNG_COLOR_TYPE_GRAY) return -3;
+    if (setjmp(png_jmpbuf(ctx.png))) return -4;
+    if (bd == 16) {
+        png_set_swap(ctx.png);  // PNG is big-endian; we want host little-endian
+    } else if (bd < 8) {
+        png_set_expand_gray_1_2_4_to_8(ctx.png);
+    }
+    png_read_update_info(ctx.png, ctx.info);
+    std::vector<png_bytep> rows(h);
+    std::vector<uint8_t> tmp8;
+    if (bd == 16) {
+        for (uint32_t y = 0; y < h; ++y)
+            rows[y] = reinterpret_cast<png_bytep>(out + static_cast<size_t>(y) * w);
+        png_read_image(ctx.png, rows.data());
+    } else {
+        tmp8.resize(static_cast<size_t>(w) * h);
+        for (uint32_t y = 0; y < h; ++y) rows[y] = tmp8.data() + static_cast<size_t>(y) * w;
+        png_read_image(ctx.png, rows.data());
+        for (size_t i = 0; i < tmp8.size(); ++i) out[i] = tmp8[i];
+    }
+    return 0;
+}
+
+// 8-bit RGB image (JPEG or PNG) -> uint8 HxWx3 row-major. Returns 0 on success.
+int decode_rgb8(const char* path, uint8_t* out, int32_t width, int32_t height) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    unsigned char sig[2] = {0, 0};
+    size_t got = std::fread(sig, 1, 2, f);
+    std::fclose(f);
+    if (got != 2) return -1;
+
+    if (sig[0] == 0x89 && sig[1] == 'P') {
+        PngReadCtx ctx;
+        uint32_t w, h;
+        int bd, ct;
+        if (!open_png(path, ctx, &w, &h, &bd, &ct)) return -1;
+        if (static_cast<int32_t>(w) != width || static_cast<int32_t>(h) != height) return -2;
+        if (setjmp(png_jmpbuf(ctx.png))) return -4;
+        // Normalize to 8-bit RGB
+        if (bd == 16) png_set_strip_16(ctx.png);
+        if (ct == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(ctx.png);
+        if (ct == PNG_COLOR_TYPE_GRAY || ct == PNG_COLOR_TYPE_GRAY_ALPHA)
+            png_set_gray_to_rgb(ctx.png);
+        if (ct & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(ctx.png);
+        png_read_update_info(ctx.png, ctx.info);
+        if (png_get_rowbytes(ctx.png, ctx.info) != static_cast<size_t>(w) * 3) return -5;
+        std::vector<png_bytep> rows(h);
+        for (uint32_t y = 0; y < h; ++y)
+            rows[y] = out + static_cast<size_t>(y) * w * 3;
+        png_read_image(ctx.png, rows.data());
+        return 0;
+    }
+
+    if (sig[0] == 0xFF && sig[1] == 0xD8) {
+        jpeg_decompress_struct cinfo;
+        jpeg_error_mgr jerr;
+        cinfo.err = jpeg_std_error(&jerr);
+        jpeg_create_decompress(&cinfo);
+        FILE* jf = std::fopen(path, "rb");
+        if (!jf) { jpeg_destroy_decompress(&cinfo); return -1; }
+        jpeg_stdio_src(&cinfo, jf);
+        jpeg_read_header(&cinfo, TRUE);
+        cinfo.out_color_space = JCS_RGB;
+        jpeg_start_decompress(&cinfo);
+        if (static_cast<int32_t>(cinfo.output_width) != width ||
+            static_cast<int32_t>(cinfo.output_height) != height ||
+            cinfo.output_components != 3) {
+            jpeg_abort_decompress(&cinfo);
+            jpeg_destroy_decompress(&cinfo);
+            std::fclose(jf);
+            return -2;
+        }
+        while (cinfo.output_scanline < cinfo.output_height) {
+            JSAMPROW row = out + static_cast<size_t>(cinfo.output_scanline) * width * 3;
+            jpeg_read_scanlines(&cinfo, &row, 1);
+        }
+        jpeg_finish_decompress(&cinfo);
+        jpeg_destroy_decompress(&cinfo);
+        std::fclose(jf);
+        return 0;
+    }
+    return -1;
+}
+
+// Batched decode across a thread pool. paths: array of n C strings;
+// kinds[i]: 1 = depth png16 (out16[i]), 2 = rgb8 (out8[i]).
+// Returns the number of failures; per-item status in statuses.
+int decode_batch(const char** paths, const int32_t* kinds, uint16_t** out16,
+                 uint8_t** out8, const int32_t* widths, const int32_t* heights,
+                 int32_t n, int32_t n_threads, int32_t* statuses) {
+    std::atomic<int32_t> next{0};
+    std::atomic<int> failures{0};
+    auto worker = [&]() {
+        for (;;) {
+            int32_t i = next.fetch_add(1);
+            if (i >= n) break;
+            int rc;
+            if (kinds[i] == 1) {
+                rc = decode_depth_png16(paths[i], out16[i], widths[i], heights[i]);
+            } else {
+                rc = decode_rgb8(paths[i], out8[i], widths[i], heights[i]);
+            }
+            statuses[i] = rc;
+            if (rc != 0) failures.fetch_add(1);
+        }
+    };
+    if (n_threads <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> pool;
+        for (int32_t t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+        for (auto& th : pool) th.join();
+    }
+    return failures.load();
+}
+
+}  // extern "C"

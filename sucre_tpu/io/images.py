@@ -51,11 +51,35 @@ def load_depth_map(depth_map_path: Path | str, width: int, height: int) -> np.nd
     return np.ascontiguousarray(depth, dtype=np.float32)
 
 
+def _native():
+    """The C++ decode module, or None if not built."""
+    try:
+        from sucre_tpu.io import native
+
+        if native.available():
+            return native
+    except Exception:
+        pass
+    return None
+
+
 def load_rgb_raw(rgb_path: Path | str, width: int, height: int) -> np.ndarray:
     """Decode RGB keeping uint8 when no resize is needed (exact: u8/255 on
     device equals the f32 decode); falls back to the float path when
     resizing (the reference resizes in float — loader.py:156-163 — and
-    uint8-domain resampling would round differently)."""
+    uint8-domain resampling would round differently).
+
+    Uses the native libjpeg/libpng decoder (csrc/image_codec.cpp) when
+    built; cv2 otherwise.
+    """
+    nat = _native()
+    if nat is not None:
+        try:
+            w, h, _ = nat.probe(rgb_path)
+            if (w, h) == (width, height):
+                return nat.decode_rgb8(rgb_path, width, height)
+        except Exception:
+            pass
     bgr = cv2.imread(str(rgb_path))
     if bgr is None:
         raise FileNotFoundError(f"Cannot decode image {rgb_path}")
@@ -66,7 +90,18 @@ def load_rgb_raw(rgb_path: Path | str, width: int, height: int) -> np.ndarray:
 
 def load_depth_raw(depth_map_path: Path | str, width: int, height: int) -> np.ndarray:
     """Decode depth keeping uint16 millimeters (INTER_NEAREST resampling
-    commutes with the /1000 scale, so this is always exact parity)."""
+    commutes with the /1000 scale, so this is always exact parity).
+
+    Native libpng 16-bit decode when built; cv2 otherwise.
+    """
+    nat = _native()
+    if nat is not None:
+        try:
+            w, h, kind = nat.probe(depth_map_path)
+            if kind == "png" and (w, h) == (width, height):
+                return nat.decode_depth_png16(depth_map_path, width, height)
+        except Exception:
+            pass
     raw = cv2.imread(str(depth_map_path), cv2.IMREAD_UNCHANGED)
     if raw is None:
         raise FileNotFoundError(f"Cannot decode depth map {depth_map_path}")

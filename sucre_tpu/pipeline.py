@@ -100,6 +100,33 @@ class ViewCache:
         return hit
 
     def prefill(self, views: list[View], num_workers: int = 0) -> None:
+        views = [v for v in views if v.name not in self._data]
+        if not views:
+            return
+        # Native thread-pooled batch decode (csrc/image_codec.cpp) when the
+        # library is built and no resizing is needed; else threaded cv2.
+        try:
+            from sucre_tpu.io import native
+
+            if native.available():
+                jobs, idx = [], []
+                for v in views:
+                    rw, rh, _ = native.probe(v.rgb_path)
+                    dw, dh, dk = native.probe(v.depth_path)
+                    if (rw, rh) == (v.width, v.height) and (dw, dh) == (
+                        v.width,
+                        v.height,
+                    ) and dk == "png":
+                        jobs.append((v.rgb_path, "rgb8", v.width, v.height))
+                        jobs.append((v.depth_path, "depth16", v.width, v.height))
+                        idx.append(v)
+                if len(idx) == len(views):
+                    outs = native.decode_batch(jobs, n_threads=max(num_workers, 1))
+                    for k, v in enumerate(idx):
+                        self._data[v.name] = (outs[2 * k], outs[2 * k + 1])
+                    return
+        except Exception:
+            pass
         for i, rgb, depth in prefetch_views(views, num_workers=num_workers, raw=True):
             self._data[views[i].name] = (rgb, depth)
 

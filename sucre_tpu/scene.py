@@ -109,7 +109,18 @@ class Scene:
         depth_dir: Path | str,
         image_scale: float = 1.0,
     ) -> "Scene":
-        cameras, images, _ = colmap_io.read_model(model_dir)
+        cameras, images = None, None
+        if (Path(model_dir) / "cameras.bin").exists():
+            # Native C++ one-pass parser when built (csrc/colmap_reader.cpp);
+            # silent fallback to the Python parser.
+            try:
+                from sucre_tpu.io import native
+
+                cameras, images = native.read_model_native(model_dir)
+            except Exception:
+                cameras = None
+        if cameras is None:
+            cameras, images, _ = colmap_io.read_model(model_dir)
         image_dir = Path(image_dir)
         depth_dir = Path(depth_dir)
 

@@ -1,0 +1,101 @@
+"""Native C++ layer tests: COLMAP reader parity with the Python parser,
+libpng/libjpeg decode parity with cv2, threaded batch decode."""
+
+import cv2
+import numpy as np
+import pytest
+
+from sucre_tpu.io import colmap as cio
+from tests.synthetic import make_scene
+
+native = pytest.importorskip("sucre_tpu.io.native")
+if not native.available():
+    pytest.skip("libsucre_native.so not built (make -C csrc)", allow_module_level=True)
+
+
+class TestColmapNative:
+    def test_parity_with_python_parser(self, tmp_path):
+        sd = make_scene(tmp_path, n_views=4)
+        py_cams, py_imgs, _ = cio.read_model(sd.model_dir)
+        nat_cams, nat_imgs = native.read_model_native(sd.model_dir)
+        assert set(nat_cams) == set(py_cams)
+        for cid in py_cams:
+            assert nat_cams[cid].model == py_cams[cid].model
+            assert nat_cams[cid].width == py_cams[cid].width
+            np.testing.assert_allclose(nat_cams[cid].params, py_cams[cid].params)
+        assert set(nat_imgs) == set(py_imgs)
+        for iid in py_imgs:
+            np.testing.assert_allclose(nat_imgs[iid].qvec, py_imgs[iid].qvec)
+            np.testing.assert_allclose(nat_imgs[iid].tvec, py_imgs[iid].tvec)
+            assert nat_imgs[iid].name == py_imgs[iid].name
+            assert nat_imgs[iid].camera_id == py_imgs[iid].camera_id
+
+    def test_missing_file_error(self, tmp_path):
+        with pytest.raises(ValueError, match="cannot read"):
+            native.read_model_native(tmp_path)
+
+
+class TestDecodeNative:
+    def test_depth16_parity(self, tmp_path):
+        depth = np.arange(48, dtype=np.uint16).reshape(6, 8) * 997
+        cv2.imwrite(str(tmp_path / "d.png"), depth)
+        got = native.decode_depth_png16(tmp_path / "d.png", 8, 6)
+        np.testing.assert_array_equal(got, depth)
+
+    def test_rgb8_png_parity(self, tmp_path, rng):
+        img = rng.integers(0, 256, (6, 8, 3), np.uint8)
+        cv2.imwrite(str(tmp_path / "a.png"), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        got = native.decode_rgb8(tmp_path / "a.png", 8, 6)
+        np.testing.assert_array_equal(got, img)
+
+    def test_rgb8_jpeg_close_to_cv2(self, tmp_path, rng):
+        img = rng.integers(0, 256, (32, 40, 3), np.uint8)
+        cv2.imwrite(str(tmp_path / "a.jpg"), cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, 95])
+        got = native.decode_rgb8(tmp_path / "a.jpg", 40, 32)
+        ref = cv2.cvtColor(cv2.imread(str(tmp_path / "a.jpg")), cv2.COLOR_BGR2RGB)
+        # Different IDCT implementations may differ by a couple of LSBs.
+        assert np.abs(got.astype(int) - ref.astype(int)).max() <= 2
+
+    def test_probe(self, tmp_path):
+        depth = np.zeros((6, 8), np.uint16)
+        cv2.imwrite(str(tmp_path / "d.png"), depth)
+        assert native.probe(tmp_path / "d.png") == (8, 6, "png")
+
+    def test_batch_decode(self, tmp_path, rng):
+        paths = []
+        for i in range(5):
+            img = rng.integers(0, 256, (6, 8, 3), np.uint8)
+            cv2.imwrite(str(tmp_path / f"i{i}.png"), img)
+            depth = rng.integers(0, 65535, (6, 8), np.uint16)
+            cv2.imwrite(str(tmp_path / f"d{i}.png"), depth)
+            paths.append((img, depth))
+        jobs = []
+        for i in range(5):
+            jobs.append((tmp_path / f"i{i}.png", "rgb8", 8, 6))
+            jobs.append((tmp_path / f"d{i}.png", "depth16", 8, 6))
+        outs = native.decode_batch(jobs, n_threads=3)
+        for i in range(5):
+            ref_rgb = cv2.cvtColor(cv2.imread(str(tmp_path / f"i{i}.png")), cv2.COLOR_BGR2RGB)
+            np.testing.assert_array_equal(outs[2 * i], ref_rgb)
+            ref_d = cv2.imread(str(tmp_path / f"d{i}.png"), cv2.IMREAD_UNCHANGED)
+            np.testing.assert_array_equal(outs[2 * i + 1], ref_d)
+
+    def test_batch_decode_failure(self, tmp_path):
+        with pytest.raises(IOError, match="failures"):
+            native.decode_batch([(tmp_path / "missing.png", "rgb8", 4, 4)])
+
+
+class TestCachePrefillNative:
+    def test_prefill_uses_native(self, tmp_path):
+        from sucre_tpu.pipeline import ViewCache
+        from sucre_tpu.scene import Scene
+
+        sd = make_scene(tmp_path, n_views=3)
+        scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+        cache = ViewCache()
+        cache.prefill(scene.view_list(), num_workers=2)
+        rgb, depth = cache.get(scene["img_001.png"])
+        assert rgb.dtype == np.uint8 and depth.dtype == np.uint16
+        ref = cv2.cvtColor(cv2.imread(str(scene["img_001.png"].rgb_path)), cv2.COLOR_BGR2RGB)
+        np.testing.assert_array_equal(rgb, ref)
