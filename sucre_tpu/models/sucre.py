@@ -33,7 +33,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from sucre_tpu.ops.matching import DenseObs
+from sucre_tpu.ops.matching import DenseObs, to_f32_rgb
 from sucre_tpu.ops.se3 import se3_exp, transform_points
 
 
@@ -109,22 +109,47 @@ def compute_l_z(
     return jnp.where(valid, l, 0.0), jnp.where(valid, z, 0.0)
 
 
-def formation_forward(
-    params: SucreParams, J: jnp.ndarray, cP: jnp.ndarray, valid: jnp.ndarray
-) -> jnp.ndarray:
-    """Predicted observed color I_hat for each stack entry (..., 3).
+def obs_l_z(params: SucreParams, obs: DenseObs) -> tuple[jnp.ndarray | float, jnp.ndarray]:
+    """(l, z) for an observation stack in either layout.
 
-    ``J`` is passed explicitly so closed-form mode can inject the
-    recomputed (stop-gradient) image. Broadcasts J (H, W, 3) against the
-    leading view axis of cP (V, H, W, 3). Parity: sucre.py:79-82.
+    The compact (z-only) layout is valid only without the light model —
+    the vignetting factor needs the full 3D point.
     """
-    l, z = compute_l_z(params, cP, valid)
+    if params.cam2light is not None:
+        if obs.cP is None:
+            raise ValueError(
+                "light model requires the full (cP) observation layout; "
+                "build observations with compact=False"
+            )
+        return compute_l_z(params, obs.cP, obs.valid)
+    if obs.z is not None:
+        return 1.0, obs.z
+    return compute_l_z(params, obs.cP, obs.valid)
+
+
+def formation_from_lz(
+    params: SucreParams, J: jnp.ndarray, l, z: jnp.ndarray
+) -> jnp.ndarray:
+    """I_hat = l * (J * exp(-beta z) + B * (1 - exp(-gamma z)));
+    broadcasts J (H, W, 3) against leading view axes (sucre.py:79-82)."""
     z = z[..., None]
     if not isinstance(l, float):
         l = l[..., None]
     absorption = jnp.exp(-params.beta * z)
     backscatter = params.B * (1.0 - jnp.exp(-params.gamma * z))
     return l * (J * absorption + backscatter)
+
+
+def formation_forward(
+    params: SucreParams, J: jnp.ndarray, cP: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """Predicted observed color I_hat from full 3D points (..., 3).
+
+    ``J`` is passed explicitly so closed-form mode can inject the
+    recomputed (stop-gradient) image.
+    """
+    l, z = compute_l_z(params, cP, valid)
+    return formation_from_lz(params, J, l, z)
 
 
 def residual_loss(
@@ -137,12 +162,31 @@ def residual_loss(
 
     raw_cost = sum over valid observations of (I - I_hat)^2 — the
     telemetry "cost" (sucre.py:144-149); normalized = cost / n_obs / 3,
-    the actual objective (sucre.py:146).
+    the actual objective (sucre.py:146). ``obs.I`` may be uint8 — the
+    /255 conversion fuses here (exact parity with the f32 decode).
     """
-    I_hat = formation_forward(params, J, obs.cP, obs.valid)
-    sq = jnp.square(obs.I - I_hat)
+    l, z = obs_l_z(params, obs)
+    I_hat = formation_from_lz(params, J, l, z)
+    sq = jnp.square(to_f32_rgb(obs.I) - I_hat)
     cost = jnp.sum(jnp.where(obs.valid[..., None], sq, 0.0))
     return cost / n_obs / 3.0, cost
+
+
+def closed_form_terms(
+    params: SucreParams, obs: DenseObs
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel (numerator, denominator) partial sums over the view axis
+    of an observation stack — accumulate across chunks, then divide."""
+    l, z = obs_l_z(params, obs)
+    z = z[..., None]
+    if not isinstance(l, float):
+        l = l[..., None]
+    a = l * jnp.exp(-params.beta * z)
+    bs = l * params.B * (1.0 - jnp.exp(-params.gamma * z))
+    mask = obs.valid[..., None]
+    num = jnp.sum(jnp.where(mask, a * (to_f32_rgb(obs.I) - bs), 0.0), axis=0)
+    den = jnp.sum(jnp.where(mask, a * a, 0.0), axis=0)
+    return num, den
 
 
 def closed_form_J(
@@ -159,15 +203,7 @@ def closed_form_J(
     observation; J is 0 where unobserved (reference leaves 0/0 = NaN —
     materialized at export only).
     """
-    l, z = compute_l_z(params, obs.cP, obs.valid)
-    z = z[..., None]
-    if not isinstance(l, float):
-        l = l[..., None]
-    a = l * jnp.exp(-params.beta * z)
-    bs = l * params.B * (1.0 - jnp.exp(-params.gamma * z))
-    mask = obs.valid[..., None]
-    num = jnp.sum(jnp.where(mask, a * (obs.I - bs), 0.0), axis=0)
-    den = jnp.sum(jnp.where(mask, a * a, 0.0), axis=0)
+    num, den = closed_form_terms(params, obs)
     pos = den > 0  # per-channel, but a > 0 wherever valid => identical channels
     J = jnp.where(pos, num / jnp.where(pos, den, 1.0), 0.0)
     observed = jnp.any(pos, axis=-1)  # (H, W)

@@ -60,15 +60,38 @@ class DenseObs(NamedTuple):
     Entry [k, v, u]: view k's observation of target pixel (u, v).
     ``cP`` is the 3D point in *view k's* camera frame (the observing
     camera — parity with loader.py:103-118 where z = ||cP2||).
+
+    Two storage layouts (fields are None when absent):
+      - full:    cP (V, H, W, 3) f32 — required for the light model,
+                 whose range/vignetting depend on the 3D point.
+      - compact: z (V, H, W) f32 — the range is constant across fit
+                 iterations without the light model, so storing it
+                 directly cuts HBM traffic ~3x (z f32 + I u8 + valid
+                 = 8B/obs vs 25B).
+    ``I`` keeps its source dtype: uint8 straight from the decoded image
+    (exact — the /255 conversion fuses into the loss) or float32 when
+    colors were resampled (image_scale != 1).
     """
 
     valid: jnp.ndarray  # (V, H, W) bool
-    cP: jnp.ndarray  # (V, H, W, 3) float32
-    I: jnp.ndarray  # (V, H, W, 3) float32 observed colors
+    cP: jnp.ndarray | None  # (V, H, W, 3) float32, or None (compact layout)
+    I: jnp.ndarray  # (V, H, W, 3) uint8 or float32 observed colors
+    z: jnp.ndarray | None = None  # (V, H, W) float32 ranges (compact layout)
 
     @property
     def n_obs(self) -> jnp.ndarray:
         return jnp.sum(self.valid)
+
+    def compact(self) -> "DenseObs":
+        """Drop cP in favor of the precomputed range z (no-light fast
+        path); no-op if already compact."""
+        if self.cP is None:
+            return self
+        cP_safe = jnp.where(self.valid[..., None], self.cP, 1.0)
+        z = jnp.sqrt(jnp.sum(cP_safe * cP_safe, axis=-1))
+        return DenseObs(
+            valid=self.valid, cP=None, I=self.I, z=jnp.where(self.valid, z, 0.0)
+        )
 
 
 def _trunc_px(x: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -148,10 +171,9 @@ def pair_observation(
     u2s = jnp.maximum(match.u2, 0)
     v2s = jnp.maximum(match.v2, 0)
     cP = unproject(i2, u2s, v2s, match.d2)
-    I = rgb2[v2s, u2s]
-    zero3 = jnp.zeros((), jnp.float32)
-    cP = jnp.where(match.valid[..., None], cP, zero3)
-    I = jnp.where(match.valid[..., None], I, zero3)
+    I = rgb2[v2s, u2s]  # native dtype gather (u8 stays u8)
+    cP = jnp.where(match.valid[..., None], cP, jnp.zeros((), jnp.float32))
+    I = jnp.where(match.valid[..., None], I, jnp.zeros((), I.dtype))
     return cP, I
 
 
@@ -184,24 +206,32 @@ def match_and_observe_chunk(
     intrs2: jnp.ndarray,  # (V, 4)
     Rs2: jnp.ndarray,  # (V, 3, 3)
     ts2: jnp.ndarray,  # (V, 3)
+    compact: bool = False,
 ) -> tuple[DenseObs, PairMatch]:
     """Match the target against a chunk of V views and build the dense
     observation stack — the jit unit of the matching stage (vmapped over
     the view axis; one compile per (V, H, W, H2, W2) shape bucket).
 
     Accepts raw integer image dtypes (u8 RGB / u16 depth) and converts on
-    device, minimizing host->device traffic.
+    device, minimizing host->device traffic. ``compact=True`` emits the
+    z-only observation layout (see DenseObs) with I kept in its source
+    dtype — the no-light fit fast path.
     """
     depth1 = to_f32_depth(depth1)
     depths2 = to_f32_depth(depths2)
 
     def one(depth2, rgb2, intr2, R2, t2):
         m = match_pair(depth1, intr1, R1, t1, depth2, intr2, R2, t2)
-        cP, I = pair_observation(m, intr2, to_f32_rgb(rgb2))
+        cP, I = pair_observation(m, intr2, rgb2 if compact else to_f32_rgb(rgb2))
         return m, cP, I
 
     m, cP, I = jax.vmap(one)(depths2, rgbs2, intrs2, Rs2, ts2)
-    return DenseObs(valid=m.valid, cP=cP, I=I), m
+    obs = DenseObs(valid=m.valid, cP=cP, I=I)
+    if compact:
+        obs = obs.compact()
+    return obs, m
 
 
-match_and_observe_chunk_jit = jax.jit(match_and_observe_chunk)
+match_and_observe_chunk_jit = jax.jit(
+    match_and_observe_chunk, static_argnames=("compact",)
+)

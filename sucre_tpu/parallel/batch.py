@@ -32,14 +32,12 @@ def stack_obs(obs_list: list[DenseObs]) -> DenseObs:
     largest V (padded views are invalid => no contribution)."""
     V = max(o.valid.shape[0] for o in obs_list)
 
-    def padv(x):
-        return jnp.pad(x, [(0, V - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
+    def stackpad(*xs):
+        return jnp.stack(
+            [jnp.pad(x, [(0, V - x.shape[0])] + [(0, 0)] * (x.ndim - 1)) for x in xs]
+        )
 
-    return DenseObs(
-        valid=jnp.stack([padv(o.valid) for o in obs_list]),
-        cP=jnp.stack([padv(o.cP) for o in obs_list]),
-        I=jnp.stack([padv(o.I) for o in obs_list]),
-    )
+    return jax.tree.map(stackpad, *obs_list)
 
 
 @partial(
@@ -97,13 +95,11 @@ def fit_many(
     n_obs = jnp.sum(obs.valid, axis=(1, 2, 3)).astype(jnp.float32)
     if mesh is not None:
         batch_axis = mesh.axis_names[0]
-        obs = DenseObs(
-            **{
-                k: jax.device_put(
-                    v, NamedSharding(mesh, P(*([batch_axis] + [None] * (v.ndim - 1))))
-                )
-                for k, v in obs._asdict().items()
-            }
+        obs = jax.tree.map(
+            lambda v: jax.device_put(
+                v, NamedSharding(mesh, P(*([batch_axis] + [None] * (v.ndim - 1))))
+            ),
+            obs,
         )
         params = jax.tree.map(
             lambda x: jax.device_put(

@@ -61,22 +61,22 @@ def pad_obs_to_mesh(obs: DenseObs, mesh: Mesh) -> DenseObs:
     pad_h = (-H) % rs
     if pad_v == 0 and pad_h == 0:
         return obs
-    return DenseObs(
-        valid=jnp.pad(obs.valid, [(0, pad_v), (0, pad_h), (0, 0)]),
-        cP=jnp.pad(obs.cP, [(0, pad_v), (0, pad_h), (0, 0), (0, 0)]),
-        I=jnp.pad(obs.I, [(0, pad_v), (0, pad_h), (0, 0), (0, 0)]),
+    return jax.tree.map(
+        lambda x: jnp.pad(
+            x, [(0, pad_v), (0, pad_h)] + [(0, 0)] * (x.ndim - 2)
+        ),
+        obs,
     )
 
 
 def shard_obs(obs: DenseObs, mesh: Mesh) -> DenseObs:
     """Place the stack with (view, row) sharding on the mesh."""
-    s3 = NamedSharding(mesh, P("view", "row", None))
-    s4 = NamedSharding(mesh, P("view", "row", None, None))
-    return DenseObs(
-        valid=jax.device_put(obs.valid, s3),
-        cP=jax.device_put(obs.cP, s4),
-        I=jax.device_put(obs.I, s4),
-    )
+
+    def put(x):
+        spec = P("view", "row", *([None] * (x.ndim - 2)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, obs)
 
 
 def replicate(tree, mesh: Mesh):

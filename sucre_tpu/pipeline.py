@@ -142,6 +142,7 @@ def compute_matches(
     target_depth: np.ndarray | None = None,
     collect_dense: bool = True,
     cache: ViewCache | None = None,
+    compact: bool = False,
     log: Callable[[str], None] = lambda s: None,
 ) -> tuple[DenseObs | None, list[str]]:
     """Stage A+B fused: match the target against every view in
@@ -179,7 +180,9 @@ def compute_matches(
             dev = _upload_view_chunk(
                 [c[2] for c in chunk], [c[1] for c in chunk], sub, match_chunk
             )
-            obs, match = match_and_observe_chunk_jit(d1, intr1, R1, t1, *dev)
+            obs, match = match_and_observe_chunk_jit(
+                d1, intr1, R1, t1, *dev, compact=compact
+            )
             # Only the tiny per-view count vector crosses to host; the dense
             # stacks stay device-resident for the fit.
             counts = np.asarray(obs.valid[:n].sum(axis=(1, 2)))
@@ -199,11 +202,7 @@ def compute_matches(
             if collect_dense and keep:
                 idx = jnp.asarray(np.asarray(keep, np.int32))
                 kept_chunks.append(
-                    DenseObs(
-                        valid=jnp.take(obs.valid, idx, axis=0),
-                        cP=jnp.take(obs.cP, idx, axis=0),
-                        I=jnp.take(obs.I, idx, axis=0),
-                    )
+                    jax.tree.map(lambda x: jnp.take(x, idx, axis=0), obs)
                 )
             log(f"matched {len(kept_names)} kept / {len(idxs)} in chunk")
 
@@ -212,10 +211,8 @@ def compute_matches(
         if len(kept_chunks) == 1:
             dense = kept_chunks[0]
         else:
-            dense = DenseObs(
-                valid=jnp.concatenate([p.valid for p in kept_chunks], axis=0),
-                cP=jnp.concatenate([p.cP for p in kept_chunks], axis=0),
-                I=jnp.concatenate([p.I for p in kept_chunks], axis=0),
+            dense = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *kept_chunks
             )
     return dense, kept_names
 
@@ -249,6 +246,7 @@ def match_targets_shared(
     min_cover: float = 0.000001,
     match_chunk: int = 8,
     matches_files: list[MatchesFile | None] | None = None,
+    compact: bool = False,
     log: Callable[[str], None] = lambda s: None,
 ) -> tuple[list[DenseObs | None], list[list[str]]]:
     """Match T targets against the view list with each view chunk uploaded
@@ -289,7 +287,9 @@ def match_targets_shared(
                 [c[2] for c in chunk], [c[1] for c in chunk], sub, match_chunk
             )
             for ti in range(T):
-                obs, match = match_and_observe_chunk_jit(*tdev[ti], *dev)
+                obs, match = match_and_observe_chunk_jit(
+                    *tdev[ti], *dev, compact=compact
+                )
                 counts = obs.valid[:n].sum(axis=(1, 2))
                 pending.append((ti, sub, n, obs, match, counts))
         log(f"bucket {w2}x{h2}: dispatched {len(views)} views x {T} targets")
@@ -315,11 +315,7 @@ def match_targets_shared(
         if keep:
             idx = jnp.asarray(np.asarray(keep, np.int32))
             kept_chunks[ti].append(
-                DenseObs(
-                    valid=jnp.take(obs.valid, idx, axis=0),
-                    cP=jnp.take(obs.cP, idx, axis=0),
-                    I=jnp.take(obs.I, idx, axis=0),
-                )
+                jax.tree.map(lambda x: jnp.take(x, idx, axis=0), obs)
             )
 
     dense: list[DenseObs | None] = []
@@ -329,13 +325,7 @@ def match_targets_shared(
         elif len(parts) == 1:
             dense.append(parts[0])
         else:
-            dense.append(
-                DenseObs(
-                    valid=jnp.concatenate([p.valid for p in parts], axis=0),
-                    cP=jnp.concatenate([p.cP for p in parts], axis=0),
-                    I=jnp.concatenate([p.I for p in parts], axis=0),
-                )
-            )
+            dense.append(jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts))
     return dense, kept_names
 
 
@@ -379,6 +369,7 @@ def restore_image(
             num_workers=cfg.num_workers,
             target_depth=target_depth,
             collect_dense=True,
+            compact=not cfg.light_model,
         )
     timings["match"] = time.perf_counter() - t0
 
@@ -510,7 +501,10 @@ def restore_many(
             mf = MatchesFile(matches_path, overwrite=cfg.force_compute_matches)
             if mf.exists():
                 log(f"Load {target.name} matches from cache.")
-                obs_list[ti], _ = mf.load_dense(scene, target.height, target.width)
+                obs_cached, _ = mf.load_dense(scene, target.height, target.width)
+                if not cfg.light_model:
+                    obs_cached = obs_cached.compact()
+                obs_list[ti] = obs_cached
                 mf = None  # already populated; don't re-save
             else:
                 to_match.append(ti)
@@ -527,6 +521,7 @@ def restore_many(
             min_cover=cfg.min_cover,
             match_chunk=cfg.match_chunk,
             matches_files=[matches_files[ti] for ti in to_match],
+            compact=not cfg.light_model,
             log=log,
         )
         for k, ti in enumerate(to_match):

@@ -71,19 +71,14 @@ def _pad_views(obs: DenseObs, chunk: int) -> DenseObs:
     pad = (-V) % chunk
     if pad == 0:
         return obs
-    pw = [(0, pad)] + [(0, 0)] * (obs.valid.ndim - 1)
-    return DenseObs(
-        valid=jnp.pad(obs.valid, pw),
-        cP=jnp.pad(obs.cP, pw + [(0, 0)]),
-        I=jnp.pad(obs.I, pw + [(0, 0)]),
+    return jax.tree.map(
+        lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)), obs
     )
 
 
 def _chunked(obs: DenseObs, chunk: int) -> DenseObs:
     """(V, ...) -> (V/chunk, chunk, ...) for lax.scan grad accumulation."""
-    def r(x):
-        return x.reshape((-1, chunk) + x.shape[1:])
-    return DenseObs(valid=r(obs.valid), cP=r(obs.cP), I=r(obs.I))
+    return jax.tree.map(lambda x: x.reshape((-1, chunk) + x.shape[1:]), obs)
 
 
 def _loss(params: SucreParams, J: jnp.ndarray, obs: DenseObs, n_obs, chunked: bool):
@@ -108,20 +103,12 @@ def _closed_form(params: SucreParams, obs: DenseObs, chunked: bool):
         return closed_form_J(params, obs)
 
     def body(acc, chunk_obs):
-        # Reuse the unchunked reduction on each chunk; J = num/den per chunk
-        # does not compose, so accumulate num/den directly.
-        from sucre_tpu.models.sucre import compute_l_z  # local to avoid cycle
+        # J = num/den per chunk does not compose, so accumulate the
+        # numerator/denominator partial sums across chunks.
+        from sucre_tpu.models.sucre import closed_form_terms  # avoid cycle
 
-        l, z = compute_l_z(params, chunk_obs.cP, chunk_obs.valid)
-        z = z[..., None]
-        if not isinstance(l, float):
-            l = l[..., None]
-        a = l * jnp.exp(-params.beta * z)
-        bs = l * params.B * (1.0 - jnp.exp(-params.gamma * z))
-        mask = chunk_obs.valid[..., None]
-        num = acc[0] + jnp.sum(jnp.where(mask, a * (chunk_obs.I - bs), 0.0), axis=0)
-        den = acc[1] + jnp.sum(jnp.where(mask, a * a, 0.0), axis=0)
-        return (num, den), None
+        num, den = closed_form_terms(params, chunk_obs)
+        return (acc[0] + num, acc[1] + den), None
 
     H, W = obs.valid.shape[-2:]
     zero = jnp.zeros((H, W, 3), jnp.float32)

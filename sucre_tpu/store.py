@@ -89,6 +89,8 @@ class MatchesFile:
         v2 = np.asarray(match.v2)[v1, u1]
         d = np.asarray(match.d2)[v1, u1]
         I = np.asarray(I_dense)[v1, u1]
+        if np.issubdtype(I.dtype, np.integer):
+            I = (I / 255).astype(np.float32)  # h5 schema stores float colors
         self.save_pair(image2_name, u1, v1, u2, v2, d, I)
         return len(u1)
 

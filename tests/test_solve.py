@@ -121,3 +121,54 @@ def test_telemetry_shapes(rng):
     assert res.telemetry.cost.shape == (5,)
     # cost strictly decreasing at the start of optimization
     assert res.telemetry.cost[1] < res.telemetry.cost[0]
+
+
+def test_compact_layout_equals_full(rng):
+    """Fit on the z-only/u8 compact layout must equal the full cP/f32
+    layout exactly (z precompute and /255 fusion are value-preserving)."""
+    import jax
+
+    obs, _ = _synthetic_obs(rng, V=5)
+    # Recast I as u8-sourced colors (exactly representable)
+    I_u8 = (np.asarray(obs.I) * 255).round().astype(np.uint8)
+    I_f32 = (I_u8 / 255).astype(np.float32)
+    obs_full = DenseObs(valid=obs.valid, cP=obs.cP, I=jnp.asarray(I_f32))
+    obs_compact = DenseObs(
+        valid=obs.valid, cP=obs.cP, I=jnp.asarray(I_u8)
+    ).compact()
+    assert obs_compact.cP is None and obs_compact.z is not None
+    assert obs_compact.I.dtype == jnp.uint8
+
+    params = init_params(image=np.zeros((6, 7, 3), np.float32))
+    r_full = fit(params, obs_full, FitConfig(num_iter=4))
+    r_comp = fit(params, obs_compact, FitConfig(num_iter=4))
+    np.testing.assert_allclose(
+        np.asarray(r_full.params.B), np.asarray(r_comp.params.B), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_full.telemetry.cost), np.asarray(r_comp.telemetry.cost), rtol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(r_full.J), np.asarray(r_comp.J), atol=1e-5)
+
+    # closed form too
+    pcf = init_params(use_closed_form=True)
+    r1 = fit(pcf, obs_full, FitConfig(num_iter=3, use_closed_form=True))
+    r2 = fit(pcf, obs_compact, FitConfig(num_iter=3, use_closed_form=True))
+    np.testing.assert_allclose(np.asarray(r1.J), np.asarray(r2.J), atol=1e-5)
+
+    # chunked grad accumulation handles the compact layout
+    r3 = fit(params, obs_compact, FitConfig(num_iter=4, view_chunk=2))
+    np.testing.assert_allclose(
+        np.asarray(r_comp.telemetry.cost), np.asarray(r3.telemetry.cost), rtol=1e-5
+    )
+
+
+def test_light_model_requires_full_layout(rng):
+    obs, _ = _synthetic_obs(rng, V=3)
+    compact = obs.compact()
+    params = init_params(light_model=True, use_closed_form=True)
+    from sucre_tpu.models.sucre import obs_l_z
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="light model requires"):
+        obs_l_z(params, compact)
