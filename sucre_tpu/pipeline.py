@@ -552,10 +552,15 @@ def restore_many(
     fit_time = time.perf_counter() - t_match_done
 
     # One batched device->host fetch for everything the export needs.
-    params, J, observed, tel = jax.device_get((params, J, observed, tel))
+    # In direct mode params.J IS the returned J — drop the duplicate leaf
+    # so it isn't transferred twice.
+    n_obs_list = [int(x) for x in jax.device_get([o.valid.sum() for o in obs_list])]
+    params_noJ = params._replace(J=None)
+    params_noJ, J, observed, tel = jax.device_get((params_noJ, J, observed, tel))
+    params = params_noJ._replace(J=J if params.J is not None else None)
 
-    results = []
-    for t, target in enumerate(targets):
+    def export_one(t: int) -> RestoreResult:
+        target = targets[t]
         p_t = jax.tree.map(lambda x: x[t], params)
         valid = _export_mask(cfg, depths[t], np.asarray(observed[t]))
         J_t = np.asarray(J[t], np.float32).copy()
@@ -572,13 +577,21 @@ def restore_many(
             cost=np.asarray(tel.cost[:, t]), B=np.asarray(tel.B[:, t]),
             beta=np.asarray(tel.beta[:, t]), gamma=np.asarray(tel.gamma[:, t]),
         )
-        results.append(
-            RestoreResult(
-                image_name=target.name, params=p_t, J=J_t, valid=valid,
-                telemetry=tel_t, n_obs=int(np.asarray(obs_list[t].valid).sum()),
-                artifacts=artifacts, timings={"fit_batch": fit_time},
-            )
+        return RestoreResult(
+            image_name=target.name, params=p_t, J=J_t, valid=valid,
+            telemetry=tel_t, n_obs=n_obs_list[t],
+            artifacts=artifacts, timings={"fit_batch": fit_time},
         )
+
+    # Export targets concurrently: PNG/npz encode is host-bound, the
+    # reconstruction render is one device dispatch per target.
+    import concurrent.futures as cf
+
+    if len(targets) > 1:
+        with cf.ThreadPoolExecutor(max_workers=min(4, len(targets))) as pool:
+            results = list(pool.map(export_one, range(len(targets))))
+    else:
+        results = [export_one(0)]
     return results
 
 
