@@ -85,6 +85,13 @@ def build_parser() -> argparse.ArgumentParser:
                         default=Path.home() / ".cache" / "sucre_tpu_xla",
                         help="persistent XLA compilation cache directory "
                              "(pass an empty string to disable).")
+    parser.add_argument("--checkpoint-interval", type=int,
+                        help="snapshot full solver state (params + Adam moments + "
+                             "iteration) every N iterations; an interrupted restore "
+                             "resumes exactly where it stopped.")
+    parser.add_argument("--profile-dir", type=Path,
+                        help="capture a jax.profiler trace of the run into this "
+                             "directory (view with TensorBoard/XProf).")
     parser.add_argument("--quiet", action="store_true", help="suppress telemetry.")
     return parser
 
@@ -145,11 +152,20 @@ def main(argv: list[str] | None = None) -> int:
         keep_matches=args.keep_matches,
         num_workers=args.num_workers,
         match_chunk=args.match_chunk,
+        checkpoint_interval=args.checkpoint_interval,
         verbose=not args.quiet,
     )
 
-    for name in targets:
-        restore_image(scene, name, args.output_dir, cfg, image_list=image_list)
+    import contextlib
+
+    profile_cm = (
+        jax.profiler.trace(str(args.profile_dir))
+        if args.profile_dir
+        else contextlib.nullcontext()
+    )
+    with profile_cm:
+        for name in targets:
+            restore_image(scene, name, args.output_dir, cfg, image_list=image_list)
     return 0
 
 

@@ -1,0 +1,192 @@
+"""Fused formation-model forward+backward Pallas kernel (no-light mode).
+
+The fit's hot loop evaluates, per observation and channel,
+
+    a = exp(-beta z),  e = 1 - exp(-gamma z),  I_hat = J a + B e,
+    r = I - I_hat,     cost = sum r^2,
+
+and needs gradients d(cost)/d{J, B, beta, gamma}:
+
+    dJ     = sum_V  g a          (per pixel)        g = -2 r
+    dB     = sum    g e
+    dbeta  = sum   -g J z a
+    dgamma = sum    g B z exp(-gamma z)
+
+XLA's autodiff materializes the forward residuals and re-reads the
+stack for the backward pass; this kernel computes cost + all gradients
+in ONE pass over the compact observation layout (z f32 + I u8), reading
+each observation's 7 bytes exactly once per iteration and accumulating
+dJ tiles in VMEM across the view axis.
+
+Grid: (T targets, H/TH row tiles, V views) — views iterate innermost,
+so the J / dJ / partial-sum blocks stay resident in VMEM/SMEM for a
+whole view sweep (their index maps are constant in v) and are written
+back once per row tile. Validity is implicit: z == 0 marks
+invalid/padded entries (depth > 0 guarantees z > 0 for real
+observations).
+
+Scaling by the 1/(3 n_obs) loss normalization happens outside (the
+gradients are linear in the upstream cotangent). On-chip the kernel is
+transcendental-bound (6 VPU exps per observation), ~1.3x over XLA's
+two-pass autodiff at bench shapes; its bigger win is halving peak HBM
+traffic and never materializing forward residuals.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TH = 32  # row-tile height (u8 min sublane tile)
+LANES = 128
+
+# packed partial-sum layout: [cost, dB(3), dbeta(3), dgamma(3), pad...]
+_NPART = 16
+
+
+def _kernel(B_ref, beta_ref, gamma_ref, z_ref, I_ref, J_ref, dJ_ref, part_ref, *, u8: bool):
+    i = pl.program_id(1)
+    v = pl.program_id(2)
+
+    @pl.when(v == 0)
+    def _():
+        dJ_ref[:] = jnp.zeros_like(dJ_ref)
+
+    # The partial-sum block is resident for this target's whole sweep
+    # (index map constant in i and v): initialize at the first step.
+    # SMEM stores are scalar-only, hence the unrolled loop.
+    @pl.when((v == 0) & (i == 0))
+    def _():
+        for k in range(_NPART):
+            part_ref[0, k] = jnp.float32(0.0)
+
+    z = z_ref[0, 0]  # (TH, Wp)
+    mask = z > 0.0
+    cost_acc = jnp.float32(0.0)
+    for c in range(3):
+        Bc = B_ref[0, c]
+        bec = beta_ref[0, c]
+        gac = gamma_ref[0, c]
+        Jc = J_ref[0, c]  # (TH, Wp)
+        a = jnp.exp(-bec * z)
+        ex = jnp.exp(-gac * z)
+        em = 1.0 - ex
+        I = I_ref[0, c, 0]
+        if u8:
+            # Mosaic lacks a direct u8->f32 cast; hop through int32.
+            I = I.astype(jnp.int32).astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        I_hat = Jc * a + Bc * em
+        r = jnp.where(mask, I - I_hat, 0.0)
+        g = -2.0 * r  # masked through r
+        dJ_ref[0, c] += g * a
+        cost_acc += jnp.sum(r * r)
+        part_ref[0, 1 + c] += jnp.sum(g * em)
+        part_ref[0, 4 + c] += jnp.sum(-g * Jc * z * a)
+        part_ref[0, 7 + c] += jnp.sum(g * Bc * z * ex)
+    part_ref[0, 0] += cost_acc
+
+
+def prepare_obs(z: jnp.ndarray, I: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One-time kernel layout transform: pad to tile multiples and move
+    channels leading. Do this ONCE per fit, outside the iteration loop.
+
+    Accepts single-target (V, H, W)/(V, H, W, 3) or batched
+    (T, V, H, W)/(T, V, H, W, 3) arrays; returns (zt, It) with shapes
+    (T, V, Hp, Wp) and (T, 3, V, Hp, Wp) (T=1 for single).
+    """
+    if z.ndim == 3:
+        z = z[None]
+        I = I[None]
+    T, V, H, W = z.shape
+    Hp = -(-H // TH) * TH
+    Wp = -(-W // LANES) * LANES
+    zt = jnp.pad(z, [(0, 0), (0, 0), (0, Hp - H), (0, Wp - W)])
+    It = jnp.pad(
+        jnp.moveaxis(I, -1, 1), [(0, 0), (0, 0), (0, 0), (0, Hp - H), (0, Wp - W)]
+    )
+    return zt, It
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_fit_grads_prepared(
+    J: jnp.ndarray,  # (T, H, W, 3) f32 (unpadded) — or (H, W, 3)
+    B: jnp.ndarray,  # (T, 3) or (3,)
+    beta: jnp.ndarray,
+    gamma: jnp.ndarray,
+    zt: jnp.ndarray,  # (T, V, Hp, Wp) f32 from prepare_obs
+    It: jnp.ndarray,  # (T, 3, V, Hp, Wp) u8/f32 from prepare_obs
+    interpret: bool = False,
+):
+    """One fused pass on pre-transformed observations: returns
+    (cost (T,), dJ (T,H,W,3), dB (T,3), dbeta, dgamma) — unnormalized
+    (multiply by the per-target loss scale outside). Leading T axes are
+    squeezed away if the inputs were single-target."""
+    single = J.ndim == 3
+    if single:
+        J = J[None]
+        B, beta, gamma = B[None], beta[None], gamma[None]
+    T, V, Hp, Wp = zt.shape
+    H, W = J.shape[1:3]
+    Jt = jnp.pad(jnp.moveaxis(J, -1, 1), [(0, 0), (0, 0), (0, Hp - H), (0, Wp - W)])
+
+    n_tiles = Hp // TH
+    grid = (T, n_tiles, V)
+
+    dJt, parts = pl.pallas_call(
+        partial(_kernel, u8=jnp.issubdtype(It.dtype, jnp.integer)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda t, i, v: (t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda t, i, v: (t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda t, i, v: (t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, TH, Wp), lambda t, i, v: (t, v, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 3, 1, TH, Wp),
+                lambda t, i, v: (t, 0, v, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3, TH, Wp), lambda t, i, v: (t, 0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 3, TH, Wp), lambda t, i, v: (t, 0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, _NPART), lambda t, i, v: (t, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 3, Hp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((T, _NPART), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        B.astype(jnp.float32),
+        beta.astype(jnp.float32),
+        gamma.astype(jnp.float32),
+        zt,
+        It,
+        Jt,
+    )
+
+    dJ = jnp.moveaxis(dJt[:, :, :H, :W], 1, -1)
+    cost = parts[:, 0]
+    dB = parts[:, 1:4]
+    dbeta = parts[:, 4:7]
+    dgamma = parts[:, 7:10]
+    if single:
+        return cost[0], dJ[0], dB[0], dbeta[0], dgamma[0]
+    return cost, dJ, dB, dbeta, dgamma
+
+
+
+def fused_fit_grads(J, B, beta, gamma, z, I, interpret: bool = False):
+    """Convenience wrapper over unprepared (V, H, W)/(V, H, W, 3) inputs."""
+    zt, It = prepare_obs(z, I)
+    return fused_fit_grads_prepared(J, B, beta, gamma, zt, It, interpret=interpret)

@@ -42,7 +42,7 @@ def stack_obs(obs_list: list[DenseObs]) -> DenseObs:
 
 @partial(
     jax.jit,
-    static_argnames=("num_iter", "use_closed_form", "lr"),
+    static_argnames=("num_iter", "use_closed_form", "lr", "pallas_mode"),
     donate_argnums=(0,),
 )
 def _fit_many_jit(
@@ -52,9 +52,18 @@ def _fit_many_jit(
     num_iter: int,
     use_closed_form: bool,
     lr: float,
+    pallas_mode: str = "off",
 ):
     opt = optax.adam(lr)
     opt_state = jax.vmap(opt.init)(params)
+
+    if pallas_mode != "off":
+        from sucre_tpu.ops.pallas.fit_kernel import (
+            fused_fit_grads_prepared,
+            prepare_obs,
+        )
+
+        zt, It = prepare_obs(obs.z, obs.I)
 
     def one_target_grads(p, o, n):
         if use_closed_form:
@@ -67,7 +76,18 @@ def _fit_many_jit(
 
     def step(carry, _):
         params, opt_state = carry
-        cost, grads = jax.vmap(one_target_grads)(params, obs, n_obs)
+        if pallas_mode != "off":
+            cost, dJ, dB, dbeta, dgamma = fused_fit_grads_prepared(
+                params.J, params.B, params.beta, params.gamma, zt, It,
+                interpret=(pallas_mode == "interpret"),
+            )
+            s = (1.0 / (n_obs * 3.0))[:, None]
+            grads = SucreParams(
+                B=dB * s, beta=dbeta * s, gamma=dgamma * s,
+                J=dJ * s[..., None, None],
+            )
+        else:
+            cost, grads = jax.vmap(one_target_grads)(params, obs, n_obs)
         updates, opt_state = jax.vmap(opt.update)(grads, opt_state, params)
         params = jax.vmap(optax.apply_updates)(params, updates)
         return (params, opt_state), (cost, params.B, params.beta, params.gamma)
@@ -92,7 +112,27 @@ def fit_many(
     Returns (params, J (T,H,W,3), observed (T,H,W), telemetry with
     leading iteration axis and (num_iter, T, ...) shapes).
     """
+    # The jit donates the params buffers; copy so the caller's pytree
+    # stays alive for reuse.
+    params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
     n_obs = jnp.sum(obs.valid, axis=(1, 2, 3)).astype(jnp.float32)
+    # Fused-kernel eligibility mirrors solve.fit: direct mode, no light,
+    # compact layout; the kernel is unsharded, so only without a mesh.
+    eligible = (
+        not cfg.use_closed_form
+        and params.J is not None
+        and params.cam2light is None
+        and obs.z is not None
+        and mesh is None
+    )
+    cfg_pallas = getattr(cfg, "use_pallas", None)
+    if cfg_pallas is None:
+        want = eligible and jax.default_backend() == "tpu"
+    else:
+        want = cfg_pallas and eligible
+    pallas_mode = (
+        ("tpu" if jax.default_backend() == "tpu" else "interpret") if want else "off"
+    )
     if mesh is not None:
         batch_axis = mesh.axis_names[0]
         obs = jax.tree.map(
@@ -108,4 +148,7 @@ def fit_many(
             params,
         )
         n_obs = jax.device_put(n_obs, NamedSharding(mesh, P(batch_axis)))
-    return _fit_many_jit(params, obs, n_obs, cfg.num_iter, cfg.use_closed_form, cfg.lr)
+    return _fit_many_jit(
+        params, obs, n_obs, cfg.num_iter, cfg.use_closed_form, cfg.lr,
+        pallas_mode=pallas_mode,
+    )

@@ -62,6 +62,7 @@ class RestoreConfig:
     num_workers: int = 0
     match_chunk: int = 8  # views per device matching batch
     store: str = "hdf5"  # "hdf5" (reference cache lifecycle) | "memory"
+    checkpoint_interval: int | None = None  # mid-fit solver snapshots
     verbose: bool = True
 
 
@@ -411,6 +412,9 @@ def restore_image(
                 target.intrinsics, target_depth, iteration=iteration,
             )
 
+    ckpt_dir = None
+    if cfg.checkpoint_interval:
+        ckpt_dir = output_dir / f"{Path(target.name).stem}_fit_ckpt"
     t0 = time.perf_counter()
     res = fit(
         params,
@@ -421,11 +425,18 @@ def restore_image(
             use_closed_form=cfg.use_closed_form,
             view_chunk=cfg.batch_size,
             save_interval=cfg.save_interval,
+            checkpoint_dir=ckpt_dir,
+            checkpoint_interval=cfg.checkpoint_interval,
         ),
         telemetry_fn=print_telemetry if cfg.verbose else None,
         snapshot_fn=snapshot_fn,
     )
     timings["fit"] = time.perf_counter() - t0
+    if ckpt_dir is not None and ckpt_dir.exists():
+        # successful completion: drop the mid-run solver snapshots
+        import shutil
+
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
 
     valid = _export_mask(cfg, target_depth, np.asarray(res.observed))
     J = np.asarray(res.J, np.float32).copy()

@@ -56,6 +56,18 @@ class FitConfig:
     use_closed_form: bool = False
     view_chunk: int | None = None  # grad-accum chunk over the view axis
     save_interval: int | None = None
+    # Fused Pallas forward+backward kernel for the gradient step:
+    # None = auto (on when eligible: direct mode, no light model, compact
+    # z-layout, unchunked, single-device). True forces (interpret mode off
+    # TPU), False disables.
+    use_pallas: bool | None = None
+    # Mid-run fault tolerance: checkpoint (params, opt_state, iteration)
+    # every ``checkpoint_interval`` iterations into ``checkpoint_dir`` and
+    # resume from the latest checkpoint if one exists. (The reference only
+    # warm-starts parameters, sucre.py:206-207 — optimizer state and the
+    # iteration counter are lost; this is full resume.)
+    checkpoint_dir: "Path | None" = None
+    checkpoint_interval: int | None = None
 
 
 class FitResult(NamedTuple):
@@ -120,7 +132,7 @@ def _closed_form(params: SucreParams, obs: DenseObs, chunked: bool):
 
 @partial(
     jax.jit,
-    static_argnames=("n_steps", "use_closed_form", "chunked", "lr"),
+    static_argnames=("n_steps", "use_closed_form", "chunked", "lr", "pallas_mode"),
     donate_argnums=(0, 1),
 )
 def _run_segment(
@@ -132,18 +144,39 @@ def _run_segment(
     use_closed_form: bool,
     chunked: bool,
     lr: float,
+    pallas_mode: str = "off",  # "off" | "tpu" | "interpret"
 ):
     """Run ``n_steps`` Adam iterations as a lax.scan, returning telemetry."""
     opt = optax.adam(lr)
 
-    def step(carry, _):
-        params, opt_state = carry
+    if pallas_mode != "off":
+        from sucre_tpu.ops.pallas.fit_kernel import (
+            fused_fit_grads_prepared,
+            prepare_obs,
+        )
+
+        zt, It = prepare_obs(obs.z, obs.I)
+
+    def grads_of(params):
+        if pallas_mode != "off":
+            cost, dJ, dB, dbeta, dgamma = fused_fit_grads_prepared(
+                params.J, params.B, params.beta, params.gamma, zt, It,
+                interpret=(pallas_mode == "interpret"),
+            )
+            s = 1.0 / (n_obs * 3.0)
+            grads = SucreParams(B=dB * s, beta=dbeta * s, gamma=dgamma * s, J=dJ * s)
+            return cost, grads
         if use_closed_form:
             J_const, _ = _closed_form(params, obs, chunked)
             loss_fn = lambda p: _loss(p, J_const, obs, n_obs, chunked)
         else:
             loss_fn = lambda p: _loss(p, p.J, obs, n_obs, chunked)
         (_, cost), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return cost, grads
+
+    def step(carry, _):
+        params, opt_state = carry
+        cost, grads = grads_of(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), (cost, params.B, params.beta, params.gamma)
@@ -179,26 +212,58 @@ def fit(
 
     opt_state = optax.adam(cfg.lr).init(params)
 
-    # Segment lengths: break after iteration 0 and then every save_interval
-    # iterations, so snapshots fire at iterations 0, s, 2s, ... (parity:
-    # sucre.py:153-154). Without snapshots, one segment = the whole loop.
-    if cfg.save_interval and snapshot_fn is not None and cfg.num_iter > 0:
-        s = cfg.save_interval
-        segments = [1]
-        done = 1
-        while done + s <= cfg.num_iter:
-            segments.append(s)
-            done += s
-        if done < cfg.num_iter:
-            segments.append(cfg.num_iter - done)
+    # Mid-run resume: restore (iteration, params, opt_state) from the
+    # latest snapshot in checkpoint_dir, if any.
+    start = 0
+    if cfg.checkpoint_dir is not None:
+        from sucre_tpu.utils import fit_checkpoint as fckpt
+
+        latest = fckpt.latest_fit_state(cfg.checkpoint_dir)
+        if latest is not None:
+            start, params, opt_state = fckpt.load_fit_state(latest, params, opt_state)
+
+    # Segment boundaries (in completed-iteration counts): snapshots fire
+    # after iterations 0, s, 2s, ... (parity: sucre.py:153-154), solver
+    # checkpoints after every checkpoint_interval iterations.
+    bounds: set[int] = {cfg.num_iter}
+    if cfg.save_interval and snapshot_fn is not None:
+        bounds |= {
+            c + 1 for c in range(0, cfg.num_iter, cfg.save_interval)
+        }
+    if cfg.checkpoint_dir is not None and cfg.checkpoint_interval:
+        bounds |= set(range(cfg.checkpoint_interval, cfg.num_iter + 1, cfg.checkpoint_interval))
+    boundaries = sorted(c for c in bounds if start < c <= cfg.num_iter)
+    segments = []
+    prev = start
+    for c in boundaries:
+        segments.append(c - prev)
+        prev = c
+
+    # Fused-kernel eligibility: direct mode, no light model, compact layout,
+    # unchunked, data on a single device (the kernel is not partitioned).
+    eligible = (
+        not use_closed_form
+        and params.J is not None
+        and params.cam2light is None
+        and obs.z is not None
+        and not chunked
+        and len(getattr(obs.valid, "devices", lambda: [None])()) <= 1
+    )
+    if cfg.use_pallas is None:
+        want = eligible and jax.default_backend() == "tpu"
     else:
-        segments = [cfg.num_iter]
+        want = cfg.use_pallas and eligible
+    if want:
+        pallas_mode = "tpu" if jax.default_backend() == "tpu" else "interpret"
+    else:
+        pallas_mode = "off"
 
     tel_parts = []
-    it = 0
+    it = start
     for n_steps in segments:
         params, opt_state, tel = _run_segment(
-            params, opt_state, obs, n_obs, n_steps, use_closed_form, chunked, cfg.lr
+            params, opt_state, obs, n_obs, n_steps, use_closed_form, chunked, cfg.lr,
+            pallas_mode=pallas_mode,
         )
         tel_parts.append(jax.device_get(tel))
         if telemetry_fn is not None:
@@ -207,9 +272,24 @@ def fit(
         if snapshot_fn is not None and cfg.save_interval and (it - 1) % cfg.save_interval == 0:
             J_snap, observed_snap = _final_J(params, obs, use_closed_form, chunked)
             snapshot_fn(it - 1, params, J_snap, observed_snap)
+        if (
+            cfg.checkpoint_dir is not None
+            and cfg.checkpoint_interval
+            and it % cfg.checkpoint_interval == 0
+            and it < cfg.num_iter
+        ):
+            from sucre_tpu.utils import fit_checkpoint as fckpt
+
+            fckpt.save_fit_state(cfg.checkpoint_dir, it, params, opt_state)
 
     J, observed = _final_J(params, obs, use_closed_form, chunked)
-    telemetry = FitTelemetry(*(np.concatenate(parts) for parts in zip(*tel_parts)))
+    if tel_parts:
+        telemetry = FitTelemetry(*(np.concatenate(parts) for parts in zip(*tel_parts)))
+    else:  # resumed at or past num_iter: nothing left to run
+        telemetry = FitTelemetry(
+            cost=np.zeros((0,), np.float32), B=np.zeros((0, 3), np.float32),
+            beta=np.zeros((0, 3), np.float32), gamma=np.zeros((0, 3), np.float32),
+        )
     return FitResult(params=params, J=J, observed=observed, telemetry=telemetry)
 
 
