@@ -62,15 +62,15 @@ def _kernel(B_ref, beta_ref, gamma_ref, z_ref, I_ref, J_ref, dJ_ref, part_ref, *
     @pl.when((v == 0) & (i == 0))
     def _():
         for k in range(_NPART):
-            part_ref[0, k] = jnp.float32(0.0)
+            part_ref[0, 0, k] = jnp.float32(0.0)
 
     z = z_ref[0, 0]  # (TH, Wp)
     mask = z > 0.0
     cost_acc = jnp.float32(0.0)
     for c in range(3):
-        Bc = B_ref[0, c]
-        bec = beta_ref[0, c]
-        gac = gamma_ref[0, c]
+        Bc = B_ref[0, 0, c]
+        bec = beta_ref[0, 0, c]
+        gac = gamma_ref[0, 0, c]
         Jc = J_ref[0, c]  # (TH, Wp)
         a = jnp.exp(-bec * z)
         ex = jnp.exp(-gac * z)
@@ -84,10 +84,10 @@ def _kernel(B_ref, beta_ref, gamma_ref, z_ref, I_ref, J_ref, dJ_ref, part_ref, *
         g = -2.0 * r  # masked through r
         dJ_ref[0, c] += g * a
         cost_acc += jnp.sum(r * r)
-        part_ref[0, 1 + c] += jnp.sum(g * em)
-        part_ref[0, 4 + c] += jnp.sum(-g * Jc * z * a)
-        part_ref[0, 7 + c] += jnp.sum(g * Bc * z * ex)
-    part_ref[0, 0] += cost_acc
+        part_ref[0, 0, 1 + c] += jnp.sum(g * em)
+        part_ref[0, 0, 4 + c] += jnp.sum(-g * Jc * z * a)
+        part_ref[0, 0, 7 + c] += jnp.sum(g * Bc * z * ex)
+    part_ref[0, 0, 0] += cost_acc
 
 
 def prepare_obs(z: jnp.ndarray, I: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -140,9 +140,11 @@ def fused_fit_grads_prepared(
         partial(_kernel, u8=jnp.issubdtype(It.dtype, jnp.integer)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 3), lambda t, i, v: (t, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3), lambda t, i, v: (t, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3), lambda t, i, v: (t, 0), memory_space=pltpu.SMEM),
+            # (1, 1, 3) blocks match the trailing array dims exactly, which
+            # satisfies the TPU block-divisibility rule for any T.
+            pl.BlockSpec((1, 1, 3), lambda t, i, v: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 3), lambda t, i, v: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 3), lambda t, i, v: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, 1, TH, Wp), lambda t, i, v: (t, v, i, 0), memory_space=pltpu.VMEM
             ),
@@ -159,22 +161,25 @@ def fused_fit_grads_prepared(
             pl.BlockSpec(
                 (1, 3, TH, Wp), lambda t, i, v: (t, 0, i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, _NPART), lambda t, i, v: (t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, _NPART), lambda t, i, v: (t, 0, 0), memory_space=pltpu.SMEM
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, 3, Hp, Wp), jnp.float32),
-            jax.ShapeDtypeStruct((T, _NPART), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, _NPART), jnp.float32),
         ],
         interpret=interpret,
     )(
-        B.astype(jnp.float32),
-        beta.astype(jnp.float32),
-        gamma.astype(jnp.float32),
+        B.astype(jnp.float32)[:, None],
+        beta.astype(jnp.float32)[:, None],
+        gamma.astype(jnp.float32)[:, None],
         zt,
         It,
         Jt,
     )
 
+    parts = parts[:, 0]
     dJ = jnp.moveaxis(dJt[:, :, :H, :W], 1, -1)
     cost = parts[:, 0]
     dB = parts[:, 1:4]
