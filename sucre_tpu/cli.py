@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
                         default=Path.home() / ".cache" / "sucre_tpu_xla",
                         help="persistent XLA compilation cache directory "
                              "(pass an empty string to disable).")
+    parser.add_argument("--batch-targets", type=int, default=4,
+                        help="restore up to N same-dimension targets per device "
+                             "program (--image-list/--image-ids modes); 1 restores "
+                             "strictly sequentially like the reference.")
     parser.add_argument("--checkpoint-interval", type=int,
                         help="snapshot full solver state (params + Adam moments + "
                              "iteration) every N iterations; an interrupted restore "
@@ -163,9 +167,35 @@ def main(argv: list[str] | None = None) -> int:
         if args.profile_dir
         else contextlib.nullcontext()
     )
+    # Multi-target batching: group same-dimension targets and restore each
+    # group in one device program (views decoded/uploaded once). Modes the
+    # batched fit doesn't cover (snapshots, mid-fit checkpoints,
+    # view-chunked memory limits) fall back to the sequential path.
+    batched_ok = (
+        args.batch_targets > 1
+        and len(targets) > 1
+        and not args.save_interval
+        and not args.checkpoint_interval
+    )
     with profile_cm:
-        for name in targets:
-            restore_image(scene, name, args.output_dir, cfg, image_list=image_list)
+        if batched_ok:
+            from sucre_tpu.io.images import batched as chunked
+            from sucre_tpu.pipeline import ViewCache, restore_many
+
+            cache = ViewCache()
+            groups: dict[tuple[int, int], list[str]] = {}
+            for name in targets:
+                v = scene[name]
+                groups.setdefault((v.width, v.height), []).append(name)
+            for names in groups.values():
+                for group in chunked(names, args.batch_targets):
+                    restore_many(
+                        scene, group, args.output_dir, cfg,
+                        image_list=image_list, cache=cache,
+                    )
+        else:
+            for name in targets:
+                restore_image(scene, name, args.output_dir, cfg, image_list=image_list)
     return 0
 
 

@@ -81,6 +81,8 @@ def make_scene(
     slope: float = 0.35,
     binary: bool = True,
     jpeg: bool = False,
+    two_cameras: bool = False,
+    light: bool = False,
 ) -> SyntheticScene:
     """Cameras at z=0 looking down +z at the tilted plane Z = plane_z +
     slope*X, small x/y camera offsets.
@@ -113,6 +115,17 @@ def make_scene(
             params=np.array([fx, fy, cx, cy], np.float64),
         )
     }
+    if two_cameras:
+        # a second rig with different dimensions (exercises the per-dims
+        # bucketing of the matching stage)
+        w2, h2 = (3 * width) // 4, (3 * height) // 4
+        cameras[2] = colmap_io.ColmapCamera(
+            camera_id=2,
+            model="PINHOLE",
+            width=w2,
+            height=h2,
+            params=np.array([0.8 * w2, 0.8 * w2, w2 / 2.0, h2 / 2.0], np.float64),
+        )
 
     # Camera positions: spread along x with varying altitude (z), identity
     # orientation (looking +z). The z spread gives every pixel genuine
@@ -131,6 +144,10 @@ def make_scene(
         image_id = i + 1
         name = f"img_{i:03d}.{'jpg' if jpeg else 'png'}"
         names.append(name)
+        cam_id = 2 if (two_cameras and i % 2 == 1) else 1
+        cam = cameras[cam_id]
+        vw, vh = cam.width, cam.height
+        vfx, vfy, vcx, vcy = cam.params
         R_cw = np.eye(3)
         t_cw = np.array([dx, 0.02 * i, offsets_z[i]])
         poses.append((R_cw.astype(np.float32), t_cw.astype(np.float32)))
@@ -141,7 +158,7 @@ def make_scene(
             image_id=image_id,
             qvec=_rotmat_to_qvec(R_wc),
             tvec=t_wc,
-            camera_id=1,
+            camera_id=cam_id,
             name=name,
             xys=np.zeros((0, 2)),
             point3D_ids=np.zeros((0,), np.int64),
@@ -151,14 +168,23 @@ def make_scene(
         # Z = plane_z + slope * X (world). Camera at (x0, y0, 0), identity
         # orientation: ray X = x0 + xr*zc, Z = zc =>
         # zc = (plane_z + slope*x0) / (1 - slope*xr).
-        xr = (uu + 0.5 - cx) / fx
-        yr = (vv + 0.5 - cy) / fy
+        uuv, vvv = np.meshgrid(np.arange(vw), np.arange(vh))
+        xr = (uuv + 0.5 - vcx) / vfx
+        yr = (vvv + 0.5 - vcy) / vfy
         zc = (plane_z + slope * t_cw[0] - t_cw[2]) / (1.0 - slope * xr)
         Pw_x = t_cw[0] + xr * zc
         Pw_y = t_cw[1] + yr * zc
         J = texture(Pw_x, Pw_y)
         z = zc * np.sqrt(xr**2 + yr**2 + 1.0)  # camera-to-point range
-        I = J * np.exp(-beta * z[..., None]) + B * (1 - np.exp(-gamma * z[..., None]))
+        if light:
+            # identity camera-to-light pose, sigma = I2 (reference light
+            # model, sucre.py:52-64): lP = cP, l = exp(-|lp|^2/2), z doubles
+            lpx, lpy = xr, yr
+            l = np.exp(-(lpx**2 + lpy**2) / 2.0)[..., None]
+            zz = 2.0 * z[..., None]
+            I = l * (J * np.exp(-beta * zz) + B * (1 - np.exp(-gamma * zz)))
+        else:
+            I = J * np.exp(-beta * z[..., None]) + B * (1 - np.exp(-gamma * z[..., None]))
         I = np.clip(I, 0.0, 1.0)
         J_views.append(J.copy())
         if i == 0:

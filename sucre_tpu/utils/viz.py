@@ -98,6 +98,35 @@ def render_vignetting(
     )
 
 
+def plot_matches(
+    rgb1: np.ndarray,
+    rgb2: np.ndarray,
+    u1: np.ndarray,
+    v1: np.ndarray,
+    u2: np.ndarray,
+    v2: np.ndarray,
+    step: int = 10000,
+    color: tuple[int, int, int] | None = None,
+    seed: int = 0,
+) -> PILImage.Image:
+    """Debug overlay of pixel correspondences: the two images side by side
+    with lines between every ``step``-th match (parity: Matches.plot,
+    sfm.py:161-169; random per-line colors unless ``color`` given)."""
+    from PIL import ImageDraw
+
+    h = max(rgb1.shape[0], rgb2.shape[0])
+    canvas = np.zeros((h, rgb1.shape[1] + rgb2.shape[1], 3), np.float32)
+    canvas[: rgb1.shape[0], : rgb1.shape[1]] = rgb1
+    canvas[: rgb2.shape[0], rgb1.shape[1] :] = rgb2
+    img = PILImage.fromarray(np.uint8(np.clip(canvas, 0, 1) * 255))
+    draw = ImageDraw.Draw(img)
+    rng = np.random.default_rng(seed)
+    for a, b, c, d in zip(u1[::step], v1[::step], u2[::step], v2[::step]):
+        fill = tuple(int(x) for x in rng.integers(0, 256, 3)) if color is None else color
+        draw.line([(int(a), int(b)), (int(c) + rgb1.shape[1], int(d))], fill=fill, width=3)
+    return img
+
+
 def save_plots(
     save_dir: Path,
     image_name: str,

@@ -210,3 +210,47 @@ class TestRestoreMany:
         r2 = restore_many(scene, ["img_002.png"], tmp_path / "c", cfg)
         assert h5.stat().st_mtime_ns == mtime
         assert r1[0].n_obs == r2[0].n_obs
+
+
+class TestMultiCamera:
+    def test_bucketing_two_camera_dims(self, tmp_path):
+        """Views from cameras with different dimensions are bucketed and all
+        contribute observations."""
+        sd = make_scene(tmp_path, n_views=6, two_cameras=True)
+        scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+        dims = {(v.width, v.height) for v in scene.view_list()}
+        assert len(dims) == 2
+        cfg = RestoreConfig(num_iter=5, verbose=False, keep_matches=True)
+        res = restore_image(scene, "img_000.png", tmp_path / "o", cfg)
+        mf = MatchesFile((tmp_path / "o" / "img_000.png").with_suffix(".h5"))
+        paired = mf.pair_names()
+        # pairs from BOTH buckets (odd views use camera 2)
+        assert any(n in paired for n in ("img_001.png", "img_003.png", "img_005.png"))
+        assert any(n in paired for n in ("img_000.png", "img_002.png", "img_004.png"))
+        assert res.n_obs > 0
+        # u2/v2 coords in the small-camera groups stay within its dims
+        import h5py
+
+        with h5py.File(mf.path, "r") as f:
+            if "img_001.png" in f:
+                v2 = scene["img_001.png"]
+                assert f["img_001.png"]["u2"][()].max() < v2.width
+                assert f["img_001.png"]["v2"][()].max() < v2.height
+
+
+class TestLightModelE2E:
+    def test_light_scene_fit(self, tmp_path):
+        """A scene rendered WITH vignetting fits better with the light model
+        enabled than without (and the light fit converges)."""
+        sd = make_scene(tmp_path, n_views=5, light=True)
+        scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+        cfg_l = RestoreConfig(num_iter=120, verbose=False, light_model=True,
+                              use_closed_form=True, store="memory")
+        res_l = restore_image(scene, "img_002.png", tmp_path / "l", cfg_l)
+        cost_l = np.asarray(res_l.telemetry.cost)
+        assert cost_l[-1] < cost_l[0] * 0.2
+        assert (tmp_path / "l" / "img_002_vignetting.png").exists()
+        cfg_n = RestoreConfig(num_iter=120, verbose=False, use_closed_form=True,
+                              store="memory")
+        res_n = restore_image(scene, "img_002.png", tmp_path / "n", cfg_n)
+        assert cost_l[-1] < np.asarray(res_n.telemetry.cost)[-1]
