@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="restore up to N same-dimension targets per device "
                              "program (--image-list/--image-ids modes); 1 restores "
                              "strictly sequentially like the reference.")
+    parser.add_argument("--joint-params", action="store_true",
+                        help="estimate ONE shared set of water parameters "
+                             "(B, beta, gamma[, light]) jointly across all targets "
+                             "of a batch instead of per-image fits.")
     parser.add_argument("--checkpoint-interval", type=int,
                         help="snapshot full solver state (params + Adam moments + "
                              "iteration) every N iterations; an interrupted restore "
@@ -156,6 +160,7 @@ def main(argv: list[str] | None = None) -> int:
         keep_matches=args.keep_matches,
         num_workers=args.num_workers,
         match_chunk=args.match_chunk,
+        joint_params=args.joint_params,
         checkpoint_interval=args.checkpoint_interval,
         verbose=not args.quiet,
     )
@@ -172,11 +177,14 @@ def main(argv: list[str] | None = None) -> int:
     # batched fit doesn't cover (snapshots, mid-fit checkpoints,
     # view-chunked memory limits) fall back to the sequential path.
     batched_ok = (
-        args.batch_targets > 1
+        (args.batch_targets > 1 or args.joint_params)
         and len(targets) > 1
         and not args.save_interval
         and not args.checkpoint_interval
     )
+    if args.joint_params and not batched_ok:
+        raise SystemExit("--joint-params requires multiple targets and the "
+                         "batched path (no --save-interval/--checkpoint-interval)")
     with profile_cm:
         if batched_ok:
             from sucre_tpu.io.images import batched as chunked

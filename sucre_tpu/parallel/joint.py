@@ -1,0 +1,139 @@
+"""Joint multi-image water-parameter estimation (BASELINE config 5).
+
+The reference fits B/beta/gamma independently per restored image
+(sucre.py:160-219 loop) even though the water column is shared across a
+survey. Here a batch of T targets is fit with ONE shared set of global
+parameters (B, beta, gamma[, light]) and per-target restored images J —
+every observation in the survey constrains the same water model, which
+pins down the B/gamma manifold far better than any single image can
+(per-image fits leave them weakly identified; see the synthetic-scene
+tests).
+
+The objective is the sum of the per-target reference objectives:
+
+    L = sum_t  cost_t / (3 * n_obs_t)
+
+(each target keeps its own normalization so large-coverage images don't
+dominate — and so T=1 exactly reproduces the single-image objective).
+
+Telemetry reports the per-target raw costs plus the shared globals.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sucre_tpu.models.sucre import SucreParams, closed_form_J, residual_loss
+from sucre_tpu.ops.matching import DenseObs
+from sucre_tpu.solve import FitConfig, FitTelemetry
+
+
+class JointParams(NamedTuple):
+    """Shared water model + per-target restored images (a pytree)."""
+
+    B: jnp.ndarray  # (3,) shared
+    beta: jnp.ndarray  # (3,)
+    gamma: jnp.ndarray  # (3,)
+    J: jnp.ndarray | None  # (T, H, W, 3) per-target (direct mode) or None
+    cam2light: jnp.ndarray | None = None  # (6,) shared light pose
+    sigma: jnp.ndarray | None = None  # (2, 2)
+
+    def target(self, t) -> SucreParams:
+        return SucreParams(
+            B=self.B, beta=self.beta, gamma=self.gamma,
+            J=None if self.J is None else self.J[t],
+            cam2light=self.cam2light, sigma=self.sigma,
+        )
+
+
+def init_joint_params(
+    images=None, T: int | None = None, light_model: bool = False,
+    use_closed_form: bool = False,
+) -> JointParams:
+    """Reference-parity init: globals 0.1, J = raw images (direct mode)."""
+    p = JointParams(
+        B=jnp.full((3,), 0.1, jnp.float32),
+        beta=jnp.full((3,), 0.1, jnp.float32),
+        gamma=jnp.full((3,), 0.1, jnp.float32),
+        J=None,
+    )
+    if light_model:
+        p = p._replace(
+            cam2light=jnp.zeros((6,), jnp.float32), sigma=jnp.eye(2, dtype=jnp.float32)
+        )
+    if not use_closed_form:
+        if images is None:
+            raise ValueError("direct mode requires the raw images for J init")
+        p = p._replace(J=jnp.stack([jnp.asarray(im, jnp.float32) for im in images]))
+    return p
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_iter", "use_closed_form", "lr"),
+    donate_argnums=(0,),
+)
+def _fit_joint_jit(
+    params: JointParams,
+    obs: DenseObs,  # (T, V, H, W, ...)
+    n_obs: jnp.ndarray,  # (T,)
+    num_iter: int,
+    use_closed_form: bool,
+    lr: float,
+):
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def total_loss(p: JointParams):
+        def one(t_obs, t_n, t_J):
+            sp = SucreParams(B=p.B, beta=p.beta, gamma=p.gamma, J=t_J,
+                             cam2light=p.cam2light, sigma=p.sigma)
+            if use_closed_form:
+                J_const, _ = closed_form_J(sp, t_obs)
+                return residual_loss(sp, J_const, t_obs, t_n)
+            return residual_loss(sp, t_J, t_obs, t_n)
+
+        if p.J is None:
+            nl, cost = jax.vmap(lambda o, n: one(o, n, None))(obs, n_obs)
+        else:
+            nl, cost = jax.vmap(one)(obs, n_obs, p.J)
+        return jnp.sum(nl), cost
+
+    def step(carry, _):
+        params, opt_state = carry
+        (_, cost), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), (cost, params.B, params.beta, params.gamma)
+
+    (params, _), ys = jax.lax.scan(step, (params, opt_state), None, length=num_iter)
+
+    def final_J(p):
+        if use_closed_form:
+            return jax.vmap(
+                lambda o: closed_form_J(
+                    SucreParams(B=p.B, beta=p.beta, gamma=p.gamma, J=None,
+                                cam2light=p.cam2light, sigma=p.sigma),
+                    o,
+                )
+            )(obs)
+        return p.J, jnp.any(obs.valid, axis=1)
+
+    J, observed = final_J(params)
+    return params, J, observed, FitTelemetry(*ys)
+
+
+def fit_joint(params: JointParams, obs: DenseObs, cfg: FitConfig):
+    """Jointly fit T targets with shared globals.
+
+    Returns (params, J (T,H,W,3), observed (T,H,W), telemetry with
+    cost (num_iter, T) and shared-parameter trajectories (num_iter, 3)).
+    """
+    params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+    n_obs = jnp.sum(obs.valid, axis=tuple(range(1, obs.valid.ndim))).astype(jnp.float32)
+    return _fit_joint_jit(params, obs, n_obs, cfg.num_iter, cfg.use_closed_form, cfg.lr)

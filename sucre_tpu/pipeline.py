@@ -45,6 +45,7 @@ from sucre_tpu.solve import FitConfig, FitTelemetry, fit, print_telemetry
 from sucre_tpu.store import MatchesFile
 from sucre_tpu.utils import checkpoint as ckpt
 from sucre_tpu.utils import viz
+from sucre_tpu.utils.log import get_logger
 
 
 @dataclasses.dataclass
@@ -62,6 +63,7 @@ class RestoreConfig:
     num_workers: int = 0
     match_chunk: int = 8  # views per device matching batch
     store: str = "hdf5"  # "hdf5" (reference cache lifecycle) | "memory"
+    joint_params: bool = False  # share B/beta/gamma across the whole batch
     checkpoint_interval: int | None = None  # mid-fit solver snapshots
     verbose: bool = True
 
@@ -342,7 +344,8 @@ def restore_image(
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     target = scene[image_name]
-    log = print if cfg.verbose else (lambda *a, **k: None)
+    logger = get_logger()
+    log = logger.info if cfg.verbose else (lambda *a, **k: None)
     timings: dict[str, float] = {}
 
     log(f"Restore {target.name}.")
@@ -488,7 +491,8 @@ def restore_many(
     cfg = cfg or RestoreConfig()
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    log = print if cfg.verbose else (lambda *a, **k: None)
+    logger = get_logger()
+    log = logger.info if cfg.verbose else (lambda *a, **k: None)
 
     targets = [scene[name] for name in image_names]
     dims = {(t.width, t.height) for t in targets}
@@ -551,14 +555,36 @@ def restore_many(
             p = ckpt.load_params(cfg.params_path, p)
         params_list.append(p)
 
-    log(f"Batched fit of {len(targets)} targets ({cfg.num_iter} iterations).")
+    log(f"Batched fit of {len(targets)} targets ({cfg.num_iter} iterations"
+        f"{', joint globals' if cfg.joint_params else ''}).")
     t_match_done = time.perf_counter()
-    params, J, observed, tel = fit_many(
-        stack_params(params_list),
-        stack_obs(obs_list),
-        FitConfig(lr=cfg.lr, num_iter=cfg.num_iter, use_closed_form=cfg.use_closed_form),
-        mesh=mesh,
-    )
+    fit_cfg = FitConfig(lr=cfg.lr, num_iter=cfg.num_iter, use_closed_form=cfg.use_closed_form)
+    if cfg.joint_params:
+        from sucre_tpu.parallel.joint import JointParams, fit_joint
+
+        p0 = params_list[0]
+        jp = JointParams(
+            B=p0.B, beta=p0.beta, gamma=p0.gamma,
+            J=None if p0.J is None else jnp.stack([p.J for p in params_list]),
+            cam2light=p0.cam2light, sigma=p0.sigma,
+        )
+        jparams, J, observed, tel = fit_joint(jp, stack_obs(obs_list), fit_cfg)
+        # broadcast the shared globals into per-target param stacks so the
+        # export path below is uniform
+        T = len(targets)
+        params = SucreParams(
+            B=jnp.tile(jparams.B, (T, 1)), beta=jnp.tile(jparams.beta, (T, 1)),
+            gamma=jnp.tile(jparams.gamma, (T, 1)), J=jparams.J,
+            cam2light=None if jparams.cam2light is None else jnp.tile(jparams.cam2light, (T, 1)),
+            sigma=None if jparams.sigma is None else jnp.tile(jparams.sigma, (T, 1, 1)),
+        )
+    else:
+        params, J, observed, tel = fit_many(
+            stack_params(params_list),
+            stack_obs(obs_list),
+            fit_cfg,
+            mesh=mesh,
+        )
     jax.block_until_ready(J)
     fit_time = time.perf_counter() - t_match_done
 

@@ -309,9 +309,12 @@ def _closed_form_jit(params, obs, chunked):
 
 def print_telemetry(start_iter: int, tel: FitTelemetry) -> None:
     """Reference-format per-iteration telemetry lines (sucre.py:149-152)."""
+    from sucre_tpu.utils.log import get_logger
+
+    logger = get_logger()
     for i in range(len(tel.cost)):
         with np.printoptions(precision=4):
-            print(
+            logger.info(
                 f"iter: {start_iter + i:04d}, cost: {float(tel.cost[i]):.4e}, "
                 f"B: {np.asarray(tel.B[i])}, beta: {np.asarray(tel.beta[i])}, "
                 f"gamma: {np.asarray(tel.gamma[i])}"

@@ -1,0 +1,67 @@
+"""Image-quality metrics for restoration evaluation (PSNR / SSIM).
+
+Used to track quality parity (BASELINE.md: "PSNR within 0.1 dB of
+reference") and for users comparing restored outputs. Pure numpy, masked
+variants handle the NaN-at-invalid-pixels convention of exported J.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def psnr(a: np.ndarray, b: np.ndarray, mask: np.ndarray | None = None,
+         peak: float = 1.0) -> float:
+    """Peak signal-to-noise ratio in dB over (optionally masked) pixels.
+
+    NaNs in either input are excluded automatically.
+    """
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    valid = np.isfinite(a) & np.isfinite(b)
+    if mask is not None:
+        valid &= np.broadcast_to(
+            np.asarray(mask, bool)[..., None] if mask.ndim == a.ndim - 1 else mask, a.shape
+        )
+    if not valid.any():
+        return float("nan")
+    mse = np.mean((a[valid] - b[valid]) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(peak * peak / mse))
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(size) - size // 2
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    k = np.outer(g, g)
+    return k / k.sum()
+
+
+def ssim(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
+    """Structural similarity (standard 11x11 Gaussian window, K1=0.01,
+    K2=0.03), averaged over channels. NaNs are replaced by 0 before
+    filtering — prefer cropping to the valid region for masked images."""
+    from scipy.signal import fftconvolve
+
+    a = np.nan_to_num(np.asarray(a, np.float64))
+    b = np.nan_to_num(np.asarray(b, np.float64))
+    if a.ndim == 2:
+        a = a[..., None]
+        b = b[..., None]
+    k = _gaussian_kernel()
+    C1 = (0.01 * peak) ** 2
+    C2 = (0.03 * peak) ** 2
+    vals = []
+    for c in range(a.shape[-1]):
+        x, y = a[..., c], b[..., c]
+        mu_x = fftconvolve(x, k, mode="valid")
+        mu_y = fftconvolve(y, k, mode="valid")
+        xx = fftconvolve(x * x, k, mode="valid") - mu_x**2
+        yy = fftconvolve(y * y, k, mode="valid") - mu_y**2
+        xy = fftconvolve(x * y, k, mode="valid") - mu_x * mu_y
+        s = ((2 * mu_x * mu_y + C1) * (2 * xy + C2)) / (
+            (mu_x**2 + mu_y**2 + C1) * (xx + yy + C2)
+        )
+        vals.append(s.mean())
+    return float(np.mean(vals))

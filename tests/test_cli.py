@@ -99,3 +99,15 @@ def test_defaults_parity():
     assert args.num_iter == 200
     assert args.batch_size == 5
     assert args.num_workers == 0
+
+
+def test_joint_params_mode(scene_dir, tmp_path):
+    out = tmp_path / "oj"
+    lst = tmp_path / "jlist.txt"
+    lst.write_text("img_000.png\nimg_002.png\n")
+    main(_base_args(scene_dir, out) + ["--image-list", str(lst), "--joint-params",
+                                       "--use-closed-form"])
+    a = np.load(out / "img_000.npz")
+    b = np.load(out / "img_002.npz")
+    np.testing.assert_array_equal(a["B"], b["B"])  # shared globals
+    np.testing.assert_array_equal(a["beta"], b["beta"])

@@ -1,0 +1,59 @@
+"""Joint shared-globals fit: T=1 reproduces the single-image fit; joint
+estimation over many targets recovers the water parameters better than
+per-image fits on the same data."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sucre_tpu.models import init_params
+from sucre_tpu.parallel.batch import stack_obs
+from sucre_tpu.parallel.joint import fit_joint, init_joint_params
+from sucre_tpu.solve import FitConfig, fit
+from tests.test_solve import _synthetic_obs
+
+
+def test_joint_single_target_equals_fit(rng):
+    obs, _ = _synthetic_obs(rng, V=5, H=6, W=7)
+    image = np.zeros((6, 7, 3), np.float32)
+    single = fit(init_params(image=image), obs, FitConfig(num_iter=5, use_pallas=False))
+    jp = init_joint_params(images=[image])
+    params, J, observed, tel = fit_joint(jp, stack_obs([obs]), FitConfig(num_iter=5))
+    np.testing.assert_allclose(np.asarray(params.B), np.asarray(single.params.B), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(J[0]), np.asarray(single.J), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(tel.cost[:, 0]), np.asarray(single.telemetry.cost), rtol=1e-5
+    )
+
+
+def test_joint_improves_global_recovery(rng):
+    """With shared globals over 6 'images', beta recovery beats the average
+    single-image fit at the same iteration budget."""
+    true_beta = np.array([0.12, 0.1, 0.08])
+    obs_list = [_synthetic_obs(rng, V=6, H=8, W=9)[0] for _ in range(6)]
+    iters = 120
+
+    errs_single = []
+    for o in obs_list:
+        r = fit(init_params(use_closed_form=True), o,
+                FitConfig(num_iter=iters, use_closed_form=True))
+        errs_single.append(np.abs(np.asarray(r.params.beta) - true_beta).mean())
+
+    jp = init_joint_params(T=6, use_closed_form=True)
+    params, J, observed, tel = fit_joint(
+        jp, stack_obs(obs_list), FitConfig(num_iter=iters, use_closed_form=True)
+    )
+    err_joint = np.abs(np.asarray(params.beta) - true_beta).mean()
+    assert err_joint <= np.mean(errs_single) + 1e-6
+    # all targets' costs decreased
+    assert np.all(np.asarray(tel.cost[-1]) < np.asarray(tel.cost[0]))
+    assert J.shape == (6, 8, 9, 3)
+
+
+def test_joint_light_model(rng):
+    obs_list = [_synthetic_obs(rng, V=3, H=6, W=7)[0] for _ in range(2)]
+    jp = init_joint_params(T=2, light_model=True, use_closed_form=True)
+    params, J, observed, tel = fit_joint(
+        jp, stack_obs(obs_list), FitConfig(num_iter=5, use_closed_form=True)
+    )
+    assert np.all(np.isfinite(np.asarray(params.cam2light)))
+    assert np.all(np.isfinite(np.asarray(tel.cost)))
