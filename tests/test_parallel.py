@@ -93,3 +93,14 @@ def test_fit_many_sharded_batch(rng):
     assert J.shape == (T, 6, 7, 3)
     # all targets actually optimized
     assert np.all(np.asarray(tel.cost[-1]) < np.asarray(tel.cost[0]))
+
+
+def test_shard_targets():
+    from sucre_tpu.parallel.multihost import shard_targets
+
+    targets = [f"img_{i}" for i in range(10)]
+    shards = [shard_targets(targets, process_id=p, num_processes=3) for p in range(3)]
+    assert sorted(sum(shards, [])) == sorted(targets)
+    assert shards[0] == ["img_0", "img_3", "img_6", "img_9"]
+    # single process = everything
+    assert shard_targets(targets, process_id=0, num_processes=1) == targets
