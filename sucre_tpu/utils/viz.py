@@ -54,7 +54,11 @@ def _render_reconstruction_jit(params, J, intr4, d):
     cP = unproject(intr, u, v, d)[None]  # (1, H, W, 3) fake view axis
     I_hat = formation_forward(params, J, cP, valid[None])[0]
     I_hat = jnp.clip(I_hat, 0.0, 1.0)
-    return jnp.where(valid[..., None], I_hat, 0.0)
+    I_hat = jnp.where(valid[..., None], I_hat, 0.0)
+    # quantize on device: 4x smaller device->host fetch, and the PNG is
+    # 8-bit anyway (round matches np.uint8(x*255) floor only at exact ints,
+    # so keep the reference floor semantics via floor after scaling)
+    return jnp.floor(I_hat * 255.0).astype(jnp.uint8)
 
 
 def render_reconstruction(
@@ -70,7 +74,7 @@ def render_reconstruction(
             jnp.asarray(intrinsics, jnp.float32),
             jnp.asarray(depth_map, jnp.float32),
         )
-    )
+    ).astype(np.float32) / 255.0
 
 
 @jax.jit
@@ -145,12 +149,12 @@ def save_plots(
     written = []
 
     p = save_dir / f"{stem}_rgb{suffix}.png"
-    plot_J(J, valid).save(p)
+    plot_J(J, valid).save(p, compress_level=1)
     written.append(p)
 
     p = save_dir / f"{stem}_reconstruction{suffix}.png"
     rec = render_reconstruction(params, J, intrinsics, depth_map)
-    PILImage.fromarray(np.uint8(rec * 255)).save(p)
+    PILImage.fromarray(np.uint8(rec * 255)).save(p, compress_level=1)
     written.append(p)
 
     if params.cam2light is not None:

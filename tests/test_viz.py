@@ -55,7 +55,8 @@ def test_render_reconstruction_inverts_restore(rng):
     y = (v + 0.5 - intr[3]) / intr[1] * depth[v, u]
     z = np.sqrt(x * x + y * y + depth[v, u] ** 2)
     expect = J[v, u] * np.exp(-0.1 * z) + 0.2 * (1 - np.exp(-0.3 * z))
-    np.testing.assert_allclose(rec[v, u], np.clip(expect, 0, 1), rtol=1e-5)
+    # the render is quantized to 8 bits on device (PNG output precision)
+    np.testing.assert_allclose(rec[v, u], np.clip(expect, 0, 1), atol=1.01 / 255)
     assert np.all(rec[0, :3] == 0)  # invalid depth -> black
 
 
