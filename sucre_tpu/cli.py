@@ -188,9 +188,13 @@ def main(argv: list[str] | None = None) -> int:
     with profile_cm:
         if batched_ok:
             from sucre_tpu.io.images import batched as chunked
-            from sucre_tpu.pipeline import ViewCache, restore_many
+            from sucre_tpu.pipeline import DeviceViews, ViewCache, restore_many
 
             cache = ViewCache()
+            cache.prefill(image_list, num_workers=max(args.num_workers, 1))
+            # one upload of the whole survey's raw views; reused by every
+            # target batch (zero image H2D per batch thereafter)
+            device_views = DeviceViews(image_list, cache, args.match_chunk)
             groups: dict[tuple[int, int], list[str]] = {}
             for name in targets:
                 v = scene[name]
@@ -200,6 +204,7 @@ def main(argv: list[str] | None = None) -> int:
                     restore_many(
                         scene, group, args.output_dir, cfg,
                         image_list=image_list, cache=cache,
+                        device_views=device_views,
                     )
         else:
             for name in targets:

@@ -137,6 +137,32 @@ class ViewCache:
             self._data[views[i].name] = (rgb, depth)
 
 
+class DeviceViews:
+    """Device-resident raw view stacks, uploaded once per session.
+
+    Holds, per (width, height) bucket, the match-chunked device arrays
+    (u16 depth, u8 RGB, intrinsics, poses) that ``match_targets_shared``
+    consumes. Raw dtypes keep HBM cost at ~5 bytes/pixel/view (200 views
+    of 1080p ~ 2 GB), so whole surveys stay resident and matching any
+    number of target batches costs ZERO host->device image traffic.
+    """
+
+    def __init__(self, image_list: list[View], cache: ViewCache, match_chunk: int = 8):
+        self.match_chunk = match_chunk
+        buckets: dict[tuple[int, int], list[View]] = {}
+        for v in image_list:
+            buckets.setdefault((v.width, v.height), []).append(v)
+        # [(views_of_chunk, device_arrays_tuple), ...]
+        self.chunks: list[tuple[list[View], tuple]] = []
+        for (w2, h2), views in buckets.items():
+            for sub in batched(views, match_chunk):
+                arrays = [cache.get(v) for v in sub]
+                dev = _upload_view_chunk(
+                    [a[1] for a in arrays], [a[0] for a in arrays], sub, match_chunk
+                )
+                self.chunks.append((sub, dev))
+
+
 def compute_matches(
     target: View,
     image_list: list[View],
@@ -253,11 +279,13 @@ def match_targets_shared(
     match_chunk: int = 8,
     matches_files: list[MatchesFile | None] | None = None,
     compact: bool = False,
+    device_views: DeviceViews | None = None,
     log: Callable[[str], None] = lambda s: None,
 ) -> tuple[list[DenseObs | None], list[list[str]]]:
     """Match T targets against the view list with each view chunk uploaded
     to the device ONCE (the shared reprojection stack) — H2D traffic is
-    O(V), not O(V*T)."""
+    O(V), not O(V*T). With a prebuilt ``device_views`` stack (uploaded once
+    per session) image H2D traffic is ZERO."""
     tdev = []
     for t in targets:
         rgb, depth = cache.get(t)
@@ -283,22 +311,29 @@ def match_targets_shared(
     # asynchronously — no host sync inside the loop (device roundtrips
     # dominate wall time on high-latency links).
     pending = []  # (ti, sub_views, n, obs, match, counts_dev)
-    for (w2, h2), views in buckets.items():
-        stream = ((i, *cache.get(v)) for i, v in enumerate(views))
-        for chunk in batched(stream, match_chunk):
-            idxs = [i for i, _, _ in chunk]
-            sub = [views[i] for i in idxs]
-            n = len(chunk)
-            dev = _upload_view_chunk(
-                [c[2] for c in chunk], [c[1] for c in chunk], sub, match_chunk
+    if device_views is not None:
+        chunk_iter = device_views.chunks
+    else:
+        def _iter_chunks():
+            for (w2, h2), views in buckets.items():
+                stream = ((i, *cache.get(v)) for i, v in enumerate(views))
+                for chunk in batched(stream, match_chunk):
+                    sub = [views[i] for i, _, _ in chunk]
+                    dev = _upload_view_chunk(
+                        [c[2] for c in chunk], [c[1] for c in chunk], sub, match_chunk
+                    )
+                    yield sub, dev
+
+        chunk_iter = _iter_chunks()
+    for sub, dev in chunk_iter:
+        n = len(sub)
+        for ti in range(T):
+            obs, match = match_and_observe_chunk_jit(
+                *tdev[ti], *dev, compact=compact
             )
-            for ti in range(T):
-                obs, match = match_and_observe_chunk_jit(
-                    *tdev[ti], *dev, compact=compact
-                )
-                counts = obs.valid[:n].sum(axis=(1, 2))
-                pending.append((ti, sub, n, obs, match, counts))
-        log(f"bucket {w2}x{h2}: dispatched {len(views)} views x {T} targets")
+            counts = obs.valid[:n].sum(axis=(1, 2))
+            pending.append((ti, sub, n, obs, match, counts))
+    log(f"dispatched matching for {T} targets")
 
     # Phase 2: ONE batched host fetch of all the tiny count vectors.
     all_counts = jax.device_get([p[5] for p in pending])
@@ -479,6 +514,7 @@ def restore_many(
     image_list: list[View] | None = None,
     mesh=None,
     cache: ViewCache | None = None,
+    device_views: "DeviceViews | None" = None,
 ) -> list[RestoreResult]:
     """Restore a batch of same-dimension targets in one device program.
 
@@ -540,6 +576,7 @@ def restore_many(
             match_chunk=cfg.match_chunk,
             matches_files=[matches_files[ti] for ti in to_match],
             compact=not cfg.light_model,
+            device_views=device_views,
             log=log,
         )
         for k, ti in enumerate(to_match):

@@ -255,3 +255,24 @@ class TestLightModelE2E:
                               store="memory")
         res_n = restore_image(scene, "img_002.png", tmp_path / "n", cfg_n)
         assert cost_l[-1] < np.asarray(res_n.telemetry.cost)[-1]
+
+
+def test_device_views_equals_streaming(scene_dir, tmp_path):
+    """Matching from the device-resident view stack must equal the
+    streaming-upload path exactly."""
+    from sucre_tpu.pipeline import DeviceViews, ViewCache, match_targets_shared
+
+    scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+    cache = ViewCache()
+    cache.prefill(scene.view_list())
+    dv = DeviceViews(scene.view_list(), cache, match_chunk=3)
+    targets = [scene["img_001.png"], scene["img_003.png"]]
+    a, names_a = match_targets_shared(targets, scene.view_list(), cache, compact=True)
+    b, names_b = match_targets_shared(
+        targets, scene.view_list(), cache, compact=True, device_views=dv
+    )
+    assert names_a == names_b
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x.valid), np.asarray(y.valid))
+        np.testing.assert_allclose(np.asarray(x.z), np.asarray(y.z), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(x.I), np.asarray(y.I))
