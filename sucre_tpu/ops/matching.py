@@ -29,6 +29,7 @@ the fit stage consumes with zero gathers/scatters.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -235,3 +236,57 @@ def match_and_observe_chunk(
 match_and_observe_chunk_jit = jax.jit(
     match_and_observe_chunk, static_argnames=("compact",)
 )
+
+
+@partial(jax.jit, static_argnames=("compact",))
+def match_survey(
+    t_depths: jnp.ndarray,  # (T, H, W) target depths, f32 m or u16 mm
+    t_intrs: jnp.ndarray,  # (T, 4)
+    t_Rs: jnp.ndarray,  # (T, 3, 3)
+    t_ts: jnp.ndarray,  # (T, 3)
+    v_depths: jnp.ndarray,  # (V, H2, W2) view depths (device-resident stack)
+    v_rgbs: jnp.ndarray,  # (V, H2, W2, 3)
+    v_intrs: jnp.ndarray,  # (V, 4)
+    v_Rs: jnp.ndarray,  # (V, 3, 3)
+    v_ts: jnp.ndarray,  # (V, 3)
+    min_cover: jnp.ndarray,  # scalar
+    compact: bool = True,
+) -> DenseObs:
+    """The WHOLE matching stage as one device program: T targets x V
+    views -> the (T, V, H, W) observation stack, min-cover filtering
+    applied as a per-pair validity mask.
+
+    Masking dropped pairs is mathematically identical to removing them
+    (their observations contribute nothing to the fit and n_obs counts
+    only valid entries) — so no host round-trip, no dynamic shapes, no
+    per-chunk dispatch chain. Use for in-memory pipelines over a uniform
+    camera bucket; the chunked path remains for the HDF5 cache (which
+    needs packed per-pair arrays) and heterogeneous buckets.
+    """
+    t_depths = to_f32_depth(t_depths)
+    v_depths = to_f32_depth(v_depths)
+    T, H, W = t_depths.shape
+    area = jnp.float32(H * W)
+
+    def one_target(d1, intr1, R1, t1):
+        def one_view(depth2, rgb2, intr2, R2, t2):
+            m = match_pair(d1, intr1, R1, t1, depth2, intr2, R2, t2)
+            cP, I = pair_observation(m, intr2, rgb2)
+            return m.valid, cP, I
+
+        valid, cP, I = jax.vmap(one_view)(v_depths, v_rgbs, v_intrs, v_Rs, v_ts)
+        # min-cover: zero out whole pairs below the coverage threshold
+        # (parity: sfm.py:136 keeps pairs with count/area > min_cover)
+        counts = valid.sum(axis=(1, 2)).astype(jnp.float32)
+        keep = (counts / area) > min_cover
+        valid = valid & keep[:, None, None]
+        return valid, cP, I
+
+    valid, cP, I = jax.vmap(one_target)(t_depths, t_intrs, t_Rs, t_ts)
+    I = jnp.where(valid[..., None], I, jnp.zeros((), I.dtype))
+    obs = DenseObs(valid=valid, cP=jnp.where(valid[..., None], cP, 0.0), I=I)
+    if compact:
+        cP_safe = jnp.where(valid[..., None], obs.cP, 1.0)
+        z = jnp.sqrt(jnp.sum(cP_safe * cP_safe, axis=-1))
+        obs = DenseObs(valid=valid, cP=None, I=I, z=jnp.where(valid, z, 0.0))
+    return obs

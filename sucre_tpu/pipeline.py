@@ -140,27 +140,61 @@ class ViewCache:
 class DeviceViews:
     """Device-resident raw view stacks, uploaded once per session.
 
-    Holds, per (width, height) bucket, the match-chunked device arrays
-    (u16 depth, u8 RGB, intrinsics, poses) that ``match_targets_shared``
-    consumes. Raw dtypes keep HBM cost at ~5 bytes/pixel/view (200 views
-    of 1080p ~ 2 GB), so whole surveys stay resident and matching any
-    number of target batches costs ZERO host->device image traffic.
+    Holds, per (width, height) bucket, stacked device arrays (u16 depth,
+    u8 RGB, intrinsics, poses) for the whole survey. Raw dtypes keep HBM
+    cost at ~5 bytes/pixel/view (200 views of 1080p ~ 2 GB), so surveys
+    stay resident and matching any number of target batches costs ZERO
+    host->device image traffic. ``iter_chunks`` serves the chunked
+    matching path as padded device-side slices; ``match_survey`` consumes
+    a bucket's stack whole.
     """
 
     def __init__(self, image_list: list[View], cache: ViewCache, match_chunk: int = 8):
         self.match_chunk = match_chunk
-        buckets: dict[tuple[int, int], list[View]] = {}
+        by_dims: dict[tuple[int, int], list[View]] = {}
         for v in image_list:
-            buckets.setdefault((v.width, v.height), []).append(v)
-        # [(views_of_chunk, device_arrays_tuple), ...]
-        self.chunks: list[tuple[list[View], tuple]] = []
-        for (w2, h2), views in buckets.items():
-            for sub in batched(views, match_chunk):
-                arrays = [cache.get(v) for v in sub]
-                dev = _upload_view_chunk(
-                    [a[1] for a in arrays], [a[0] for a in arrays], sub, match_chunk
+            by_dims.setdefault((v.width, v.height), []).append(v)
+        self.buckets: list[dict] = []
+        for (w2, h2), views in by_dims.items():
+            arrays = [cache.get(v) for v in views]
+            self.buckets.append(
+                dict(
+                    views=views,
+                    depths=jnp.asarray(np.stack([a[1] for a in arrays])),
+                    rgbs=jnp.asarray(np.stack([a[0] for a in arrays])),
+                    intrs=jnp.asarray(
+                        np.stack([v.intrinsics for v in views]).astype(np.float32)
+                    ),
+                    Rs=jnp.asarray(np.stack([v.R for v in views]).astype(np.float32)),
+                    ts=jnp.asarray(np.stack([v.t for v in views]).astype(np.float32)),
                 )
-                self.chunks.append((sub, dev))
+            )
+
+    @property
+    def chunks(self):
+        return list(self.iter_chunks())
+
+    def iter_chunks(self):
+        """Yield (views, (depths, rgbs, intrs, Rs, ts)) in match_chunk
+        slices, zero-padded on device to the chunk size."""
+        C = self.match_chunk
+        for b in self.buckets:
+            views = b["views"]
+            V = len(views)
+            for i in range(0, V, C):
+                sub = views[i : i + C]
+                pad = C - len(sub)
+
+                def cut(x):
+                    sl = x[i : i + C]
+                    if pad:
+                        sl = jnp.pad(sl, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+                    return sl
+
+                yield sub, (
+                    cut(b["depths"]), cut(b["rgbs"]), cut(b["intrs"]),
+                    cut(b["Rs"]), cut(b["ts"]),
+                )
 
 
 def compute_matches(
@@ -566,25 +600,52 @@ def restore_many(
             to_match.append(ti)
         matches_files.append(mf)
 
+    stacked_obs = None
     if to_match:
-        log(f"Compute matches for {len(to_match)} targets (shared view stack).")
-        dense, _ = match_targets_shared(
-            [targets[ti] for ti in to_match],
-            image_list,
-            cache,
-            min_cover=cfg.min_cover,
-            match_chunk=cfg.match_chunk,
-            matches_files=[matches_files[ti] for ti in to_match],
-            compact=not cfg.light_model,
-            device_views=device_views,
-            log=log,
+        # Fast path: the whole matching stage as ONE device program over
+        # the resident survey stack — no chunk dispatch chain, no host
+        # round-trips, output already in the (T, V, H, W) batched layout.
+        # Needs: a resident single-bucket stack, no per-pair h5 saving,
+        # and every target freshly matched.
+        use_survey = (
+            device_views is not None
+            and len(device_views.buckets) == 1
+            and len(to_match) == len(targets)
+            and all(matches_files[ti] is None for ti in to_match)
         )
-        for k, ti in enumerate(to_match):
-            obs_list[ti] = dense[k]
+        if use_survey:
+            from sucre_tpu.ops.matching import match_survey
+
+            log(f"Compute matches for {len(targets)} targets (one survey program).")
+            b = device_views.buckets[0]
+            stacked_obs = match_survey(
+                jnp.asarray(np.stack([cache.get(t)[1] for t in targets])),
+                jnp.asarray(np.stack([t.intrinsics for t in targets]).astype(np.float32)),
+                jnp.asarray(np.stack([t.R for t in targets]).astype(np.float32)),
+                jnp.asarray(np.stack([t.t for t in targets]).astype(np.float32)),
+                b["depths"], b["rgbs"], b["intrs"], b["Rs"], b["ts"],
+                jnp.float32(cfg.min_cover),
+                compact=not cfg.light_model,
+            )
+        else:
+            log(f"Compute matches for {len(to_match)} targets (shared view stack).")
+            dense, _ = match_targets_shared(
+                [targets[ti] for ti in to_match],
+                image_list,
+                cache,
+                min_cover=cfg.min_cover,
+                match_chunk=cfg.match_chunk,
+                matches_files=[matches_files[ti] for ti in to_match],
+                compact=not cfg.light_model,
+                device_views=device_views,
+                log=log,
+            )
+            for k, ti in enumerate(to_match):
+                obs_list[ti] = dense[k]
 
     depths, params_list = [], []
     for ti, target in enumerate(targets):
-        if obs_list[ti] is None:
+        if stacked_obs is None and obs_list[ti] is None:
             raise RuntimeError(f"No observations for {target.name}; cannot restore.")
         depths.append(depth_to_f32(cache.get(target)[1]))
         image = None if cfg.use_closed_form else rgb_to_f32(cache.get(target)[0])
@@ -598,6 +659,7 @@ def restore_many(
     log(f"Batched fit of {len(targets)} targets ({cfg.num_iter} iterations"
         f"{', joint globals' if cfg.joint_params else ''}).")
     t_match_done = time.perf_counter()
+    so = stacked_obs if stacked_obs is not None else stack_obs(obs_list)
     fit_cfg = FitConfig(lr=cfg.lr, num_iter=cfg.num_iter, use_closed_form=cfg.use_closed_form)
     if cfg.joint_params:
         from sucre_tpu.parallel.joint import JointParams, fit_joint
@@ -608,7 +670,7 @@ def restore_many(
             J=None if p0.J is None else jnp.stack([p.J for p in params_list]),
             cam2light=p0.cam2light, sigma=p0.sigma,
         )
-        jparams, J, observed, tel = fit_joint(jp, stack_obs(obs_list), fit_cfg)
+        jparams, J, observed, tel = fit_joint(jp, so, fit_cfg)
         # broadcast the shared globals into per-target param stacks so the
         # export path below is uniform
         T = len(targets)
@@ -621,7 +683,7 @@ def restore_many(
     else:
         params, J, observed, tel = fit_many(
             stack_params(params_list),
-            stack_obs(obs_list),
+            so,
             fit_cfg,
             mesh=mesh,
         )
@@ -631,13 +693,39 @@ def restore_many(
     # One batched device->host fetch for everything the export needs.
     # In direct mode params.J IS the returned J — drop the duplicate leaf
     # so it isn't transferred twice.
-    n_obs_list = [int(x) for x in jax.device_get([o.valid.sum() for o in obs_list])]
+    if stacked_obs is not None:
+        n_obs_list = [
+            int(x)
+            for x in jax.device_get(
+                stacked_obs.valid.sum(axis=tuple(range(1, stacked_obs.valid.ndim)))
+            )
+        ]
+    else:
+        n_obs_list = [int(x) for x in jax.device_get([o.valid.sum() for o in obs_list])]
+    for ti, n in enumerate(n_obs_list):
+        if n == 0:
+            raise RuntimeError(
+                f"No observations for {targets[ti].name}; cannot restore."
+            )
     params_noJ = params._replace(J=None)
     if cfg.export_dtype == "f16":
         J = J.astype(jnp.float16)
     params_noJ, J, observed, tel = jax.device_get((params_noJ, J, observed, tel))
     J = np.asarray(J, np.float32)
     params = params_noJ._replace(J=J if params.J is not None else None)
+
+    # All reconstruction renders in ONE device dispatch + one u8 fetch.
+    recs = viz.render_reconstruction_batch(
+        SucreParams(
+            B=jnp.asarray(params.B), beta=jnp.asarray(params.beta),
+            gamma=jnp.asarray(params.gamma), J=None,
+            cam2light=None if params.cam2light is None else jnp.asarray(params.cam2light),
+            sigma=None if params.sigma is None else jnp.asarray(params.sigma),
+        ),
+        J,
+        [t.intrinsics for t in targets],
+        depths,
+    )
 
     def export_one(t: int) -> RestoreResult:
         target = targets[t]
@@ -646,7 +734,8 @@ def restore_many(
         J_t = np.asarray(J[t], np.float32).copy()
         J_t[~valid] = np.nan
         artifacts = viz.save_plots(
-            output_dir, target.name, p_t, J_t, valid, target.intrinsics, depths[t]
+            output_dir, target.name, p_t, J_t, valid, target.intrinsics, depths[t],
+            reconstruction=recs[t],
         )
         params_out = (output_dir / target.name).with_suffix(".npz")
         ckpt.save_params(params_out, p_t, J=J_t, valid=valid)

@@ -78,6 +78,24 @@ def render_reconstruction(
 
 
 @jax.jit
+def _render_reconstruction_batch_jit(params, J, intr4, d):
+    return jax.vmap(_render_reconstruction_jit)(params, J, intr4, d)
+
+
+def render_reconstruction_batch(params_stacked, J, intrs, depths) -> np.ndarray:
+    """Batched reconstruction render: one device dispatch + one u8 fetch
+    for T targets. ``params_stacked`` has leading-T leaves; J (T, H, W, 3);
+    intrs (T, 4); depths (T, H, W). Returns (T, H, W, 3) float in [0, 1]."""
+    out = _render_reconstruction_batch_jit(
+        params_stacked,
+        jnp.asarray(J, jnp.float32),
+        jnp.asarray(np.stack(intrs), jnp.float32),
+        jnp.asarray(np.stack(depths), jnp.float32),
+    )
+    return np.asarray(out).astype(np.float32) / 255.0
+
+
+@jax.jit
 def _render_vignetting_jit(params, intr4, d):
     intr = Intrinsics(intr4[0], intr4[1], intr4[2], intr4[3])
     H, W = d.shape
@@ -140,9 +158,11 @@ def save_plots(
     intrinsics: np.ndarray,
     depth_map: np.ndarray,
     iteration: int | None = None,
+    reconstruction: np.ndarray | None = None,
 ) -> list[Path]:
     """Write the artifact set with reference-parity filenames
-    (sucre.py:115-121)."""
+    (sucre.py:115-121). A precomputed ``reconstruction`` (from
+    render_reconstruction_batch) skips the per-target render dispatch."""
     save_dir = Path(save_dir)
     stem = Path(image_name).stem
     suffix = "" if iteration is None else f"_{iteration:04d}"
@@ -153,7 +173,11 @@ def save_plots(
     written.append(p)
 
     p = save_dir / f"{stem}_reconstruction{suffix}.png"
-    rec = render_reconstruction(params, J, intrinsics, depth_map)
+    rec = (
+        reconstruction
+        if reconstruction is not None
+        else render_reconstruction(params, J, intrinsics, depth_map)
+    )
     PILImage.fromarray(np.uint8(rec * 255)).save(p, compress_level=1)
     written.append(p)
 

@@ -276,3 +276,23 @@ def test_device_views_equals_streaming(scene_dir, tmp_path):
         np.testing.assert_array_equal(np.asarray(x.valid), np.asarray(y.valid))
         np.testing.assert_allclose(np.asarray(x.z), np.asarray(y.z), atol=1e-6)
         np.testing.assert_array_equal(np.asarray(x.I), np.asarray(y.I))
+
+
+def test_survey_program_equals_chunked(scene_dir, tmp_path):
+    """restore_many via the single survey program (memory store +
+    device_views) must match the chunked streaming path."""
+    from sucre_tpu.pipeline import DeviceViews, ViewCache, restore_many
+
+    scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+    names = ["img_001.png", "img_002.png"]
+    cfg = RestoreConfig(num_iter=5, verbose=False, store="memory")
+    cache = ViewCache()
+    cache.prefill(scene.view_list())
+    dv = DeviceViews(scene.view_list(), cache)
+    a = restore_many(scene, names, tmp_path / "a", cfg, cache=cache, device_views=dv)
+    b = restore_many(scene, names, tmp_path / "b", cfg, cache=cache)
+    for ra, rb in zip(a, b):
+        assert ra.n_obs == rb.n_obs
+        np.testing.assert_allclose(np.asarray(ra.params.B), np.asarray(rb.params.B), atol=1e-6)
+        np.testing.assert_allclose(ra.telemetry.cost, rb.telemetry.cost, rtol=1e-5)
+        np.testing.assert_allclose(np.nan_to_num(ra.J), np.nan_to_num(rb.J), atol=1e-6)
