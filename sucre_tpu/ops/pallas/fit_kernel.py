@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TH = 32  # row-tile height (u8 min sublane tile)
+VB = 4  # views processed per grid step (amortizes per-step overhead)
 LANES = 128
 
 # packed partial-sum layout: [cost, dB(3), dbeta(3), dgamma(3), pad...]
@@ -64,28 +65,28 @@ def _kernel(B_ref, beta_ref, gamma_ref, z_ref, I_ref, J_ref, dJ_ref, part_ref, *
         for k in range(_NPART):
             part_ref[0, 0, k] = jnp.float32(0.0)
 
-    z = z_ref[0, 0]  # (TH, Wp)
+    z = z_ref[0]  # (VB, TH, Wp)
     mask = z > 0.0
     cost_acc = jnp.float32(0.0)
     for c in range(3):
         Bc = B_ref[0, 0, c]
         bec = beta_ref[0, 0, c]
         gac = gamma_ref[0, 0, c]
-        Jc = J_ref[0, c]  # (TH, Wp)
+        Jc = J_ref[0, c]  # (TH, Wp), broadcasts over the VB axis
         a = jnp.exp(-bec * z)
         ex = jnp.exp(-gac * z)
         em = 1.0 - ex
-        I = I_ref[0, c, 0]
+        I = I_ref[0, c]  # (VB, TH, Wp)
         if u8:
             # Mosaic lacks a direct u8->f32 cast; hop through int32.
             I = I.astype(jnp.int32).astype(jnp.float32) * jnp.float32(1.0 / 255.0)
-        I_hat = Jc * a + Bc * em
+        I_hat = Jc[None] * a + Bc * em
         r = jnp.where(mask, I - I_hat, 0.0)
         g = -2.0 * r  # masked through r
-        dJ_ref[0, c] += g * a
+        dJ_ref[0, c] += jnp.sum(g * a, axis=0)
         cost_acc += jnp.sum(r * r)
         part_ref[0, 0, 1 + c] += jnp.sum(g * em)
-        part_ref[0, 0, 4 + c] += jnp.sum(-g * Jc * z * a)
+        part_ref[0, 0, 4 + c] += jnp.sum(-g * (Jc[None] * z) * a)
         part_ref[0, 0, 7 + c] += jnp.sum(g * Bc * z * ex)
     part_ref[0, 0, 0] += cost_acc
 
@@ -104,9 +105,11 @@ def prepare_obs(z: jnp.ndarray, I: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarra
     T, V, H, W = z.shape
     Hp = -(-H // TH) * TH
     Wp = -(-W // LANES) * LANES
-    zt = jnp.pad(z, [(0, 0), (0, 0), (0, Hp - H), (0, Wp - W)])
+    Vp = -(-V // VB) * VB
+    zt = jnp.pad(z, [(0, 0), (0, Vp - V), (0, Hp - H), (0, Wp - W)])
     It = jnp.pad(
-        jnp.moveaxis(I, -1, 1), [(0, 0), (0, 0), (0, 0), (0, Hp - H), (0, Wp - W)]
+        jnp.moveaxis(I, -1, 1),
+        [(0, 0), (0, 0), (0, Vp - V), (0, Hp - H), (0, Wp - W)],
     )
     return zt, It
 
@@ -134,7 +137,7 @@ def fused_fit_grads_prepared(
     Jt = jnp.pad(jnp.moveaxis(J, -1, 1), [(0, 0), (0, 0), (0, Hp - H), (0, Wp - W)])
 
     n_tiles = Hp // TH
-    grid = (T, n_tiles, V)
+    grid = (T, n_tiles, V // VB)
 
     dJt, parts = pl.pallas_call(
         partial(_kernel, u8=jnp.issubdtype(It.dtype, jnp.integer)),
@@ -146,10 +149,10 @@ def fused_fit_grads_prepared(
             pl.BlockSpec((1, 1, 3), lambda t, i, v: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 3), lambda t, i, v: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, 1, TH, Wp), lambda t, i, v: (t, v, i, 0), memory_space=pltpu.VMEM
+                (1, VB, TH, Wp), lambda t, i, v: (t, v, i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 3, 1, TH, Wp),
+                (1, 3, VB, TH, Wp),
                 lambda t, i, v: (t, 0, v, i, 0),
                 memory_space=pltpu.VMEM,
             ),

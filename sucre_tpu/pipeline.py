@@ -64,6 +64,7 @@ class RestoreConfig:
     match_chunk: int = 8  # views per device matching batch
     store: str = "hdf5"  # "hdf5" (reference cache lifecycle) | "memory"
     joint_params: bool = False  # share B/beta/gamma across the whole batch
+    frustum_cull: bool = True  # skip pairs whose surface AABBs cannot overlap
     export_dtype: str = "f16"  # J device->host transfer dtype ("f16" | "f32");
     # f16 halves the fetch; its ~5e-4 max error is far below the 8-bit
     # artifact quantization and irrelevant at the 0.1 dB parity bar
@@ -97,6 +98,20 @@ class ViewCache:
 
     def __init__(self):
         self._data: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._aabbs: dict[str, object] = {}
+
+    def aabb(self, view: View, stride: int = 8, margin: float = 0.05):
+        """Memoized world-space AABB of the view's observed surface."""
+        hit = self._aabbs.get(view.name, "miss")
+        if hit == "miss":
+            from sucre_tpu.ops.culling import surface_aabb
+
+            hit = surface_aabb(
+                self.get(view)[1], view.intrinsics, view.R, view.t,
+                stride=stride, margin=margin,
+            )
+            self._aabbs[view.name] = hit
+        return hit
 
     def get(self, view: View) -> tuple[np.ndarray, np.ndarray]:
         hit = self._data.get(view.name)
@@ -435,6 +450,27 @@ def restore_image(
     t0 = time.perf_counter()
     obs = None
     if not use_h5 or cfg.force_compute_matches or not matches_path.exists():
+        if cfg.frustum_cull:
+            # depth-only pre-pass: drop views whose observed surface cannot
+            # overlap the target's (skips their RGB decode and matching)
+            from sucre_tpu.io.images import load_depth_raw
+            from sucre_tpu.ops.culling import cull_views, surface_aabb
+
+            t_aabb = surface_aabb(target_depth, target.intrinsics, target.R, target.t)
+            v_aabbs = [
+                surface_aabb(
+                    load_depth_raw(v.depth_path, v.width, v.height),
+                    v.intrinsics, v.R, v.t,
+                )
+                for v in image_list
+            ]
+            keep_mask = cull_views([t_aabb], v_aabbs)
+            if not all(keep_mask):
+                log(
+                    f"Surface cull: {int(keep_mask.sum())}/{len(image_list)} "
+                    f"views kept."
+                )
+                image_list = [v for v, k in zip(image_list, keep_mask) if k]
         log(f"Compute {target.name} matches.")
         obs, _ = compute_matches(
             target,
@@ -600,6 +636,19 @@ def restore_many(
             to_match.append(ti)
         matches_files.append(mf)
 
+    # Surface-overlap culling: drop views whose observed-surface AABB
+    # cannot intersect any target's (zero possible matches; see
+    # ops/culling.py). Big win on long survey transects.
+    culled_list = image_list
+    if cfg.frustum_cull and to_match:
+        from sucre_tpu.ops.culling import cull_views
+
+        t_aabbs = [cache.aabb(targets[ti]) for ti in to_match]
+        keep_mask = cull_views(t_aabbs, [cache.aabb(v) for v in image_list])
+        culled_list = [v for v, k in zip(image_list, keep_mask) if k]
+        if len(culled_list) < len(image_list):
+            log(f"Surface cull: {len(culled_list)}/{len(image_list)} views kept.")
+
     stacked_obs = None
     if to_match:
         # Fast path: the whole matching stage as ONE device program over
@@ -612,18 +661,41 @@ def restore_many(
             and len(device_views.buckets) == 1
             and len(to_match) == len(targets)
             and all(matches_files[ti] is None for ti in to_match)
+            and {v.name for v in device_views.buckets[0]["views"]}
+            == {v.name for v in image_list}
         )
         if use_survey:
             from sucre_tpu.ops.matching import match_survey
 
-            log(f"Compute matches for {len(targets)} targets (one survey program).")
             b = device_views.buckets[0]
+            arrays = (b["depths"], b["rgbs"], b["intrs"], b["Rs"], b["ts"])
+            if len(culled_list) < len(image_list):
+                # device-side selection of surviving views, padded to the
+                # match_chunk granularity (bounds recompiles); padded rows
+                # have zero depth => no matches
+                kept_names_set = {v.name for v in culled_list}
+                idx = [
+                    i for i, v in enumerate(b["views"]) if v.name in kept_names_set
+                ]
+                pad = (-len(idx)) % cfg.match_chunk
+                jidx = jnp.asarray(np.asarray(idx, np.int32))
+                arrays = tuple(
+                    jnp.pad(
+                        jnp.take(a, jidx, axis=0),
+                        [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                    )
+                    for a in arrays
+                )
+            log(
+                f"Compute matches for {len(targets)} targets "
+                f"(one survey program over {arrays[0].shape[0]} views)."
+            )
             stacked_obs = match_survey(
                 jnp.asarray(np.stack([cache.get(t)[1] for t in targets])),
                 jnp.asarray(np.stack([t.intrinsics for t in targets]).astype(np.float32)),
                 jnp.asarray(np.stack([t.R for t in targets]).astype(np.float32)),
                 jnp.asarray(np.stack([t.t for t in targets]).astype(np.float32)),
-                b["depths"], b["rgbs"], b["intrs"], b["Rs"], b["ts"],
+                *arrays,
                 jnp.float32(cfg.min_cover),
                 compact=not cfg.light_model,
             )
@@ -631,13 +703,15 @@ def restore_many(
             log(f"Compute matches for {len(to_match)} targets (shared view stack).")
             dense, _ = match_targets_shared(
                 [targets[ti] for ti in to_match],
-                image_list,
+                culled_list,
                 cache,
                 min_cover=cfg.min_cover,
                 match_chunk=cfg.match_chunk,
                 matches_files=[matches_files[ti] for ti in to_match],
                 compact=not cfg.light_model,
-                device_views=device_views,
+                # the resident chunks cover the FULL list; stream from the
+                # cache instead when culling removed views
+                device_views=device_views if len(culled_list) == len(image_list) else None,
                 log=log,
             )
             for k, ti in enumerate(to_match):

@@ -1,0 +1,81 @@
+"""Surface-overlap culling: AABB math, overlap logic, end-to-end
+equivalence (culling never changes results — it only skips pairs with
+zero possible matches)."""
+
+import numpy as np
+import pytest
+
+from sucre_tpu.ops.culling import aabb_overlap, cull_views, surface_aabb
+from sucre_tpu.pipeline import RestoreConfig, restore_image
+from sucre_tpu.scene import Scene
+from tests.synthetic import make_scene
+
+
+def test_surface_aabb_plane():
+    H, W = 48, 64
+    depth = np.full((H, W), 3000, np.uint16)  # 3 m
+    intr = np.array([51.2, 51.2, 32.0, 24.0])
+    R = np.eye(3)
+    t = np.zeros(3)
+    box = surface_aabb(depth, intr, R, t, stride=4, margin=0.0)
+    lo, hi = box
+    # plane at z=3: box spans z=[3,3], x in +-3*(32/51.2)
+    np.testing.assert_allclose(lo[2], 3.0, atol=1e-6)
+    np.testing.assert_allclose(hi[2], 3.0, atol=1e-6)
+    assert lo[0] < -1.5 and hi[0] > 1.5
+
+
+def test_surface_aabb_invalid_depth():
+    assert surface_aabb(np.zeros((8, 8), np.uint16), np.ones(4), np.eye(3), np.zeros(3)) is None
+
+
+def test_aabb_overlap():
+    a = (np.zeros(3), np.ones(3))
+    b = (np.ones(3) * 0.5, np.ones(3) * 2)
+    c = (np.ones(3) * 1.5, np.ones(3) * 2)
+    assert aabb_overlap(a, b)
+    assert not aabb_overlap(a, c)
+    assert not aabb_overlap(a, None)
+    keep = cull_views([a], [b, c, None])
+    np.testing.assert_array_equal(keep, [True, False, False])
+
+
+class TestCullEndToEnd:
+    def test_disjoint_view_culled_same_result(self, tmp_path):
+        """Add a far-away view: culling must drop it and leave the restored
+        result identical."""
+        sd = make_scene(tmp_path, n_views=4)
+        scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+        # fabricate a distant view by reusing view 3's files with a far pose
+        import dataclasses
+
+        far = dataclasses.replace(scene["img_003.png"], image_id=99,
+                                  name="far.png", t=np.array([500.0, 0, 0], np.float32))
+        image_list = scene.view_list() + [far]
+        cfg_on = RestoreConfig(num_iter=5, verbose=False, store="memory", frustum_cull=True)
+        cfg_off = RestoreConfig(num_iter=5, verbose=False, store="memory", frustum_cull=False)
+        a = restore_image(scene, "img_001.png", tmp_path / "a", cfg_on, image_list=image_list)
+        b = restore_image(scene, "img_001.png", tmp_path / "b", cfg_off, image_list=image_list)
+        assert a.n_obs == b.n_obs
+        np.testing.assert_allclose(np.nan_to_num(a.J), np.nan_to_num(b.J), atol=1e-6)
+
+    def test_survey_path_culling(self, tmp_path):
+        from sucre_tpu.pipeline import DeviceViews, ViewCache, restore_many
+        import dataclasses
+
+        sd = make_scene(tmp_path, n_views=4)
+        scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+        far = dataclasses.replace(scene["img_003.png"], image_id=99,
+                                  name="far.png", t=np.array([500.0, 0, 0], np.float32))
+        image_list = scene.view_list() + [far]
+        cache = ViewCache()
+        cache.prefill(image_list)
+        dv = DeviceViews(image_list, cache)
+        cfg = RestoreConfig(num_iter=5, verbose=False, store="memory")
+        a = restore_many(scene, ["img_001.png"], tmp_path / "a", cfg,
+                         image_list=image_list, cache=cache, device_views=dv)
+        cfg_off = dataclasses.replace(cfg, frustum_cull=False)
+        b = restore_many(scene, ["img_001.png"], tmp_path / "b", cfg_off,
+                         image_list=image_list, cache=cache, device_views=dv)
+        assert a[0].n_obs == b[0].n_obs
+        np.testing.assert_allclose(np.nan_to_num(a[0].J), np.nan_to_num(b[0].J), atol=1e-6)
