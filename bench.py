@@ -34,7 +34,8 @@ def main() -> None:
     V = int(os.environ.get("BENCH_VIEWS", 16))
     W = int(os.environ.get("BENCH_W", 960))
     H = int(os.environ.get("BENCH_H", 544))
-    T = int(os.environ.get("BENCH_TARGETS", 4))
+    T = int(os.environ.get("BENCH_TARGETS", 12))
+    B = int(os.environ.get("BENCH_BATCH", 4))
     ITERS = int(os.environ.get("BENCH_ITERS", 200))
 
     import jax
@@ -47,14 +48,14 @@ def main() -> None:
 
     log(f"devices: {jax.devices()}")
 
-    from sucre_tpu.pipeline import DeviceViews, RestoreConfig, ViewCache, restore_many
+    from sucre_tpu.pipeline import DeviceViews, RestoreConfig, ViewCache, restore_survey
     from sucre_tpu.scene import Scene
     from sucre_tpu.synth import make_scene
 
     tmp = Path(tempfile.mkdtemp(prefix="sucre_bench_"))
     t0 = time.perf_counter()
-    sd = make_scene(tmp, n_views=V, width=W, height=H)
-    log(f"scene gen: {time.perf_counter() - t0:.2f}s ({V} views {W}x{H})")
+    sd = make_scene(tmp, n_views=max(V, T), width=W, height=H)
+    log(f"scene gen: {time.perf_counter() - t0:.2f}s ({max(V, T)} views {W}x{H})")
 
     scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
     targets = sd.names[:T]
@@ -83,15 +84,15 @@ def main() -> None:
     walls = []
     for rep in range(reps):
         t0 = time.perf_counter()
-        results = restore_many(
-            scene, targets, tmp / f"out{rep}", cfg, cache=cache,
-            device_views=device_views,
+        results = restore_survey(
+            scene, targets, tmp / f"out{rep}", cfg, batch_targets=B,
+            cache=cache, device_views=device_views,
         )
         walls.append(time.perf_counter() - t0)
+        stages = " ".join(f"{k}={v:.2f}s" for k, v in results[0].timings.items())
         log(
-            f"rep {rep}: restored {T} x {W}x{H} in {walls[-1]:.2f}s "
-            f"(fit_batch={results[0].timings['fit_batch']:.2f}s), "
-            f"n_obs[0]={results[0].n_obs}"
+            f"rep {rep}: restored {T} x {W}x{H} (batches of {B}, pipelined) "
+            f"in {walls[-1]:.2f}s ({stages}), n_obs[0]={results[0].n_obs}"
         )
         if rep >= 1 and time.perf_counter() - bench_start > budget:
             break

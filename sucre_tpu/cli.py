@@ -187,25 +187,15 @@ def main(argv: list[str] | None = None) -> int:
                          "batched path (no --save-interval/--checkpoint-interval)")
     with profile_cm:
         if batched_ok:
-            from sucre_tpu.io.images import batched as chunked
-            from sucre_tpu.pipeline import DeviceViews, ViewCache, restore_many
+            from sucre_tpu.pipeline import restore_survey
 
-            cache = ViewCache()
-            cache.prefill(image_list, num_workers=max(args.num_workers, 1))
-            # one upload of the whole survey's raw views; reused by every
-            # target batch (zero image H2D per batch thereafter)
-            device_views = DeviceViews(image_list, cache, args.match_chunk)
-            groups: dict[tuple[int, int], list[str]] = {}
-            for name in targets:
-                v = scene[name]
-                groups.setdefault((v.width, v.height), []).append(name)
-            for names in groups.values():
-                for group in chunked(names, args.batch_targets):
-                    restore_many(
-                        scene, group, args.output_dir, cfg,
-                        image_list=image_list, cache=cache,
-                        device_views=device_views,
-                    )
+            # Groups same-dimension targets into batches over one shared
+            # decoded/uploaded view stack, software-pipelining device
+            # compute against host transfer+export across batches.
+            restore_survey(
+                scene, targets, args.output_dir, cfg,
+                image_list=image_list, batch_targets=args.batch_targets,
+            )
         else:
             for name in targets:
                 restore_image(scene, name, args.output_dir, cfg, image_list=image_list)

@@ -576,43 +576,58 @@ def restore_image(
     )
 
 
-def restore_many(
+class _BatchInFlight(NamedTuple):
+    """A dispatched (but not yet fetched) restore batch: all device work —
+    matching, fit, reconstruction render, _rgb normalize, observation
+    counts — is queued asynchronously; ``_fetch_batch`` blocks on the one
+    batched device->host transfer and ``_export_batch`` writes artifacts.
+    Splitting these phases lets ``restore_survey`` overlap batch k's
+    transfer+export with batch k+1's device compute."""
+
+    targets: list
+    output_dir: Path
+    cfg: RestoreConfig
+    use_h5: bool
+    depths: list  # host f32 target depth maps (export masks/artifacts)
+    params_dev: SucreParams  # stacked device params (J leaf present in direct mode)
+    J_fetch: jnp.ndarray  # device J in the export transfer dtype
+    J_dev: jnp.ndarray  # device J, f32 (kept for block_until_ready)
+    observed_fetch: jnp.ndarray | None  # only fetched in closed-form mode
+    tel_dev: FitTelemetry
+    recs_dev: jnp.ndarray  # (T, H, W, 3) u8 reconstruction renders
+    rgbs_dev: jnp.ndarray  # (T, H, W, 3) u8 normalized restored images
+    n_obs_dev: jnp.ndarray  # (T,) per-target observation counts
+    timings: dict
+
+
+def _dispatch_batch(
     scene: Scene,
     image_names: list[str],
-    output_dir: Path | str,
-    cfg: RestoreConfig | None = None,
-    image_list: list[View] | None = None,
-    mesh=None,
-    cache: ViewCache | None = None,
-    device_views: "DeviceViews | None" = None,
-) -> list[RestoreResult]:
-    """Restore a batch of same-dimension targets in one device program.
-
-    Replaces the reference's sequential per-target loop (sucre.py:243-261)
-    for ``--image-list``-style jobs: views are decoded once into a shared
-    cache, each target's observation stack is built on device, and the T
-    fits run batched (optionally sharded over a device mesh — one image
-    per chip). Per-target artifacts and cache lifecycle match
-    ``restore_image``.
-    """
+    output_dir: Path,
+    cfg: RestoreConfig,
+    image_list: list[View],
+    cache: ViewCache,
+    device_views: "DeviceViews | None",
+    mesh,
+    log,
+) -> _BatchInFlight:
+    """Queue one batch's full device pipeline (match -> fit -> export
+    arrays) without any host synchronization."""
     from sucre_tpu.parallel.batch import fit_many, stack_obs, stack_params
 
-    cfg = cfg or RestoreConfig()
-    output_dir = Path(output_dir)
-    output_dir.mkdir(parents=True, exist_ok=True)
-    logger = get_logger()
-    log = logger.info if cfg.verbose else (lambda *a, **k: None)
+    timings: dict[str, float] = {}
+    t_stage = time.perf_counter()
+
+    def mark(name: str) -> None:
+        nonlocal t_stage
+        now = time.perf_counter()
+        timings[name] = now - t_stage
+        t_stage = now
 
     targets = [scene[name] for name in image_names]
     dims = {(t.width, t.height) for t in targets}
     if len(dims) != 1:
         raise ValueError(f"restore_many requires same-dimension targets, got {dims}")
-
-    if image_list is None:
-        image_list = scene.view_list()
-    if cache is None:
-        cache = ViewCache()
-        cache.prefill(image_list, num_workers=cfg.num_workers)
 
     use_h5 = cfg.store == "hdf5"
     matches_files: list[MatchesFile | None] = []
@@ -732,7 +747,7 @@ def restore_many(
 
     log(f"Batched fit of {len(targets)} targets ({cfg.num_iter} iterations"
         f"{', joint globals' if cfg.joint_params else ''}).")
-    t_match_done = time.perf_counter()
+    mark("match_dispatch")  # async dispatch; device matching time folds into fit_batch
     so = stacked_obs if stacked_obs is not None else stack_obs(obs_list)
     fit_cfg = FitConfig(lr=cfg.lr, num_iter=cfg.num_iter, use_closed_form=cfg.use_closed_form)
     if cfg.joint_params:
@@ -761,60 +776,95 @@ def restore_many(
             fit_cfg,
             mesh=mesh,
         )
-    jax.block_until_ready(J)
-    fit_time = time.perf_counter() - t_match_done
+    # Dispatch the batched reconstruction renders while J is still
+    # device-resident (re-uploading the fetched J would double the link
+    # traffic); everything below stays asynchronous — one batched
+    # device->host transfer in _fetch_batch moves params, J (f16),
+    # telemetry, u8 renders and observation counts together.
+    from sucre_tpu.ops.matching import to_f32_depth
 
-    # One batched device->host fetch for everything the export needs.
-    # In direct mode params.J IS the returned J — drop the duplicate leaf
-    # so it isn't transferred twice.
+    t_depths_dev = to_f32_depth(
+        jnp.asarray(np.stack([cache.get(t)[1] for t in targets]))
+    )
+    recs_dev = viz.render_reconstruction_batch_device(
+        params._replace(J=None),
+        J,
+        jnp.asarray(np.stack([t.intrinsics for t in targets]).astype(np.float32)),
+        t_depths_dev,
+    )
+    # Export validity on device (parity: _export_mask) so the percentile
+    # normalize of the _rgb artifact also runs on device.
+    valid_dev = observed.astype(bool) if cfg.use_closed_form else t_depths_dev > 0
+    rgbs_dev = viz.plot_J_batch_device(J, valid_dev)
     if stacked_obs is not None:
-        n_obs_list = [
-            int(x)
-            for x in jax.device_get(
-                stacked_obs.valid.sum(axis=tuple(range(1, stacked_obs.valid.ndim)))
-            )
-        ]
+        n_obs_dev = stacked_obs.valid.sum(
+            axis=tuple(range(1, stacked_obs.valid.ndim))
+        )
     else:
-        n_obs_list = [int(x) for x in jax.device_get([o.valid.sum() for o in obs_list])]
+        n_obs_dev = jnp.stack([o.valid.sum() for o in obs_list])
+    J_fetch = J.astype(jnp.float16) if cfg.export_dtype == "f16" else J
+    mark("fit_dispatch")
+    return _BatchInFlight(
+        targets=targets,
+        output_dir=output_dir,
+        cfg=cfg,
+        use_h5=use_h5,
+        depths=depths,
+        params_dev=params,
+        J_fetch=J_fetch,
+        J_dev=J,
+        # the observed mask is only consumed in closed-form mode — skip
+        # its transfer otherwise
+        observed_fetch=observed if cfg.use_closed_form else None,
+        tel_dev=tel,
+        recs_dev=recs_dev,
+        rgbs_dev=rgbs_dev,
+        n_obs_dev=n_obs_dev,
+        timings=timings,
+    )
+
+
+def _fetch_batch(b: _BatchInFlight):
+    """The one blocking device->host transfer for a dispatched batch."""
+    params_noJ, J, observed, tel, recs, rgb_plots, n_obs_arr = jax.device_get(
+        (
+            b.params_dev._replace(J=None), b.J_fetch, b.observed_fetch,
+            b.tel_dev, b.recs_dev, b.rgbs_dev, b.n_obs_dev,
+        )
+    )
+    n_obs_list = [int(x) for x in np.asarray(n_obs_arr)]
     for ti, n in enumerate(n_obs_list):
         if n == 0:
             raise RuntimeError(
-                f"No observations for {targets[ti].name}; cannot restore."
+                f"No observations for {b.targets[ti].name}; cannot restore."
             )
-    params_noJ = params._replace(J=None)
-    if cfg.export_dtype == "f16":
-        J = J.astype(jnp.float16)
-    params_noJ, J, observed, tel = jax.device_get((params_noJ, J, observed, tel))
     J = np.asarray(J, np.float32)
-    params = params_noJ._replace(J=J if params.J is not None else None)
+    params = params_noJ._replace(J=J if b.params_dev.J is not None else None)
+    recs = np.asarray(recs)  # (T, H, W, 3) uint8, written to PNG as-is
+    return params, J, observed, tel, recs, rgb_plots, n_obs_list
 
-    # All reconstruction renders in ONE device dispatch + one u8 fetch.
-    recs = viz.render_reconstruction_batch(
-        SucreParams(
-            B=jnp.asarray(params.B), beta=jnp.asarray(params.beta),
-            gamma=jnp.asarray(params.gamma), J=None,
-            cam2light=None if params.cam2light is None else jnp.asarray(params.cam2light),
-            sigma=None if params.sigma is None else jnp.asarray(params.sigma),
-        ),
-        J,
-        [t.intrinsics for t in targets],
-        depths,
-    )
+
+def _export_batch(b: _BatchInFlight, fetched) -> list[RestoreResult]:
+    """Write one batch's artifact set (host-only; threads over targets)."""
+    params, J, observed, tel, recs, rgb_plots, n_obs_list = fetched
+    cfg, targets, output_dir = b.cfg, b.targets, b.output_dir
 
     def export_one(t: int) -> RestoreResult:
         target = targets[t]
         p_t = jax.tree.map(lambda x: x[t], params)
-        valid = _export_mask(cfg, depths[t], np.asarray(observed[t]))
+        valid = _export_mask(
+            cfg, b.depths[t], None if observed is None else np.asarray(observed[t])
+        )
         J_t = np.asarray(J[t], np.float32).copy()
         J_t[~valid] = np.nan
         artifacts = viz.save_plots(
-            output_dir, target.name, p_t, J_t, valid, target.intrinsics, depths[t],
-            reconstruction=recs[t],
+            output_dir, target.name, p_t, J_t, valid, target.intrinsics, b.depths[t],
+            reconstruction=recs[t], rgb_plot=rgb_plots[t],
         )
         params_out = (output_dir / target.name).with_suffix(".npz")
         ckpt.save_params(params_out, p_t, J=J_t, valid=valid)
         artifacts.append(params_out)
-        if use_h5 and not cfg.keep_matches:
+        if b.use_h5 and not cfg.keep_matches:
             (output_dir / target.name).with_suffix(".h5").unlink(missing_ok=True)
         tel_t = FitTelemetry(
             cost=np.asarray(tel.cost[:, t]), B=np.asarray(tel.B[:, t]),
@@ -823,18 +873,127 @@ def restore_many(
         return RestoreResult(
             image_name=target.name, params=p_t, J=J_t, valid=valid,
             telemetry=tel_t, n_obs=n_obs_list[t],
-            artifacts=artifacts, timings={"fit_batch": fit_time},
+            artifacts=artifacts, timings=dict(b.timings),
         )
 
-    # Export targets concurrently: PNG/npz encode is host-bound, the
-    # reconstruction render is one device dispatch per target.
+    # Export targets concurrently: PNG/npz encode is host-bound.
     import concurrent.futures as cf
 
     if len(targets) > 1:
         with cf.ThreadPoolExecutor(max_workers=min(4, len(targets))) as pool:
-            results = list(pool.map(export_one, range(len(targets))))
-    else:
-        results = [export_one(0)]
+            return list(pool.map(export_one, range(len(targets))))
+    return [export_one(0)]
+
+
+def restore_many(
+    scene: Scene,
+    image_names: list[str],
+    output_dir: Path | str,
+    cfg: RestoreConfig | None = None,
+    image_list: list[View] | None = None,
+    mesh=None,
+    cache: ViewCache | None = None,
+    device_views: "DeviceViews | None" = None,
+) -> list[RestoreResult]:
+    """Restore a batch of same-dimension targets in one device program.
+
+    Replaces the reference's sequential per-target loop (sucre.py:243-261)
+    for ``--image-list``-style jobs: views are decoded once into a shared
+    cache, each target's observation stack is built on device, and the T
+    fits run batched (optionally sharded over a device mesh — one image
+    per chip). Per-target artifacts and cache lifecycle match
+    ``restore_image``. For many batches prefer ``restore_survey``, which
+    overlaps the host transfer/export of one batch with the device
+    compute of the next.
+    """
+    cfg = cfg or RestoreConfig()
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    logger = get_logger()
+    log = logger.info if cfg.verbose else (lambda *a, **k: None)
+
+    if image_list is None:
+        image_list = scene.view_list()
+    if cache is None:
+        cache = ViewCache()
+        cache.prefill(image_list, num_workers=cfg.num_workers)
+
+    b = _dispatch_batch(
+        scene, image_names, output_dir, cfg, image_list, cache, device_views,
+        mesh, log,
+    )
+    t0 = time.perf_counter()
+    jax.block_until_ready(b.J_dev)
+    b.timings["fit_batch"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fetched = _fetch_batch(b)
+    b.timings["fetch_render"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    results = _export_batch(b, fetched)
+    b.timings["export"] = time.perf_counter() - t0
+    return [r._replace(timings=dict(b.timings)) for r in results]
+
+
+def restore_survey(
+    scene: Scene,
+    image_names: list[str],
+    output_dir: Path | str,
+    cfg: RestoreConfig | None = None,
+    image_list: list[View] | None = None,
+    batch_targets: int = 4,
+    mesh=None,
+    cache: ViewCache | None = None,
+    device_views: "DeviceViews | None" = None,
+) -> list[RestoreResult]:
+    """Restore a whole survey: targets grouped by camera dimensions,
+    batched ``batch_targets`` at a time, with software pipelining — while
+    batch k's results cross the (slow) device->host link and its PNGs
+    encode, batch k+1's matching and fit already run on device. Steady
+    state is max(device, host) per batch instead of their sum."""
+    import concurrent.futures as cf
+
+    cfg = cfg or RestoreConfig()
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    logger = get_logger()
+    log = logger.info if cfg.verbose else (lambda *a, **k: None)
+
+    if image_list is None:
+        image_list = scene.view_list()
+    if cache is None:
+        cache = ViewCache()
+        cache.prefill(image_list, num_workers=cfg.num_workers)
+    if device_views is None:
+        device_views = DeviceViews(image_list, cache, cfg.match_chunk)
+
+    groups: dict[tuple[int, int], list[str]] = {}
+    for name in image_names:
+        v = scene[name]
+        groups.setdefault((v.width, v.height), []).append(name)
+    batches: list[list[str]] = []
+    for names in groups.values():
+        batches.extend(batched(names, batch_targets))
+
+    results: list[RestoreResult] = []
+    with cf.ThreadPoolExecutor(max_workers=1) as exporter:
+        prev: _BatchInFlight | None = None
+        export_future = None
+        for group in batches:
+            cur = _dispatch_batch(
+                scene, list(group), output_dir, cfg, image_list, cache,
+                device_views, mesh, log,
+            )
+            if prev is not None:
+                fetched = _fetch_batch(prev)  # overlaps cur's device work
+                if export_future is not None:
+                    results.extend(export_future.result())
+                export_future = exporter.submit(_export_batch, prev, fetched)
+            prev = cur
+        if prev is not None:
+            fetched = _fetch_batch(prev)
+            if export_future is not None:
+                results.extend(export_future.result())
+            results.extend(_export_batch(prev, fetched))
     return results
 
 

@@ -82,6 +82,30 @@ def _render_reconstruction_batch_jit(params, J, intr4, d):
     return jax.vmap(_render_reconstruction_jit)(params, J, intr4, d)
 
 
+@jax.jit
+def plot_J_batch_device(J, valid):
+    """Device-side batched ``plot_J``: per-channel [p1, p99] clip over
+    valid pixels + min-max normalize, invalid pixels black, quantized to
+    uint8 on device (same math as plot_J; percentiles via sort instead of
+    a host round trip). J (T, H, W, 3) f32; valid (T, H, W) bool."""
+
+    def one(Jt, vt):
+        Jm = jnp.where(vt[..., None], Jt, jnp.nan)
+        flat = Jm.reshape(-1, 3)
+        lo = jnp.nanpercentile(flat, 1.0, axis=0)
+        hi = jnp.nanpercentile(flat, 99.0, axis=0)
+        Jc = jnp.clip(Jm, lo, hi)
+        mn = jnp.nanmin(Jc.reshape(-1, 3), axis=0)
+        Jc = Jc - mn
+        mx = jnp.nanmax(Jc.reshape(-1, 3), axis=0)
+        Jn = Jc / jnp.where(mx == 0, 1.0, mx)
+        Jn = jnp.where(vt[..., None], Jn, 0.0)
+        # np.uint8(x * 255) floor semantics (plot_J parity)
+        return jnp.floor(Jn * 255.0).astype(jnp.uint8)
+
+    return jax.vmap(one)(J, valid)
+
+
 def render_reconstruction_batch(params_stacked, J, intrs, depths) -> np.ndarray:
     """Batched reconstruction render: one device dispatch + one u8 fetch
     for T targets. ``params_stacked`` has leading-T leaves; J (T, H, W, 3);
@@ -93,6 +117,14 @@ def render_reconstruction_batch(params_stacked, J, intrs, depths) -> np.ndarray:
         jnp.asarray(np.stack(depths), jnp.float32),
     )
     return np.asarray(out).astype(np.float32) / 255.0
+
+
+def render_reconstruction_batch_device(params_stacked, J_dev, intrs_dev, depths_dev):
+    """Async device-side batched render returning the (T, H, W, 3) uint8
+    array WITHOUT fetching — callers fold it into one batched device_get
+    alongside the other export arrays (and J stays device-resident,
+    avoiding a round trip through the host)."""
+    return _render_reconstruction_batch_jit(params_stacked, J_dev, intrs_dev, depths_dev)
 
 
 @jax.jit
@@ -159,17 +191,22 @@ def save_plots(
     depth_map: np.ndarray,
     iteration: int | None = None,
     reconstruction: np.ndarray | None = None,
+    rgb_plot: np.ndarray | None = None,
 ) -> list[Path]:
     """Write the artifact set with reference-parity filenames
-    (sucre.py:115-121). A precomputed ``reconstruction`` (from
-    render_reconstruction_batch) skips the per-target render dispatch."""
+    (sucre.py:115-121). Precomputed ``reconstruction`` / ``rgb_plot``
+    arrays (from the batched device export path) skip the per-target
+    render dispatch / host percentile-normalize."""
     save_dir = Path(save_dir)
     stem = Path(image_name).stem
     suffix = "" if iteration is None else f"_{iteration:04d}"
     written = []
 
     p = save_dir / f"{stem}_rgb{suffix}.png"
-    plot_J(J, valid).save(p, compress_level=1)
+    if rgb_plot is not None:
+        PILImage.fromarray(rgb_plot).save(p, compress_level=1)
+    else:
+        plot_J(J, valid).save(p, compress_level=1)
     written.append(p)
 
     p = save_dir / f"{stem}_reconstruction{suffix}.png"
@@ -178,7 +215,8 @@ def save_plots(
         if reconstruction is not None
         else render_reconstruction(params, J, intrinsics, depth_map)
     )
-    PILImage.fromarray(np.uint8(rec * 255)).save(p, compress_level=1)
+    rec_u8 = rec if rec.dtype == np.uint8 else np.uint8(rec * 255)
+    PILImage.fromarray(rec_u8).save(p, compress_level=1)
     written.append(p)
 
     if params.cam2light is not None:

@@ -296,3 +296,30 @@ def test_survey_program_equals_chunked(scene_dir, tmp_path):
         np.testing.assert_allclose(np.asarray(ra.params.B), np.asarray(rb.params.B), atol=1e-6)
         np.testing.assert_allclose(ra.telemetry.cost, rb.telemetry.cost, rtol=1e-5)
         np.testing.assert_allclose(np.nan_to_num(ra.J), np.nan_to_num(rb.J), atol=1e-6)
+
+
+def test_restore_survey_pipelined_equals_restore_many(scene_dir, tmp_path):
+    """restore_survey (batched + software-pipelined) must produce the same
+    results and artifact set as sequential restore_many batches."""
+    from sucre_tpu.pipeline import restore_many, restore_survey
+
+    scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+    names = ["img_000.png", "img_001.png", "img_002.png", "img_003.png", "img_004.png"]
+    cfg = RestoreConfig(num_iter=5, verbose=False, store="memory")
+
+    res_s = restore_survey(scene, names, tmp_path / "s", cfg, batch_targets=2)
+    res_m = []
+    for group in (names[0:2], names[2:4], names[4:5]):
+        res_m.extend(restore_many(scene, list(group), tmp_path / "m", cfg))
+
+    assert [r.image_name for r in res_s] == names
+    for ra, rb in zip(res_s, res_m):
+        assert ra.n_obs == rb.n_obs
+        np.testing.assert_allclose(np.asarray(ra.params.B), np.asarray(rb.params.B), atol=1e-6)
+        np.testing.assert_allclose(ra.telemetry.cost, rb.telemetry.cost, rtol=1e-5)
+        np.testing.assert_allclose(np.nan_to_num(ra.J), np.nan_to_num(rb.J), atol=1e-6)
+    for n in names:
+        stem = Path(n).stem
+        assert (tmp_path / "s" / f"{stem}_rgb.png").exists()
+        assert (tmp_path / "s" / f"{stem}_reconstruction.png").exists()
+        assert (tmp_path / "s" / f"{stem}.npz").exists()
