@@ -185,3 +185,56 @@ class TestObservations:
         # invalid entries zero-filled
         np.testing.assert_allclose(np.asarray(obs.I[2]), 0.0)
         assert int(obs.n_obs) == int(np.asarray(m.valid).sum())
+
+
+def test_packed_gather_path_equals_float_path():
+    """Raw u16/u8 inputs take the packed single-gather path; its outputs
+    must be bit-identical to the generic two-gather float path."""
+    rng = np.random.default_rng(11)
+    H = W = 40
+    V = 3
+    depth_mm = (rng.uniform(1000, 4000, size=(V, H, W)) * (rng.uniform(size=(V, H, W)) < 0.9)).astype(np.uint16)
+    rgbs = rng.integers(0, 256, size=(V, H, W, 3), dtype=np.uint8)
+    intr = np.tile(_intr(45.0, 45.0, W / 2, H / 2), (V, 1))
+    Rs, ts = [], []
+    for k in range(V):
+        th = 0.08 * k
+        Rs.append(np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]], np.float32))
+        ts.append(np.array([0.3 * k, 0.0, 0.0], np.float32))
+    Rs, ts = np.stack(Rs), np.stack(ts)
+    d1 = depth_mm[0].astype(np.float32) / 1000
+
+    for compact in (True, False):
+        obs_a, m_a = match_and_observe_chunk_jit(
+            jnp.asarray(d1), jnp.asarray(intr[0]), jnp.asarray(Rs[0]), jnp.asarray(ts[0]),
+            jnp.asarray(depth_mm), jnp.asarray(rgbs),
+            jnp.asarray(intr), jnp.asarray(Rs), jnp.asarray(ts), compact=compact,
+        )
+        # convert with the same device ops the pipeline uses (XLA's /1000
+        # is a reciprocal multiply — numpy's differs by 1 ulp)
+        from sucre_tpu.ops.matching import to_f32_depth, to_f32_rgb
+
+        obs_b, m_b = match_and_observe_chunk_jit(
+            jnp.asarray(d1), jnp.asarray(intr[0]), jnp.asarray(Rs[0]), jnp.asarray(ts[0]),
+            to_f32_depth(jnp.asarray(depth_mm)),
+            to_f32_rgb(jnp.asarray(rgbs)),
+            jnp.asarray(intr), jnp.asarray(Rs), jnp.asarray(ts), compact=compact,
+        )
+        np.testing.assert_array_equal(np.asarray(obs_a.valid), np.asarray(obs_b.valid))
+        np.testing.assert_array_equal(np.asarray(m_a.u2), np.asarray(m_b.u2))
+        np.testing.assert_array_equal(np.asarray(m_a.v2), np.asarray(m_b.v2))
+        # /1000 lowers as an exact divide eagerly but a reciprocal
+        # multiply when fused — 1 ulp apart on ~21% of values
+        np.testing.assert_allclose(
+            np.asarray(m_a.d2), np.asarray(m_b.d2), rtol=1e-6
+        )
+        assert np.asarray(obs_a.valid).sum() > 100
+        Ia = np.asarray(obs_a.I).astype(np.float32)
+        Ib = np.asarray(obs_b.I).astype(np.float32)
+        if compact:
+            # packed keeps u8; float path gathered f32 in [0, 1]
+            np.testing.assert_allclose(Ia / 255.0, Ib, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(obs_a.z), np.asarray(obs_b.z), atol=1e-6)
+        else:
+            np.testing.assert_allclose(Ia, Ib, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(obs_a.cP), np.asarray(obs_b.cP), atol=1e-6)
