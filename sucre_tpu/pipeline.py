@@ -69,6 +69,12 @@ class RestoreConfig:
     # f16 halves the fetch; its ~5e-4 max error is far below the 8-bit
     # artifact quantization and irrelevant at the 0.1 dB parity bar
     checkpoint_interval: int | None = None  # mid-fit solver snapshots
+    # Where the _rgb artifact's percentile-normalize runs. Device keeps
+    # host work off the critical path of a single blocking restore;
+    # host (from the already-fetched J, inside the exporter thread) saves
+    # the extra u8 image transfer when batches are software-pipelined.
+    # None = auto: device in restore_many, host in restore_survey.
+    rgb_plot_on_device: bool | None = None
     verbose: bool = True
 
 
@@ -793,9 +799,13 @@ def _dispatch_batch(
         t_depths_dev,
     )
     # Export validity on device (parity: _export_mask) so the percentile
-    # normalize of the _rgb artifact also runs on device.
-    valid_dev = observed.astype(bool) if cfg.use_closed_form else t_depths_dev > 0
-    rgbs_dev = viz.plot_J_batch_device(J, valid_dev)
+    # normalize of the _rgb artifact can also run on device.
+    rgbs_dev = None
+    if cfg.rgb_plot_on_device is None or cfg.rgb_plot_on_device:
+        valid_dev = (
+            observed.astype(bool) if cfg.use_closed_form else t_depths_dev > 0
+        )
+        rgbs_dev = viz.plot_J_batch_device(J, valid_dev)
     if stacked_obs is not None:
         n_obs_dev = stacked_obs.valid.sum(
             axis=tuple(range(1, stacked_obs.valid.ndim))
@@ -859,7 +869,8 @@ def _export_batch(b: _BatchInFlight, fetched) -> list[RestoreResult]:
         J_t[~valid] = np.nan
         artifacts = viz.save_plots(
             output_dir, target.name, p_t, J_t, valid, target.intrinsics, b.depths[t],
-            reconstruction=recs[t], rgb_plot=rgb_plots[t],
+            reconstruction=recs[t],
+            rgb_plot=None if rgb_plots is None else rgb_plots[t],
         )
         params_out = (output_dir / target.name).with_suffix(".npz")
         ckpt.save_params(params_out, p_t, J=J_t, valid=valid)
@@ -953,6 +964,10 @@ def restore_survey(
     import concurrent.futures as cf
 
     cfg = cfg or RestoreConfig()
+    if cfg.rgb_plot_on_device is None:
+        # pipelined: host normalize in the exporter thread beats paying
+        # for the extra u8 image transfer on the serialized device link
+        cfg = dataclasses.replace(cfg, rgb_plot_on_device=False)
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     logger = get_logger()
