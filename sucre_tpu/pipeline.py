@@ -606,6 +606,26 @@ class _BatchInFlight(NamedTuple):
     timings: dict
 
 
+def _device_target_arrays(device_views, targets):
+    """Slice the targets' raw depth/RGB stacks from the device-resident
+    survey stack (targets are themselves survey views): zero host->device
+    traffic for the matching inputs, the render depths and the J init
+    images. Returns (depths_u16 (T,H,W), rgbs_u8 (T,H,W,3)) device
+    arrays, or None when any target is not resident (e.g. excluded from
+    pairing by --filter-images-path, or multi-bucket stacks)."""
+    if device_views is None or len(device_views.buckets) != 1:
+        return None
+    b = device_views.buckets[0]
+    name_to_idx = {v.name: i for i, v in enumerate(b["views"])}
+    if any(t.name not in name_to_idx for t in targets):
+        return None
+    jidx = jnp.asarray(np.asarray([name_to_idx[t.name] for t in targets], np.int32))
+    return (
+        jnp.take(b["depths"], jidx, axis=0),
+        jnp.take(b["rgbs"], jidx, axis=0),
+    )
+
+
 def _dispatch_batch(
     scene: Scene,
     image_names: list[str],
@@ -670,6 +690,7 @@ def _dispatch_batch(
         if len(culled_list) < len(image_list):
             log(f"Surface cull: {len(culled_list)}/{len(image_list)} views kept.")
 
+    dev_t = _device_target_arrays(device_views, targets)
     stacked_obs = None
     if to_match:
         # Fast path: the whole matching stage as ONE device program over
@@ -711,8 +732,13 @@ def _dispatch_batch(
                 f"Compute matches for {len(targets)} targets "
                 f"(one survey program over {arrays[0].shape[0]} views)."
             )
+            t_depths_in = (
+                dev_t[0]
+                if dev_t is not None
+                else jnp.asarray(np.stack([cache.get(t)[1] for t in targets]))
+            )
             stacked_obs = match_survey(
-                jnp.asarray(np.stack([cache.get(t)[1] for t in targets])),
+                t_depths_in,
                 jnp.asarray(np.stack([t.intrinsics for t in targets]).astype(np.float32)),
                 jnp.asarray(np.stack([t.R for t in targets]).astype(np.float32)),
                 jnp.asarray(np.stack([t.t for t in targets]).astype(np.float32)),
@@ -738,12 +764,25 @@ def _dispatch_batch(
             for k, ti in enumerate(to_match):
                 obs_list[ti] = dense[k]
 
+    # J init images: slice+convert from the device-resident stack when
+    # possible (skips ~6 MB/target of f32 host->device upload per batch)
+    images_dev = None
+    if dev_t is not None and not cfg.use_closed_form:
+        from sucre_tpu.ops.matching import to_f32_rgb
+
+        images_dev = to_f32_rgb(dev_t[1])
     depths, params_list = [], []
     for ti, target in enumerate(targets):
         if stacked_obs is None and obs_list[ti] is None:
             raise RuntimeError(f"No observations for {target.name}; cannot restore.")
         depths.append(depth_to_f32(cache.get(target)[1]))
-        image = None if cfg.use_closed_form else rgb_to_f32(cache.get(target)[0])
+        image = None
+        if not cfg.use_closed_form:
+            image = (
+                images_dev[ti]
+                if images_dev is not None
+                else rgb_to_f32(cache.get(target)[0])
+            )
         p = init_params(
             image=image, light_model=cfg.light_model, use_closed_form=cfg.use_closed_form
         )
@@ -790,7 +829,9 @@ def _dispatch_batch(
     from sucre_tpu.ops.matching import to_f32_depth
 
     t_depths_dev = to_f32_depth(
-        jnp.asarray(np.stack([cache.get(t)[1] for t in targets]))
+        dev_t[0]
+        if dev_t is not None
+        else jnp.asarray(np.stack([cache.get(t)[1] for t in targets]))
     )
     recs_dev = viz.render_reconstruction_batch_device(
         params._replace(J=None),
