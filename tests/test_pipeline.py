@@ -323,3 +323,59 @@ def test_restore_survey_pipelined_equals_restore_many(scene_dir, tmp_path):
         assert (tmp_path / "s" / f"{stem}_rgb.png").exists()
         assert (tmp_path / "s" / f"{stem}_reconstruction.png").exists()
         assert (tmp_path / "s" / f"{stem}.npz").exists()
+
+
+def test_restore_survey_closed_form_and_light(scene_dir, tmp_path):
+    """Survey mode covers the non-default model modes: closed-form J (uses
+    the fetched observed mask for export validity) and the light model
+    (full cP layout; vignetting artifact per target)."""
+    from sucre_tpu.pipeline import restore_survey
+
+    scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+    names = ["img_001.png", "img_002.png", "img_003.png"]
+
+    cfg_cf = RestoreConfig(num_iter=5, verbose=False, store="memory", use_closed_form=True)
+    res = restore_survey(scene, names, tmp_path / "cf", cfg_cf, batch_targets=2)
+    for r in res:
+        assert r.valid.sum() > 0.3 * r.valid.size
+        assert np.isfinite(r.J[r.valid]).all()
+
+    cfg_li = RestoreConfig(num_iter=5, verbose=False, store="memory", light_model=True)
+    res = restore_survey(scene, names, tmp_path / "li", cfg_li, batch_targets=2)
+    for n in names:
+        assert (tmp_path / "li" / f"{Path(n).stem}_vignetting.png").exists()
+
+
+def test_restore_survey_h5_lifecycle(scene_dir, tmp_path):
+    """Survey mode with the HDF5 store keeps the reference cache protocol:
+    .h5 written during matching, reused on a second run, deleted after a
+    successful restore unless keep_matches."""
+    from sucre_tpu.pipeline import restore_survey
+
+    scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+    names = ["img_001.png", "img_002.png"]
+    out = tmp_path / "out"
+
+    cfg = RestoreConfig(num_iter=3, verbose=False, keep_matches=True)
+    a = restore_survey(scene, names, out, cfg, batch_targets=2)
+    assert (out / "img_001.h5").exists() and (out / "img_002.h5").exists()
+
+    # second run loads from cache (mutate one .h5's I dataset to prove
+    # the cache, not fresh matching, feeds the fit)
+    import h5py
+
+    with h5py.File(out / "img_001.h5", "r+") as f:
+        g = f[list(f.keys())[0]]
+        g["I"][()] = np.zeros_like(g["I"][()])
+    b = restore_survey(scene, names, out, cfg, batch_targets=2)
+    assert not np.allclose(
+        np.nan_to_num(a[0].J), np.nan_to_num(b[0].J), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.nan_to_num(a[1].J), np.nan_to_num(b[1].J), atol=1e-6
+    )
+
+    cfg2 = RestoreConfig(num_iter=3, verbose=False, keep_matches=False,
+                         force_compute_matches=True)
+    restore_survey(scene, names, out, cfg2, batch_targets=2)
+    assert not (out / "img_001.h5").exists()
