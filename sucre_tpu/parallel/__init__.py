@@ -3,6 +3,7 @@ targets across chips."""
 
 from sucre_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    match_survey_sharded,
     pad_obs_to_mesh,
     shard_obs,
     replicate,

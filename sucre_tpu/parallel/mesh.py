@@ -110,3 +110,67 @@ def fit_sharded(params, obs: DenseObs, cfg, mesh: Mesh, **kwargs):
             ),
         )
     return result
+
+
+def match_survey_sharded(
+    mesh: Mesh,
+    t_depths,  # (T, H, W) target depths (f32 m or u16 mm)
+    t_intrs,  # (T, 4)
+    t_Rs,  # (T, 3, 3)
+    t_ts,  # (T, 3)
+    v_depths,  # (V, H2, W2) view stack (f32 m or u16 mm)
+    v_rgbs,  # (V, H2, W2, 3)
+    v_intrs,  # (V, 4)
+    v_Rs,  # (V, 3, 3)
+    v_ts,  # (V, 3)
+    min_cover=0.000001,
+    compact: bool = True,
+) -> DenseObs:
+    """The survey matching stage partitioned over the mesh: view stacks
+    shard over the 'view' axis (each chip matches ITS views — every
+    random gather stays chip-local) and the target pixel grid shards
+    over the 'row' axis. The output observation stack comes back sharded
+    (view, row) on its (V, H) axes — exactly the layout ``fit_sharded``
+    consumes, so matching + fit run multi-chip end to end with the
+    observations never leaving their chip. The only collective GSPMD
+    inserts is the tiny per-pair min-cover count psum over 'row'.
+
+    View/row counts are padded to mesh-axis multiples (padded views have
+    zero depth => no matches; padded target rows have zero depth => no
+    valid pixels).
+    """
+    from sucre_tpu.ops.matching import match_survey
+
+    vs = mesh.shape["view"]
+    rs = mesh.shape["row"]
+    V = v_depths.shape[0]
+    H = t_depths.shape[1]
+    pad_v = (-V) % vs
+    pad_h = (-H) % rs
+
+    def padv(x):
+        return jnp.pad(x, [(0, pad_v)] + [(0, 0)] * (x.ndim - 1)) if pad_v else x
+
+    def padh(x):
+        return (
+            jnp.pad(x, [(0, 0), (0, pad_h)] + [(0, 0)] * (x.ndim - 2))
+            if pad_h
+            else x
+        )
+
+    view_axis = lambda x: NamedSharding(mesh, P("view", *([None] * (x.ndim - 1))))
+    row_axis = lambda x: NamedSharding(mesh, P(None, "row", *([None] * (x.ndim - 2))))
+    repl = NamedSharding(mesh, P())
+
+    v_arrays = [
+        jax.device_put(padv(x), view_axis(x))
+        for x in (v_depths, v_rgbs, v_intrs, v_Rs, v_ts)
+    ]
+    t_depths = jax.device_put(padh(t_depths), row_axis(t_depths))
+    t_intrs, t_Rs, t_ts = (
+        jax.device_put(x, repl) for x in (t_intrs, t_Rs, t_ts)
+    )
+    return match_survey(
+        t_depths, t_intrs, t_Rs, t_ts, *v_arrays,
+        jnp.float32(min_cover), compact=compact,
+    )

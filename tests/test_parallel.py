@@ -104,3 +104,54 @@ def test_shard_targets():
     assert shards[0] == ["img_0", "img_3", "img_6", "img_9"]
     # single process = everything
     assert shard_targets(targets, process_id=0, num_processes=1) == targets
+
+
+def test_match_survey_sharded_equals_unsharded():
+    """Sharded survey matching (views over 'view', target rows over
+    'row') must equal the single-device program, and its output must
+    feed fit_sharded directly (end-to-end multi-chip pipeline)."""
+    from sucre_tpu.ops.matching import match_survey
+    from sucre_tpu.parallel import match_survey_sharded
+    from tests.synthetic import make_scene
+    from sucre_tpu.scene import Scene
+    from sucre_tpu.io.images import load_view_arrays
+    import tempfile
+    from pathlib import Path
+
+    sd = make_scene(Path(tempfile.mkdtemp()), n_views=5, width=64, height=48)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    views = scene.view_list()
+    arrays = [load_view_arrays(v, raw=True) for v in views]
+    v_depths = jnp.asarray(np.stack([a[1] for a in arrays]))
+    v_rgbs = jnp.asarray(np.stack([a[0] for a in arrays]))
+    v_intrs = jnp.asarray(np.stack([v.intrinsics for v in views]).astype(np.float32))
+    v_Rs = jnp.asarray(np.stack([v.R for v in views]).astype(np.float32))
+    v_ts = jnp.asarray(np.stack([v.t for v in views]).astype(np.float32))
+    targets = [scene["img_001.png"], scene["img_002.png"]]
+    tidx = [1, 2]
+    t_depths = v_depths[jnp.asarray(tidx)]
+    t_intrs, t_Rs, t_ts = v_intrs[jnp.asarray(tidx)], v_Rs[jnp.asarray(tidx)], v_ts[jnp.asarray(tidx)]
+
+    ref = match_survey(
+        t_depths, t_intrs, t_Rs, t_ts,
+        v_depths, v_rgbs, v_intrs, v_Rs, v_ts,
+        jnp.float32(1e-6), compact=True,
+    )
+    mesh = make_mesh(2, 4)
+    out = match_survey_sharded(
+        mesh, t_depths, t_intrs, t_Rs, t_ts,
+        v_depths, v_rgbs, v_intrs, v_Rs, v_ts,
+    )
+    V, H = v_depths.shape[0], t_depths.shape[1]
+    assert out.valid.shape[1] % 2 == 0 and out.valid.shape[2] % 4 == 0
+    np.testing.assert_array_equal(np.asarray(out.valid[:, :V, :H]), np.asarray(ref.valid))
+    np.testing.assert_allclose(np.asarray(out.z[:, :V, :H]), np.asarray(ref.z), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.I[:, :V, :H]), np.asarray(ref.I))
+    assert int(np.asarray(out.valid[:, V:]).sum()) == 0  # padded views empty
+
+    # Compose with the sharded fit: one target's (view, row)-sharded
+    # stack goes straight into fit_sharded.
+    obs_t = jax.tree.map(lambda x: x[0], out)
+    img = jnp.zeros((obs_t.valid.shape[1], obs_t.valid.shape[2], 3), jnp.float32)
+    res = fit_sharded(init_params(image=img), obs_t, FitConfig(num_iter=2), mesh)
+    assert np.isfinite(float(res.telemetry.cost[-1]))
