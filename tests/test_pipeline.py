@@ -379,3 +379,29 @@ def test_restore_survey_h5_lifecycle(scene_dir, tmp_path):
                          force_compute_matches=True)
     restore_survey(scene, names, out, cfg2, batch_targets=2)
     assert not (out / "img_001.h5").exists()
+
+
+def test_restore_image_scale(scene_dir, tmp_path):
+    """image_scale=0.5 restores at halved dims through both the single
+    path (float resized inputs) and the survey path (generic two-gather
+    matching branch)."""
+    from sucre_tpu.pipeline import restore_survey
+
+    scene = Scene.from_colmap(
+        scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir, image_scale=0.5
+    )
+    cfg = RestoreConfig(num_iter=5, verbose=False, store="memory")
+    res = restore_image(scene, "img_002.png", tmp_path / "a", cfg)
+    assert res.J.shape == (24, 32, 3)
+    assert res.n_obs > 500
+
+    import dataclasses
+
+    cfg32 = dataclasses.replace(cfg, export_dtype="f32")  # exact-compare vs single path
+    res_s = restore_survey(
+        scene, ["img_001.png", "img_002.png"], tmp_path / "s", cfg32, batch_targets=2
+    )
+    assert res_s[1].J.shape == (24, 32, 3)
+    np.testing.assert_allclose(
+        np.nan_to_num(res_s[1].J), np.nan_to_num(res.J), atol=1e-5
+    )
