@@ -1,7 +1,8 @@
 """End-to-end restoration benchmark.
 
 Measures steady-state end-to-end throughput (decode + match + fit +
-export) restoring a batch of targets of a synthetic survey, on whatever
+export) restoring a synthetic survey via the pipelined restore_survey
+driver (BENCH_TARGETS targets in batches of BENCH_BATCH), on whatever
 platform JAX selects (the real TPU chip under the driver).
 
 Prints ONE JSON line:
@@ -11,9 +12,13 @@ Prints ONE JSON line:
 The baseline denominator is the driver-set north star from BASELINE.json
 (>= 50 Mpix/s on a v5e-8 slice); this harness runs on a single chip, so
 vs_baseline ~ 0.125 equals the per-chip north-star share. Detail goes to
-stderr. Configuration via env:
+stderr (the per-stage marks are the FIRST batch's: *_dispatch are host
+async-dispatch times; fetch_render/export are that batch's blocking
+transfer and artifact-write walls). Configuration via env:
   BENCH_VIEWS (default 16), BENCH_W (960), BENCH_H (544),
-  BENCH_TARGETS (4), BENCH_ITERS (200).
+  BENCH_TARGETS (12), BENCH_BATCH (4), BENCH_ITERS (200).
+The scene is generated with max(BENCH_VIEWS, BENCH_TARGETS) views
+(targets are themselves survey views).
 """
 
 from __future__ import annotations

@@ -107,19 +107,24 @@ def _trunc_px(x: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]
     return xs.astype(jnp.int32), ys.astype(jnp.int32)
 
 
-def match_pair(
+def _match_pair_core(
     depth1: jnp.ndarray,  # (H, W) target depth, meters, 0/neg = invalid
     intr1: jnp.ndarray,  # (4,) fx fy cx cy
     R1: jnp.ndarray,  # (3, 3) cam->world
     t1: jnp.ndarray,  # (3,)
-    depth2: jnp.ndarray,  # (H2, W2) other view depth
+    shape2: tuple[int, int],  # (H2, W2)
     intr2: jnp.ndarray,  # (4,)
     R2: jnp.ndarray,
     t2: jnp.ndarray,
-) -> PairMatch:
-    """Two-way-consistent dense matching of one view pair (see module doc)."""
+    fetch,  # (v2s, u2s) -> (d2 f32 meters, I colors or None)
+) -> tuple[PairMatch, jnp.ndarray, jnp.ndarray | None]:
+    """The two-way-consistency geometry shared by every matching variant
+    (parity-critical: reference sfm.py:115-175 semantics). The only
+    degree of freedom is how view 2's per-pixel record is fetched at the
+    candidate coordinates — one packed gather or separate depth/color
+    gathers (see module doc). Returns (match, cP2 masked, I masked)."""
     H, W = depth1.shape
-    H2, W2 = depth2.shape
+    H2, W2 = shape2
     i1 = Intrinsics(intr1[0], intr1[1], intr1[2], intr1[3])
     i2 = Intrinsics(intr2[0], intr2[1], intr2[2], intr2[3])
 
@@ -136,7 +141,7 @@ def match_pair(
 
     u2s = jnp.where(inb2, u2, 0)
     v2s = jnp.where(inb2, v2, 0)
-    d2 = depth2[v2s, u2s]
+    d2, I = fetch(v2s, u2s)
     valid2 = inb2 & (d2 > 0)
 
     # Reverse: view-2 candidate pixel -> world -> back into target view
@@ -148,12 +153,34 @@ def match_pair(
     consistent = (u1b == u1) & (v1b == v1)
 
     valid = valid1 & valid2 & consistent
-    return PairMatch(
+    match = PairMatch(
         u2=jnp.where(valid, u2, NO_MATCH),
         v2=jnp.where(valid, v2, NO_MATCH),
         d2=jnp.where(valid, d2, 0.0),
         valid=valid,
     )
+    cP = jnp.where(valid[..., None], cP2, 0.0)
+    if I is not None:
+        I = jnp.where(valid[..., None], I, jnp.zeros((), I.dtype))
+    return match, cP, I
+
+
+def match_pair(
+    depth1: jnp.ndarray,  # (H, W) target depth, meters, 0/neg = invalid
+    intr1: jnp.ndarray,  # (4,) fx fy cx cy
+    R1: jnp.ndarray,  # (3, 3) cam->world
+    t1: jnp.ndarray,  # (3,)
+    depth2: jnp.ndarray,  # (H2, W2) other view depth
+    intr2: jnp.ndarray,  # (4,)
+    R2: jnp.ndarray,
+    t2: jnp.ndarray,
+) -> PairMatch:
+    """Two-way-consistent dense matching of one view pair (see module doc)."""
+    match, _, _ = _match_pair_core(
+        depth1, intr1, R1, t1, depth2.shape, intr2, R2, t2,
+        fetch=lambda v2s, u2s: (depth2[v2s, u2s], None),
+    )
+    return match
 
 
 def pair_observation(
@@ -206,52 +233,24 @@ def _match_observe_pair_packed(
     """match_pair + pair_observation fused over the packed record table:
     identical outputs (d2 = u16mm -> f32/1000 commutes with the gather;
     colors stay exact u8), one gather instead of two."""
-    H, W = depth1.shape
-    H2, W2 = packed2.shape[:2]
-    i1 = Intrinsics(intr1[0], intr1[1], intr1[2], intr1[3])
-    i2 = Intrinsics(intr2[0], intr2[1], intr2[2], intr2[3])
 
-    u1, v1 = pixel_grid(H, W)
-    valid1 = depth1 > 0
+    def fetch(v2s, u2s):
+        rec = packed2[v2s, u2s]  # the ONE gather
+        w0, w1 = rec[..., 0], rec[..., 1]
+        d2 = (w0 & jnp.uint32(0xFFFF)).astype(jnp.float32) / 1000.0
+        I = jnp.stack(
+            [
+                ((w0 >> 16) & jnp.uint32(0xFF)).astype(jnp.uint8),
+                ((w0 >> 24) & jnp.uint32(0xFF)).astype(jnp.uint8),
+                (w1 & jnp.uint32(0xFF)).astype(jnp.uint8),
+            ],
+            axis=-1,
+        )
+        return d2, I
 
-    cP1 = unproject(i1, u1, v1, depth1)
-    wP1 = transform_points(R1, t1, cP1)
-    R2i, t2i = pose_inverse(R2, t2)
-    x2, y2 = project(i2, transform_points(R2i, t2i, wP1))
-    u2, v2 = _trunc_px(x2, y2)
-    inb2 = (u2 >= 0) & (u2 < W2) & (v2 >= 0) & (v2 < H2)
-    u2s = jnp.where(inb2, u2, 0)
-    v2s = jnp.where(inb2, v2, 0)
-
-    rec = packed2[v2s, u2s]  # the ONE gather
-    w0, w1 = rec[..., 0], rec[..., 1]
-    d2 = (w0 & jnp.uint32(0xFFFF)).astype(jnp.float32) / 1000.0
-    I = jnp.stack(
-        [
-            ((w0 >> 16) & jnp.uint32(0xFF)).astype(jnp.uint8),
-            ((w0 >> 24) & jnp.uint32(0xFF)).astype(jnp.uint8),
-            (w1 & jnp.uint32(0xFF)).astype(jnp.uint8),
-        ],
-        axis=-1,
+    return _match_pair_core(
+        depth1, intr1, R1, t1, packed2.shape[:2], intr2, R2, t2, fetch
     )
-    valid2 = inb2 & (d2 > 0)
-
-    cP2 = unproject(i2, u2s, v2s, d2)
-    wP2 = transform_points(R2, t2, cP2)
-    R1i, t1i = pose_inverse(R1, t1)
-    x1b, y1b = project(i1, transform_points(R1i, t1i, wP2))
-    u1b, v1b = _trunc_px(x1b, y1b)
-    valid = valid1 & valid2 & (u1b == u1) & (v1b == v1)
-
-    match = PairMatch(
-        u2=jnp.where(valid, u2, NO_MATCH),
-        v2=jnp.where(valid, v2, NO_MATCH),
-        d2=jnp.where(valid, d2, 0.0),
-        valid=valid,
-    )
-    cP = jnp.where(valid[..., None], cP2, 0.0)
-    I = jnp.where(valid[..., None], I, jnp.zeros((), I.dtype))
-    return match, cP, I
 
 
 def _is_raw_views(depths2: jnp.ndarray, rgbs2: jnp.ndarray) -> bool:
@@ -358,6 +357,10 @@ def match_survey(
     v_ts: jnp.ndarray,  # (V, 3)
     min_cover: jnp.ndarray,  # scalar
     compact: bool = True,
+    area: jnp.ndarray | None = None,  # true target pixel count; defaults
+    # to H*W — pass the UNPADDED count when the target grid was padded
+    # (padded rows have no valid pixels but would inflate the min-cover
+    # denominator)
 ) -> DenseObs:
     """The WHOLE matching stage as one device program: T targets x V
     views -> the (T, V, H, W) observation stack, min-cover filtering
@@ -372,7 +375,7 @@ def match_survey(
     """
     t_depths = to_f32_depth(t_depths)
     T, H, W = t_depths.shape
-    area = jnp.float32(H * W)
+    area = jnp.float32(H * W) if area is None else jnp.asarray(area, jnp.float32)
 
     raw = _is_raw_views(v_depths, v_rgbs)
     if raw:

@@ -170,7 +170,12 @@ def match_survey_sharded(
     t_intrs, t_Rs, t_ts = (
         jax.device_put(x, repl) for x in (t_intrs, t_Rs, t_ts)
     )
+    W = t_depths.shape[2]
     return match_survey(
         t_depths, t_intrs, t_Rs, t_ts, *v_arrays,
         jnp.float32(min_cover), compact=compact,
+        # the UNPADDED pixel count: padded rows have no valid matches but
+        # would otherwise inflate the min-cover denominator, silently
+        # dropping borderline pairs that the unsharded program keeps
+        area=jnp.float32(H * W),
     )

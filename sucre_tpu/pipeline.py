@@ -691,6 +691,17 @@ def _dispatch_batch(
             log(f"Surface cull: {len(culled_list)}/{len(image_list)} views kept.")
 
     dev_t = _device_target_arrays(device_views, targets)
+    # target depth stack + intrinsics, shared by matching and the render
+    # (uploaded/stacked at most once per batch)
+    t_depth_stack = dev_t[0] if dev_t is not None else None
+    t_intrs_np = np.stack([t.intrinsics for t in targets]).astype(np.float32)
+
+    def target_depth_stack():
+        nonlocal t_depth_stack
+        if t_depth_stack is None:
+            t_depth_stack = jnp.asarray(np.stack([cache.get(t)[1] for t in targets]))
+        return t_depth_stack
+
     stacked_obs = None
     if to_match:
         # Fast path: the whole matching stage as ONE device program over
@@ -732,14 +743,9 @@ def _dispatch_batch(
                 f"Compute matches for {len(targets)} targets "
                 f"(one survey program over {arrays[0].shape[0]} views)."
             )
-            t_depths_in = (
-                dev_t[0]
-                if dev_t is not None
-                else jnp.asarray(np.stack([cache.get(t)[1] for t in targets]))
-            )
             stacked_obs = match_survey(
-                t_depths_in,
-                jnp.asarray(np.stack([t.intrinsics for t in targets]).astype(np.float32)),
+                target_depth_stack(),
+                jnp.asarray(t_intrs_np),
                 jnp.asarray(np.stack([t.R for t in targets]).astype(np.float32)),
                 jnp.asarray(np.stack([t.t for t in targets]).astype(np.float32)),
                 *arrays,
@@ -828,15 +834,11 @@ def _dispatch_batch(
     # telemetry, u8 renders and observation counts together.
     from sucre_tpu.ops.matching import to_f32_depth
 
-    t_depths_dev = to_f32_depth(
-        dev_t[0]
-        if dev_t is not None
-        else jnp.asarray(np.stack([cache.get(t)[1] for t in targets]))
-    )
+    t_depths_dev = to_f32_depth(target_depth_stack())
     recs_dev = viz.render_reconstruction_batch_device(
         params._replace(J=None),
         J,
-        jnp.asarray(np.stack([t.intrinsics for t in targets]).astype(np.float32)),
+        jnp.asarray(t_intrs_np),
         t_depths_dev,
     )
     # Export validity on device (parity: _export_mask) so the percentile
@@ -1031,26 +1033,59 @@ def restore_survey(
         batches.extend(batched(names, batch_targets))
 
     results: list[RestoreResult] = []
+
+    def fetch_timed(b: _BatchInFlight):
+        t0 = time.perf_counter()
+        fetched = _fetch_batch(b)
+        b.timings["fetch_render"] = time.perf_counter() - t0
+        return fetched
+
+    def export_timed(b: _BatchInFlight, fetched):
+        t0 = time.perf_counter()
+        out = _export_batch(b, fetched)
+        dt = time.perf_counter() - t0
+        return [r._replace(timings={**r.timings, "export": dt}) for r in out]
+
     with cf.ThreadPoolExecutor(max_workers=1) as exporter:
         prev: _BatchInFlight | None = None
         export_future = None
-        for group in batches:
-            cur = _dispatch_batch(
-                scene, list(group), output_dir, cfg, image_list, cache,
-                device_views, mesh, log,
-            )
+        try:
+            for group in batches:
+                cur = _dispatch_batch(
+                    scene, list(group), output_dir, cfg, image_list, cache,
+                    device_views, mesh, log,
+                )
+                if prev is not None:
+                    fetched = fetch_timed(prev)  # overlaps cur's device work
+                    if export_future is not None:
+                        results.extend(export_future.result())
+                    export_future = exporter.submit(export_timed, prev, fetched)
+                prev = cur
             if prev is not None:
-                fetched = _fetch_batch(prev)  # overlaps cur's device work
+                fetched = fetch_timed(prev)
                 if export_future is not None:
                     results.extend(export_future.result())
-                export_future = exporter.submit(_export_batch, prev, fetched)
-            prev = cur
-        if prev is not None:
-            fetched = _fetch_batch(prev)
+                results.extend(export_timed(prev, fetched))
+                prev = None
+        except Exception:
+            # Salvage batches already dispatched/in export: their device
+            # work is done — write their artifacts before propagating, so
+            # one bad batch doesn't discard its predecessors' outputs.
             if export_future is not None:
-                results.extend(export_future.result())
-            results.extend(_export_batch(prev, fetched))
-    return results
+                try:
+                    results.extend(export_future.result())
+                except Exception:
+                    pass
+            if prev is not None:
+                try:
+                    results.extend(export_timed(prev, fetch_timed(prev)))
+                except Exception:
+                    pass
+            raise
+    # batches were grouped by camera dims — return in input order
+    by_name = {r.image_name: r for r in results}
+    order = [scene[n].name for n in image_names]
+    return [by_name[n] for n in order if n in by_name]
 
 
 def _export_mask(cfg: RestoreConfig, target_depth: np.ndarray, observed: np.ndarray):

@@ -118,7 +118,9 @@ def test_match_survey_sharded_equals_unsharded():
     import tempfile
     from pathlib import Path
 
-    sd = make_scene(Path(tempfile.mkdtemp()), n_views=5, width=64, height=48)
+    # height 50 is NOT divisible by the 4 row shards: exercises target-row
+    # padding, including the min-cover area correction (true H*W, not padded)
+    sd = make_scene(Path(tempfile.mkdtemp()), n_views=5, width=64, height=50)
     scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
     views = scene.view_list()
     arrays = [load_view_arrays(v, raw=True) for v in views]

@@ -405,3 +405,18 @@ def test_restore_image_scale(scene_dir, tmp_path):
     np.testing.assert_allclose(
         np.nan_to_num(res_s[1].J), np.nan_to_num(res.J), atol=1e-5
     )
+
+
+def test_restore_survey_mixed_dims_input_order(tmp_path):
+    """Mixed-camera surveys are internally batched per dimension group but
+    results come back in input order (positional zip with names is safe)."""
+    from sucre_tpu.pipeline import restore_survey
+
+    sd = make_scene(tmp_path, n_views=6, two_cameras=True)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    names = ["img_000.png", "img_001.png", "img_002.png", "img_003.png"]  # interleaved dims
+    cfg = RestoreConfig(num_iter=3, verbose=False, store="memory")
+    res = restore_survey(scene, names, tmp_path / "o", cfg, batch_targets=2)
+    assert [r.image_name for r in res] == names
+    dims = [(scene[n].height, scene[n].width) for n in names]
+    assert [r.J.shape[:2] for r in res] == dims
