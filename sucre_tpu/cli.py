@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="restore up to N same-dimension targets per device "
                              "program (--image-list/--image-ids modes); 1 restores "
                              "strictly sequentially like the reference.")
+    parser.add_argument("--bilinear-colors", action="store_true",
+                        help="sample observed colors bilinearly at the continuous "
+                             "reprojection instead of the reference's nearest-pixel "
+                             "gather (quality upgrade; matches/geometry unchanged).")
     parser.add_argument("--joint-params", action="store_true",
                         help="estimate ONE shared set of water parameters "
                              "(B, beta, gamma[, light]) jointly across all targets "
@@ -161,6 +165,7 @@ def main(argv: list[str] | None = None) -> int:
         num_workers=args.num_workers,
         match_chunk=args.match_chunk,
         joint_params=args.joint_params,
+        bilinear_colors=args.bilinear_colors,
         checkpoint_interval=args.checkpoint_interval,
         verbose=not args.quiet,
     )

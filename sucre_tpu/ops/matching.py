@@ -205,6 +205,56 @@ def pair_observation(
     return cP, I
 
 
+def bilinear_observation(
+    depth1: jnp.ndarray,  # (H, W) f32 target depth
+    intr1: jnp.ndarray,
+    R1: jnp.ndarray,
+    t1: jnp.ndarray,
+    rgb2: jnp.ndarray,  # (H2, W2, 3) u8 or f32
+    intr2: jnp.ndarray,
+    R2: jnp.ndarray,
+    t2: jnp.ndarray,
+    match: PairMatch,
+) -> jnp.ndarray:
+    """Bilinear color sampling at the continuous reprojection — the
+    flagged quality upgrade over the reference's nearest-pixel gather
+    (loader.py:87). The forward projection is recomputed (pure vector
+    math, no gathers); colors interpolate between the four neighboring
+    pixel centers (projection coords follow the +0.5 center convention),
+    clamped at borders. Returns (H, W, 3) f32 in [0, 1], zero at invalid
+    matches. Geometry/validity are untouched — only the observed color
+    changes, so fits keep the exact reference observation sets."""
+    H2, W2 = rgb2.shape[:2]
+    i1 = Intrinsics(intr1[0], intr1[1], intr1[2], intr1[3])
+    i2 = Intrinsics(intr2[0], intr2[1], intr2[2], intr2[3])
+    H, W = depth1.shape
+    u1, v1 = pixel_grid(H, W)
+    cP1 = unproject(i1, u1, v1, depth1)
+    wP1 = transform_points(R1, t1, cP1)
+    R2i, t2i = pose_inverse(R2, t2)
+    x2, y2 = project(i2, transform_points(R2i, t2i, wP1))
+
+    # center-based coords: pixel (u, v)'s center is at (u + 0.5, v + 0.5)
+    xs = jnp.clip(jnp.where(jnp.isfinite(x2), x2, 0.0) - 0.5, 0.0, W2 - 1.0)
+    ys = jnp.clip(jnp.where(jnp.isfinite(y2), y2, 0.0) - 0.5, 0.0, H2 - 1.0)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x1p = jnp.minimum(x0 + 1, W2 - 1)
+    y1p = jnp.minimum(y0 + 1, H2 - 1)
+    fx = (xs - x0.astype(jnp.float32))[..., None]
+    fy = (ys - y0.astype(jnp.float32))[..., None]
+
+    rgb2f = to_f32_rgb(rgb2)
+    c00 = rgb2f[y0, x0]
+    c01 = rgb2f[y0, x1p]
+    c10 = rgb2f[y1p, x0]
+    c11 = rgb2f[y1p, x1p]
+    top = c00 * (1.0 - fx) + c01 * fx
+    bot = c10 * (1.0 - fx) + c11 * fx
+    I = top * (1.0 - fy) + bot * fy
+    return jnp.where(match.valid[..., None], I, 0.0)
+
+
 def _pack_view_records(depths_u16: jnp.ndarray, rgbs_u8: jnp.ndarray) -> jnp.ndarray:
     """Pack each view pixel's record — u16 millimeter depth + u8 RGB —
     into (..., 2) uint32 words so the matching stage performs ONE random
@@ -292,6 +342,7 @@ def match_and_observe_chunk(
     Rs2: jnp.ndarray,  # (V, 3, 3)
     ts2: jnp.ndarray,  # (V, 3)
     compact: bool = False,
+    bilinear: bool = False,
 ) -> tuple[DenseObs, PairMatch]:
     """Match the target against a chunk of V views and build the dense
     observation stack — the jit unit of the matching stage (vmapped over
@@ -302,6 +353,8 @@ def match_and_observe_chunk(
     z-only observation layout (see DenseObs) with I kept in its source
     dtype — the no-light fit fast path. Raw integer inputs take the
     packed single-gather path (see _pack_view_records).
+    ``bilinear=True`` swaps the nearest-pixel color gather for bilinear
+    sampling at the continuous reprojection (matches/geometry unchanged).
     """
     depth1 = to_f32_depth(depth1)
 
@@ -314,7 +367,9 @@ def match_and_observe_chunk(
             )
 
         m, cP, I = jax.vmap(one)(packed, intrs2, Rs2, ts2)
-        if not compact:
+        if bilinear:
+            pass  # replaced below
+        elif not compact:
             I = to_f32_rgb(I)
     else:
         depths2 = to_f32_depth(depths2)
@@ -325,6 +380,13 @@ def match_and_observe_chunk(
             return m, cP, I
 
         m, cP, I = jax.vmap(one)(depths2, rgbs2, intrs2, Rs2, ts2)
+    if bilinear:
+        def one_bi(rgb2, intr2, R2, t2, m_v):
+            return bilinear_observation(
+                depth1, intr1, R1, t1, rgb2, intr2, R2, t2, m_v
+            )
+
+        I = jax.vmap(one_bi)(rgbs2, intrs2, Rs2, ts2, m)
     obs = DenseObs(valid=m.valid, cP=cP, I=I)
     if compact:
         obs = obs.compact()
@@ -332,7 +394,7 @@ def match_and_observe_chunk(
 
 
 match_and_observe_chunk_jit = jax.jit(
-    match_and_observe_chunk, static_argnames=("compact",)
+    match_and_observe_chunk, static_argnames=("compact", "bilinear")
 )
 
 
@@ -344,7 +406,7 @@ def _min_cover_mask(valid: jnp.ndarray, area: jnp.ndarray, min_cover) -> jnp.nda
     return valid & keep[:, None, None]
 
 
-@partial(jax.jit, static_argnames=("compact",))
+@partial(jax.jit, static_argnames=("compact", "bilinear"))
 def match_survey(
     t_depths: jnp.ndarray,  # (T, H, W) target depths, f32 m or u16 mm
     t_intrs: jnp.ndarray,  # (T, 4)
@@ -357,6 +419,7 @@ def match_survey(
     v_ts: jnp.ndarray,  # (V, 3)
     min_cover: jnp.ndarray,  # scalar
     compact: bool = True,
+    bilinear: bool = False,
     area: jnp.ndarray | None = None,  # true target pixel count; defaults
     # to H*W — pass the UNPADDED count when the target grid was padded
     # (padded rows have no valid pixels but would inflate the min-cover
@@ -386,18 +449,26 @@ def match_survey(
 
     def one_target(d1, intr1, R1, t1):
         if raw:
-            def one_view(pk, intr2, R2, t2):
+            def one_view(pk, rgb2, intr2, R2, t2):
                 m, cP, I = _match_observe_pair_packed(
                     d1, intr1, R1, t1, pk, intr2, R2, t2
                 )
+                if bilinear:
+                    I = bilinear_observation(
+                        d1, intr1, R1, t1, rgb2, intr2, R2, t2, m
+                    )
                 return m.valid, cP, I
 
-            valid, cP, I = jax.vmap(one_view)(packed, v_intrs, v_Rs, v_ts)
+            valid, cP, I = jax.vmap(one_view)(packed, v_rgbs, v_intrs, v_Rs, v_ts)
             return _min_cover_mask(valid, area, min_cover), cP, I
 
         def one_view(depth2, rgb2, intr2, R2, t2):
             m = match_pair(d1, intr1, R1, t1, depth2, intr2, R2, t2)
             cP, I = pair_observation(m, intr2, rgb2)
+            if bilinear:
+                I = bilinear_observation(
+                    d1, intr1, R1, t1, rgb2, intr2, R2, t2, m
+                )
             return m.valid, cP, I
 
         valid, cP, I = jax.vmap(one_view)(v_depths, v_rgbs, v_intrs, v_Rs, v_ts)

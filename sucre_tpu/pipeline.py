@@ -64,6 +64,7 @@ class RestoreConfig:
     match_chunk: int = 8  # views per device matching batch
     store: str = "hdf5"  # "hdf5" (reference cache lifecycle) | "memory"
     joint_params: bool = False  # share B/beta/gamma across the whole batch
+    bilinear_colors: bool = False  # bilinear (vs reference nearest) color sampling
     frustum_cull: bool = True  # skip pairs whose surface AABBs cannot overlap
     export_dtype: str = "f16"  # J device->host transfer dtype ("f16" | "f32");
     # f16 halves the fetch; its ~5e-4 max error is far below the 8-bit
@@ -230,6 +231,7 @@ def compute_matches(
     collect_dense: bool = True,
     cache: ViewCache | None = None,
     compact: bool = False,
+    bilinear: bool = False,
     log: Callable[[str], None] = lambda s: None,
 ) -> tuple[DenseObs | None, list[str]]:
     """Stage A+B fused: match the target against every view in
@@ -268,7 +270,7 @@ def compute_matches(
                 [c[2] for c in chunk], [c[1] for c in chunk], sub, match_chunk
             )
             obs, match = match_and_observe_chunk_jit(
-                d1, intr1, R1, t1, *dev, compact=compact
+                d1, intr1, R1, t1, *dev, compact=compact, bilinear=bilinear
             )
             # Only the tiny per-view count vector crosses to host; the dense
             # stacks stay device-resident for the fit.
@@ -334,6 +336,7 @@ def match_targets_shared(
     match_chunk: int = 8,
     matches_files: list[MatchesFile | None] | None = None,
     compact: bool = False,
+    bilinear: bool = False,
     device_views: DeviceViews | None = None,
     log: Callable[[str], None] = lambda s: None,
 ) -> tuple[list[DenseObs | None], list[list[str]]]:
@@ -384,7 +387,7 @@ def match_targets_shared(
         n = len(sub)
         for ti in range(T):
             obs, match = match_and_observe_chunk_jit(
-                *tdev[ti], *dev, compact=compact
+                *tdev[ti], *dev, compact=compact, bilinear=bilinear
             )
             counts = obs.valid[:n].sum(axis=(1, 2))
             pending.append((ti, sub, n, obs, match, counts))
@@ -488,6 +491,7 @@ def restore_image(
             target_depth=target_depth,
             collect_dense=True,
             compact=not cfg.light_model,
+            bilinear=cfg.bilinear_colors,
         )
     timings["match"] = time.perf_counter() - t0
 
@@ -751,6 +755,7 @@ def _dispatch_batch(
                 *arrays,
                 jnp.float32(cfg.min_cover),
                 compact=not cfg.light_model,
+                bilinear=cfg.bilinear_colors,
             )
         else:
             log(f"Compute matches for {len(to_match)} targets (shared view stack).")
@@ -762,6 +767,7 @@ def _dispatch_batch(
                 match_chunk=cfg.match_chunk,
                 matches_files=[matches_files[ti] for ti in to_match],
                 compact=not cfg.light_model,
+                bilinear=cfg.bilinear_colors,
                 # the resident chunks cover the FULL list; stream from the
                 # cache instead when culling removed views
                 device_views=device_views if len(culled_list) == len(image_list) else None,

@@ -238,3 +238,59 @@ def test_packed_gather_path_equals_float_path():
         else:
             np.testing.assert_allclose(Ia, Ib, atol=1e-7)
             np.testing.assert_allclose(np.asarray(obs_a.cP), np.asarray(obs_b.cP), atol=1e-6)
+
+
+def test_bilinear_observation():
+    """Bilinear color sampling: equals nearest on constant images, and
+    recovers fractional-position values exactly on a linear ramp (where
+    bilinear interpolation is exact); matches/geometry are unchanged."""
+    from sucre_tpu.ops.matching import bilinear_observation, match_and_observe_chunk_jit
+
+    rng = np.random.default_rng(5)
+    H = W = 32
+    V = 2
+    depth_mm = np.full((V, H, W), 2000, np.uint16)
+    # view 0: constant color; view 1: horizontal ramp
+    rgbs = np.zeros((V, H, W, 3), np.uint8)
+    rgbs[0] = 120
+    ramp = np.linspace(0, 255, W).astype(np.uint8)
+    rgbs[1] = ramp[None, :, None]
+    intr = np.tile(_intr(40.0, 40.0, W / 2, H / 2), (V, 1))
+    Rs = np.tile(np.eye(3, dtype=np.float32), (V, 1, 1))
+    # small x-offset so reprojections land at fractional pixel positions
+    ts = np.stack([np.zeros(3, np.float32), np.array([0.0123, 0, 0], np.float32)])
+
+    args = (
+        jnp.asarray(depth_mm[0].astype(np.float32) / 1000),
+        jnp.asarray(intr[0]), jnp.asarray(Rs[0]), jnp.asarray(ts[0]),
+        jnp.asarray(depth_mm), jnp.asarray(rgbs),
+        jnp.asarray(intr), jnp.asarray(Rs), jnp.asarray(ts),
+    )
+    obs_n, m_n = match_and_observe_chunk_jit(*args, compact=False)
+    obs_b, m_b = match_and_observe_chunk_jit(*args, compact=False, bilinear=True)
+
+    # geometry identical
+    np.testing.assert_array_equal(np.asarray(m_n.valid), np.asarray(m_b.valid))
+    np.testing.assert_array_equal(np.asarray(m_n.u2), np.asarray(m_b.u2))
+
+    valid0 = np.asarray(obs_n.valid[0])
+    assert valid0.sum() > 500
+    # constant image: identical colors
+    np.testing.assert_allclose(
+        np.asarray(obs_b.I[0])[valid0], np.asarray(obs_n.I[0])[valid0], atol=1e-6
+    )
+    # ramp image: bilinear interpolates the sub-pixel offset; away from
+    # borders the analytic value is ramp(x2 - 0.5) which differs from the
+    # nearest sample by the fractional offset
+    valid1 = np.asarray(obs_n.valid[1])
+    interior = np.zeros_like(valid1)
+    interior[2:-2, 2:-2] = True
+    sel = valid1 & interior
+    assert sel.sum() > 300
+    In = np.asarray(obs_n.I[1], np.float32)[sel][:, 0]
+    Ib = np.asarray(obs_b.I[1], np.float32)[sel][:, 0]
+    # bilinear must deviate from nearest (fractional offset) but stay
+    # within one ramp step of it
+    step = 255.0 / (W - 1) / 255.0
+    assert np.abs(Ib - In).max() <= step + 1e-6
+    assert np.abs(Ib - In).mean() > 1e-4
