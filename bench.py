@@ -83,8 +83,8 @@ def main() -> None:
     # on first executions, and run-to-run variance is high). Reps continue
     # until the count or the time budget is exhausted — at least 2 so one
     # post-warmup measurement always exists.
-    reps = int(os.environ.get("BENCH_REPS", 4))
-    budget = float(os.environ.get("BENCH_BUDGET_S", 420))
+    reps = int(os.environ.get("BENCH_REPS", 6))
+    budget = float(os.environ.get("BENCH_BUDGET_S", 480))
     bench_start = time.perf_counter()
     walls = []
     for rep in range(reps):
