@@ -199,8 +199,19 @@ def read_cameras_txt(path: Path | str) -> dict[int, ColmapCamera]:
 
 
 def read_images_txt(path: Path | str) -> dict[int, ColmapImage]:
+    """Strict COLMAP pairing: every image is exactly TWO lines — the
+    header and a POINTS2D line that may be empty. Empty lines are kept
+    (filtering them made a zero-point image's next header get misread as
+    its points; names may contain spaces, so token-count heuristics
+    cannot disambiguate)."""
     images: dict[int, ColmapImage] = {}
-    lines = list(_data_lines(path))
+    lines = [
+        ln.strip()
+        for ln in Path(path).read_text().splitlines()
+        if not ln.strip().startswith("#")
+    ]
+    while lines and lines[-1] == "":
+        lines.pop()
     i = 0
     while i < len(lines):
         parts = lines[i].split()
@@ -210,22 +221,15 @@ def read_images_txt(path: Path | str) -> dict[int, ColmapImage]:
         camera_id = int(parts[8])
         # COLMAP reads the name as the line remainder — it may contain spaces.
         name = " ".join(parts[9:])
-        i += 1
-        # Points2D line follows (may be an empty line which _data_lines
-        # filtered out — detect by whether the next line parses as an image
-        # header; COLMAP always writes the points line, possibly empty, so
-        # an omitted line only occurs in hand-trimmed files).
         xys = np.zeros((0, 2))
         point3D_ids = np.zeros((0,), np.int64)
-        if i < len(lines):
-            pparts = lines[i].split()
-            if len(pparts) % 3 == 0 and len(pparts) > 0:
+        if i + 1 < len(lines):
+            pparts = lines[i + 1].split()
+            if pparts:
                 vals = np.array(pparts, dtype=np.float64).reshape(-1, 3)
                 xys = vals[:, :2]
                 point3D_ids = vals[:, 2].astype(np.int64)
-                i += 1
-            elif len(pparts) == 0:
-                i += 1
+        i += 2
         images[image_id] = ColmapImage(image_id, qvec, tvec, camera_id, name, xys, point3D_ids)
     return images
 

@@ -129,6 +129,12 @@ def fit_many(
     if cfg_pallas is None:
         want = eligible and jax.default_backend() == "tpu"
     else:
+        if cfg_pallas and not eligible:
+            raise ValueError(
+                "use_pallas=True but the fused kernel is not eligible for "
+                "this batched fit (needs: direct mode, no light model, "
+                "compact z-layout, no mesh); use use_pallas=None for auto"
+            )
         want = cfg_pallas and eligible
     pallas_mode = (
         ("tpu" if jax.default_backend() == "tpu" else "interpret") if want else "off"

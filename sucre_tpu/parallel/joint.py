@@ -94,7 +94,10 @@ def _fit_joint_jit(
             sp = SucreParams(B=p.B, beta=p.beta, gamma=p.gamma, J=t_J,
                              cam2light=p.cam2light, sigma=p.sigma)
             if use_closed_form:
-                J_const, _ = closed_form_J(sp, t_obs)
+                # constant w.r.t. the globals within an iteration
+                # (reference torch.no_grad parity, sucre.py:66-68; also
+                # halves the backward pass over the stack)
+                J_const = jax.lax.stop_gradient(closed_form_J(sp, t_obs)[0])
                 return residual_loss(sp, J_const, t_obs, t_n)
             return residual_loss(sp, t_J, t_obs, t_n)
 
@@ -125,14 +128,27 @@ def _fit_joint_jit(
         return p.J, jnp.any(obs.valid, axis=1)
 
     J, observed = final_J(params)
-    return params, J, observed, FitTelemetry(*ys)
+    # telemetry parity with the per-target fit: globals are shared, but
+    # exports slice per target — broadcast to (num_iter, T, 3)
+    cost_tr, B_tr, beta_tr, gamma_tr = ys
+    T = cost_tr.shape[1]
+
+    def per_target(x):
+        return jnp.broadcast_to(x[:, None, :], (x.shape[0], T, 3))
+
+    tel = FitTelemetry(
+        cost=cost_tr, B=per_target(B_tr),
+        beta=per_target(beta_tr), gamma=per_target(gamma_tr),
+    )
+    return params, J, observed, tel
 
 
 def fit_joint(params: JointParams, obs: DenseObs, cfg: FitConfig):
     """Jointly fit T targets with shared globals.
 
     Returns (params, J (T,H,W,3), observed (T,H,W), telemetry with
-    cost (num_iter, T) and shared-parameter trajectories (num_iter, 3)).
+    cost (num_iter, T) and the shared-parameter trajectories broadcast
+    per target, (num_iter, T, 3) — same layout as fit_many's).
     """
     params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
     n_obs = jnp.sum(obs.valid, axis=tuple(range(1, obs.valid.ndim))).astype(jnp.float32)

@@ -238,6 +238,16 @@ def fit(
     for c in boundaries:
         segments.append(c - prev)
         prev = c
+    # Each DISTINCT segment length is a separate XLA compile of the whole
+    # fit program (n_steps is static). Misaligned save/checkpoint periods
+    # can produce many unique lengths; collapse them to one compiled
+    # length (their gcd) — more dispatches, but dispatches are ~ms while
+    # first compiles are minutes on remote-compile links.
+    if len(set(segments)) > 2:
+        import math
+
+        g = math.gcd(*set(segments))
+        segments = [g] * (sum(segments) // g)
 
     # Fused-kernel eligibility: direct mode, no light model, compact layout,
     # unchunked, data on a single device (the kernel is not partitioned).
@@ -252,6 +262,13 @@ def fit(
     if cfg.use_pallas is None:
         want = eligible and jax.default_backend() == "tpu"
     else:
+        if cfg.use_pallas and not eligible:
+            raise ValueError(
+                "use_pallas=True but the fused kernel is not eligible here "
+                "(needs: direct mode, no light model, compact z-layout, "
+                "unchunked views, single-device stack); use use_pallas=None "
+                "for auto-selection"
+            )
         want = cfg.use_pallas and eligible
     if want:
         pallas_mode = "tpu" if jax.default_backend() == "tpu" else "interpret"

@@ -62,15 +62,18 @@ class MatchesFile:
         u2: np.ndarray,
         v2: np.ndarray,
         d: np.ndarray,
-        I: np.ndarray,  # (N, 3) or (3, N)
+        I: np.ndarray,  # (N, 3) observations-major
     ) -> None:
         """Append one paired image's packed matches (reference schema:
-        loader.py:68-76 — int16 coords, (3, N) float32 colors)."""
+        loader.py:68-76 — int16 coords, (3, N) float32 colors).
+
+        ``I`` must be (N, 3): requiring one explicit orientation avoids
+        the N == 3 ambiguity a shape heuristic cannot resolve (a
+        transposed 3x3 color block would corrupt the cache silently)."""
         I = np.asarray(I, np.float32)
-        if I.ndim != 2:
-            raise ValueError("I must be 2D")
-        if I.shape[0] != 3:
-            I = I.T
+        if I.ndim != 2 or I.shape[1] != 3 or I.shape[0] != len(np.asarray(u1)):
+            raise ValueError(f"I must be (N, 3) observations-major, got {I.shape}")
+        I = I.T  # stored channels-first per the reference schema
         with h5py.File(self.path, "a", libver="latest") as f:
             group = f.create_group(image2_name)
             group.create_dataset("u1", data=np.asarray(u1, np.int16))

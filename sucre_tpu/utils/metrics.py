@@ -20,9 +20,10 @@ def psnr(a: np.ndarray, b: np.ndarray, mask: np.ndarray | None = None,
     b = np.asarray(b, np.float64)
     valid = np.isfinite(a) & np.isfinite(b)
     if mask is not None:
-        valid &= np.broadcast_to(
-            np.asarray(mask, bool)[..., None] if mask.ndim == a.ndim - 1 else mask, a.shape
-        )
+        mask = np.asarray(mask, bool)
+        if mask.ndim == a.ndim - 1:
+            mask = mask[..., None]
+        valid &= np.broadcast_to(mask, a.shape)
     if not valid.any():
         return float("nan")
     mse = np.mean((a[valid] - b[valid]) ** 2)

@@ -147,3 +147,25 @@ class TestSceneIngest:
         assert stack.R.shape == (4, 3, 3)
         assert stack.t.shape == (4, 3)
         assert len(stack) == 4
+
+
+def test_images_txt_zero_points_and_spaced_names(tmp_path):
+    """A zero-point image followed by a header whose name contains spaces
+    (token count divisible by 3) must parse via strict two-line pairing."""
+    from sucre_tpu.io import colmap as cio
+
+    txt = "\n".join([
+        "# comment",
+        "1 1.0 0.0 0.0 0.0 0.1 0.2 0.3 1 my photo 01.png",
+        "",  # zero POINTS2D
+        "2 1.0 0.0 0.0 0.0 0.4 0.5 0.6 1 my photo 02.png",
+        "1.5 2.5 7 3.5 4.5 9",
+        "",
+    ])
+    p = tmp_path / "images.txt"
+    p.write_text(txt)
+    images = cio.read_images_txt(p)
+    assert images[1].name == "my photo 01.png"
+    assert len(images[1].point3D_ids) == 0
+    assert images[2].name == "my photo 02.png"
+    assert list(images[2].point3D_ids) == [7, 9]

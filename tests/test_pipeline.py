@@ -420,3 +420,46 @@ def test_restore_survey_mixed_dims_input_order(tmp_path):
     assert [r.image_name for r in res] == names
     dims = [(scene[n].height, scene[n].width) for n in names]
     assert [r.J.shape[:2] for r in res] == dims
+
+
+def test_store_three_match_pair_orientation(tmp_path):
+    """A pair with exactly N == 3 matches must round-trip colors exactly
+    (the old (N,3)-vs-(3,N) shape heuristic transposed this case)."""
+    import h5py
+
+    mf = MatchesFile(tmp_path / "m.h5")
+    I = np.array([[0.0, 0.1, 0.2], [0.3, 0.4, 0.5], [0.6, 0.7, 0.8]], np.float32)
+    mf.save_pair(
+        "other.png",
+        u1=np.array([1, 2, 3]), v1=np.array([4, 5, 6]),
+        u2=np.array([7, 8, 9]), v2=np.array([1, 2, 3]),
+        d=np.array([1.0, 2.0, 3.0], np.float32),
+        I=I,
+    )
+    with h5py.File(mf.path, "r") as f:
+        stored = f["other.png"]["I"][()]
+    assert stored.shape == (3, 3)
+    np.testing.assert_allclose(stored, I.T)  # channels-first schema
+    with pytest.raises(ValueError):
+        mf2 = MatchesFile(tmp_path / "m2.h5")
+        mf2.save_pair(
+            "x.png", u1=np.zeros(3), v1=np.zeros(3), u2=np.zeros(3),
+            v2=np.zeros(3), d=np.ones(3), I=I.reshape(9, 1),
+        )
+
+
+def test_joint_params_export_four_targets(scene_dir, tmp_path):
+    """Joint-mode telemetry is broadcast per target: exporting a batch of
+    4+ targets must not crash (globals trajectories were (iters, 3) and
+    got sliced per target)."""
+    from sucre_tpu.pipeline import restore_many
+
+    scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+    names = ["img_000.png", "img_001.png", "img_002.png", "img_003.png"]
+    cfg = RestoreConfig(num_iter=3, verbose=False, store="memory", joint_params=True)
+    res = restore_many(scene, names, tmp_path / "o", cfg)
+    assert len(res) == 4
+    for r in res:
+        assert r.telemetry.B.shape == (3, 3)  # (iters, 3) per-target slice
+        # shared water model: all targets carry identical globals
+        np.testing.assert_allclose(np.asarray(r.params.B), np.asarray(res[0].params.B))
