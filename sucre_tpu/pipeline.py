@@ -559,12 +559,35 @@ def restore_image(
 
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
-    valid = _export_mask(cfg, target_depth, np.asarray(res.observed))
-    J = np.asarray(res.J, np.float32).copy()
+    # Device-side export renders while J is resident, then ONE batched
+    # device->host fetch (same structure as the batched path; J stays
+    # f32 here — the single-image path keeps full precision).
+    intr_dev = jnp.asarray(np.asarray(target.intrinsics, np.float32))
+    d_dev = jnp.asarray(np.asarray(target_depth, np.float32))
+    rec_dev = viz.render_reconstruction_batch_device(
+        jax.tree.map(lambda x: x[None], res.params._replace(J=None)),
+        res.J[None], intr_dev[None], d_dev[None],
+    )[0]
+    valid_dev = (
+        res.observed.astype(bool) if cfg.use_closed_form else d_dev > 0
+    )
+    rgb_dev = viz.plot_J_batch_device(res.J[None], valid_dev[None])[0]
+    observed_fetch = res.observed if cfg.use_closed_form else None
+    params_noJ, J, observed, rec_u8, rgb_u8 = jax.device_get(
+        (res.params._replace(J=None), res.J, observed_fetch, rec_dev, rgb_dev)
+    )
+    res = res._replace(
+        params=params_noJ._replace(J=J if res.params.J is not None else None)
+    )
+    valid = _export_mask(
+        cfg, target_depth, None if observed is None else np.asarray(observed)
+    )
+    J = np.asarray(J, np.float32).copy()
     J[~valid] = np.nan
 
     artifacts = viz.save_plots(
-        output_dir, target.name, res.params, J, valid, target.intrinsics, target_depth
+        output_dir, target.name, res.params, J, valid, target.intrinsics,
+        target_depth, reconstruction=np.asarray(rec_u8), rgb_plot=np.asarray(rgb_u8),
     )
     params_out = (output_dir / target.name).with_suffix(".npz")
     ckpt.save_params(params_out, res.params, J=J, valid=valid)
