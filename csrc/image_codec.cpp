@@ -129,6 +129,49 @@ int decode_depth_png16(const char* path, uint16_t* out, int32_t width, int32_t h
     return 0;
 }
 
+// uint8 HxWxC row-major (C = 1 or 3) -> PNG file. compress_level 0-9
+// (Z_NO_COMPRESSION..Z_BEST_COMPRESSION; artifacts default to 1 —
+// lossless either way, encode speed is what matters on the export
+// path). Returns 0 on success.
+int encode_png8(const char* path, const uint8_t* data, int32_t width,
+                int32_t height, int32_t channels, int32_t compress_level) {
+    if (channels != 1 && channels != 3) return -3;
+    FILE* f = std::fopen(path, "wb");
+    if (!f) return -1;
+    png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+    png_infop info = png ? png_create_info_struct(png) : nullptr;
+    if (!png || !info) {
+        if (png) png_destroy_write_struct(&png, info ? &info : nullptr);
+        std::fclose(f);
+        return -2;
+    }
+    if (setjmp(png_jmpbuf(png))) {
+        png_destroy_write_struct(&png, &info);
+        std::fclose(f);
+        return -4;
+    }
+    png_init_io(png, f);
+    png_set_compression_level(png, compress_level);
+    // Filter selection dominates encode time at low compression; NONE is
+    // the fast path and matches what level-1 encoders typically pick.
+    png_set_filter(png, 0, PNG_FILTER_NONE);
+    png_set_IHDR(png, info, static_cast<png_uint_32>(width),
+                 static_cast<png_uint_32>(height), 8,
+                 channels == 3 ? PNG_COLOR_TYPE_RGB : PNG_COLOR_TYPE_GRAY,
+                 PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+                 PNG_FILTER_TYPE_DEFAULT);
+    png_write_info(png, info);
+    const size_t stride = static_cast<size_t>(width) * channels;
+    std::vector<png_bytep> rows(height);
+    for (int32_t y = 0; y < height; ++y)
+        rows[y] = const_cast<png_bytep>(data + static_cast<size_t>(y) * stride);
+    png_write_image(png, rows.data());
+    png_write_end(png, info);
+    png_destroy_write_struct(&png, &info);
+    std::fclose(f);
+    return 0;
+}
+
 // 8-bit RGB image (JPEG or PNG) -> uint8 HxWx3 row-major. Returns 0 on success.
 int decode_rgb8(const char* path, uint8_t* out, int32_t width, int32_t height) {
     FILE* f = std::fopen(path, "rb");

@@ -81,6 +81,14 @@ def _lib() -> ctypes.CDLL:
                 ctypes.c_int32,
                 ctypes.c_int32,
             ]
+            lib.encode_png8.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+            ]
             lib.decode_batch.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p),
                 ctypes.POINTER(ctypes.c_int32),
@@ -202,6 +210,25 @@ def decode_rgb8(path: Path | str, width: int, height: int) -> np.ndarray:
     if rc != 0:
         raise IOError(f"native rgb decode failed ({rc}) for {path}")
     return out
+
+
+def encode_png8(
+    path: Path | str, image: np.ndarray, compress_level: int = 1
+) -> None:
+    """(H, W[, 3]) uint8 -> PNG file via libpng (GIL released during the
+    encode — the artifact-export hot path)."""
+    lib = _lib()
+    image = np.ascontiguousarray(image, np.uint8)
+    if image.ndim == 2:
+        image = image[..., None]
+    h, w, c = image.shape
+    rc = lib.encode_png8(
+        str(path).encode(),
+        image.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w, h, c, compress_level,
+    )
+    if rc != 0:
+        raise IOError(f"native png encode failed ({rc}) for {path}")
 
 
 def decode_batch(

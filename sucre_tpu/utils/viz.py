@@ -181,6 +181,20 @@ def plot_matches(
     return img
 
 
+def _write_png(path: Path, image_u8: np.ndarray, compress_level: int = 1) -> None:
+    """PNG write via the native libpng encoder when built (fast path for
+    artifact export), else PIL."""
+    try:
+        from sucre_tpu.io import native
+
+        if native.available():
+            native.encode_png8(path, image_u8, compress_level)
+            return
+    except Exception:
+        pass
+    PILImage.fromarray(image_u8).save(path, compress_level=compress_level)
+
+
 def save_plots(
     save_dir: Path,
     image_name: str,
@@ -204,9 +218,9 @@ def save_plots(
 
     p = save_dir / f"{stem}_rgb{suffix}.png"
     if rgb_plot is not None:
-        PILImage.fromarray(rgb_plot).save(p, compress_level=1)
+        _write_png(p, np.asarray(rgb_plot))
     else:
-        plot_J(J, valid).save(p, compress_level=1)
+        _write_png(p, np.asarray(plot_J(J, valid)))
     written.append(p)
 
     p = save_dir / f"{stem}_reconstruction{suffix}.png"
@@ -216,7 +230,7 @@ def save_plots(
         else render_reconstruction(params, J, intrinsics, depth_map)
     )
     rec_u8 = rec if rec.dtype == np.uint8 else np.uint8(rec * 255)
-    PILImage.fromarray(rec_u8).save(p, compress_level=1)
+    _write_png(p, rec_u8)
     written.append(p)
 
     if params.cam2light is not None:
@@ -225,6 +239,6 @@ def save_plots(
         p = save_dir / f"{stem}_vignetting{suffix}.png"
         l_map = render_vignetting(params, intrinsics, depth_map)
         rgb = matplotlib.colormaps["jet"](l_map)[:, :, :3]
-        PILImage.fromarray(np.uint8(rgb * 255)).save(p)
+        _write_png(p, np.uint8(rgb * 255))
         written.append(p)
     return written

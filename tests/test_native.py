@@ -99,3 +99,27 @@ class TestCachePrefillNative:
         assert rgb.dtype == np.uint8 and depth.dtype == np.uint16
         ref = cv2.cvtColor(cv2.imread(str(scene["img_001.png"].rgb_path)), cv2.COLOR_BGR2RGB)
         np.testing.assert_array_equal(rgb, ref)
+
+
+def test_encode_png8_roundtrip(tmp_path):
+    """Native PNG encoder round-trips exactly through the native decoder
+    and through PIL (lossless)."""
+    from sucre_tpu.io import native
+    from PIL import Image
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    p = tmp_path / "x.png"
+    native.encode_png8(p, img)
+    back = native.decode_rgb8(p, 53, 37)
+    np.testing.assert_array_equal(back, img)
+    np.testing.assert_array_equal(np.asarray(Image.open(p)), img)
+
+    gray = rng.integers(0, 256, size=(20, 31), dtype=np.uint8)
+    p2 = tmp_path / "g.png"
+    native.encode_png8(p2, gray)
+    np.testing.assert_array_equal(np.asarray(Image.open(p2)), gray)
