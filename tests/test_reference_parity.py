@@ -176,3 +176,91 @@ def test_full_restore_parity(reference_modules, scene_dir, tmp_path):
     mse = np.mean((J_ref[both] - J_our[both]) ** 2)
     psnr = 10 * np.log10(1.0 / mse)
     assert psnr > 40.0, f"restored-image PSNR vs reference {psnr:.1f} dB"
+
+
+def test_closed_form_restore_parity(reference_modules, scene_dir, tmp_path):
+    """Closed-form mode (--use-closed-form): run BOTH full pipelines for
+    30 identical iterations and compare globals and the closed-form J."""
+    ref = reference_modules
+    model = ref.sfm.COLMAPModel(
+        model_dir=scene_dir.model_dir, image_dir=scene_dir.image_dir,
+        depth_dir=scene_dir.depth_dir, image_scale=1.0,
+    )
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    ref.sucre.restore_image(
+        image=model["img_002.png"], colmap_model=model, output_dir=ref_out,
+        num_iter=30, batch_size=5, device="cpu", keep_matches=True,
+        use_closed_form=True,
+    )
+    import torch
+
+    ref_ckpt = torch.load(ref_out / "img_002.pt", weights_only=True)
+
+    from sucre_tpu.pipeline import RestoreConfig, restore_image
+    from sucre_tpu.scene import Scene
+
+    scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+    ours = restore_image(
+        scene, "img_002.png", tmp_path / "our_out",
+        RestoreConfig(num_iter=30, verbose=False, use_closed_form=True),
+    )
+
+    for key, mine in (("B", ours.params.B), ("beta", ours.params.beta),
+                      ("gamma", ours.params.gamma)):
+        np.testing.assert_allclose(
+            np.asarray(mine), ref_ckpt[key].numpy().ravel(), atol=2e-4,
+            err_msg=key,
+        )
+
+    J_ref = ref_ckpt["J"].numpy()
+    both = np.isfinite(J_ref).all(axis=-1) & np.isfinite(ours.J).all(axis=-1)
+    assert both.mean() > 0.9
+    mse = np.mean((J_ref[both] - ours.J[both]) ** 2)
+    psnr = 10 * np.log10(1.0 / mse)
+    assert psnr > 40.0, f"closed-form J PSNR vs reference {psnr:.1f} dB"
+
+
+def test_light_model_restore_parity(reference_modules, scene_dir, tmp_path):
+    """Light-model mode: both pipelines fit the SE(3) camera-to-light pose
+    (torch matrix_exp vs our Rodrigues se3_exp) and the vignetting sigma
+    for 20 identical iterations from the same init."""
+    ref = reference_modules
+    model = ref.sfm.COLMAPModel(
+        model_dir=scene_dir.model_dir, image_dir=scene_dir.image_dir,
+        depth_dir=scene_dir.depth_dir, image_scale=1.0,
+    )
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    ref.sucre.restore_image(
+        image=model["img_002.png"], colmap_model=model, output_dir=ref_out,
+        num_iter=20, batch_size=5, device="cpu", keep_matches=True,
+        light_model=True, use_closed_form=True,
+    )
+    import torch
+
+    ref_ckpt = torch.load(ref_out / "img_002.pt", weights_only=True)
+
+    from sucre_tpu.pipeline import RestoreConfig, restore_image
+    from sucre_tpu.scene import Scene
+
+    scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+    ours = restore_image(
+        scene, "img_002.png", tmp_path / "our_out",
+        RestoreConfig(num_iter=20, verbose=False, light_model=True,
+                      use_closed_form=True),
+    )
+
+    for key, mine in (("B", ours.params.B), ("beta", ours.params.beta),
+                      ("gamma", ours.params.gamma)):
+        np.testing.assert_allclose(
+            np.asarray(mine), ref_ckpt[key].numpy().ravel(), atol=5e-4,
+            err_msg=key,
+        )
+    np.testing.assert_allclose(
+        np.asarray(ours.params.cam2light),
+        ref_ckpt["cam2light"].numpy().ravel(), atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.params.sigma), ref_ckpt["sigma"].numpy(), atol=5e-4
+    )
