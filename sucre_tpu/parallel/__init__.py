@@ -8,6 +8,7 @@ from sucre_tpu.parallel.mesh import (  # noqa: F401
     shard_obs,
     replicate,
     fit_sharded,
+    fit_sharded_pallas,
 )
 from sucre_tpu.parallel.batch import (  # noqa: F401
     fit_many,

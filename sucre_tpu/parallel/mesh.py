@@ -20,9 +20,12 @@ solver code itself is mesh-agnostic.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sucre_tpu.ops.matching import DenseObs
@@ -91,8 +94,25 @@ def fit_sharded(params, obs: DenseObs, cfg, mesh: Mesh, **kwargs):
     J stays replicated (its per-view gradient reduction becomes a psum
     over the 'view' axis); the stack shards over (view, row). Rows are
     padded as needed and the restored image is cropped back.
+
+    On TPU (or with ``cfg.use_pallas=True``), eligible fits route to
+    ``fit_sharded_pallas`` — the per-shard fused kernel — when no
+    telemetry/snapshot callbacks are requested.
     """
     from sucre_tpu.solve import fit
+
+    want_pallas = (
+        getattr(cfg, "use_pallas", None) is True
+        or (getattr(cfg, "use_pallas", None) is None and jax.default_backend() == "tpu")
+    )
+    if (
+        want_pallas
+        and not kwargs
+        and _pallas_sharded_eligible(params, obs, cfg)
+        and cfg.save_interval is None
+        and cfg.checkpoint_interval is None
+    ):
+        return fit_sharded_pallas(params, obs, cfg, mesh)
 
     H = obs.valid.shape[1]
     obs = shard_obs(pad_obs_to_mesh(obs, mesh), mesh)
@@ -178,4 +198,110 @@ def match_survey_sharded(
         # would otherwise inflate the min-cover denominator, silently
         # dropping borderline pairs that the unsharded program keeps
         area=jnp.float32(H * W),
+    )
+
+
+def _pallas_sharded_eligible(params, obs: DenseObs, cfg) -> bool:
+    return (
+        not cfg.use_closed_form
+        and params.J is not None
+        and params.cam2light is None
+        and obs.z is not None
+    )
+
+
+def fit_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
+    """The sharded fit at fused-kernel speed: each (view, row) shard runs
+    the Pallas forward+backward kernel on its LOCAL observation block
+    (shard_map), then GSPMD collectives assemble the gradients — cost and
+    the global-parameter gradients psum over the whole mesh, dJ psums
+    over 'view' only and stays row-sharded (as does J itself, so the
+    update is communication-free along rows). Mathematically identical
+    to the single-device kernel: every reduction is a sum.
+
+    Requirements: direct mode, no light model, compact z layout.
+    """
+    from jax import shard_map
+
+    from sucre_tpu.ops.pallas import fit_kernel as fk
+    from sucre_tpu.solve import FitResult, FitTelemetry
+
+    if not _pallas_sharded_eligible(params, obs, cfg):
+        raise ValueError(
+            "fit_sharded_pallas needs direct mode, no light model and the "
+            "compact z layout"
+        )
+    vs = mesh.shape["view"]
+    rs = mesh.shape["row"]
+    interpret = jax.default_backend() != "tpu"
+
+    V, H, W = obs.valid.shape
+    # Global pads such that every LOCAL block satisfies the kernel tiling
+    # (rows multiple of TH, views multiple of VB, lanes multiple of 128).
+    Vp = -(-V // (vs * fk.VB)) * (vs * fk.VB)
+    Hp = -(-H // (rs * fk.TH)) * (rs * fk.TH)
+    Wp = -(-W // fk.LANES) * fk.LANES
+
+    z = jnp.pad(obs.z, [(0, Vp - V), (0, Hp - H), (0, Wp - W)])
+    It = jnp.pad(
+        jnp.moveaxis(obs.I, -1, 0), [(0, 0), (0, Vp - V), (0, Hp - H), (0, Wp - W)]
+    )
+    J0 = jnp.pad(params.J, [(0, Hp - H), (0, Wp - W), (0, 0)])
+    n_obs = jnp.float32(obs.n_obs)
+
+    z = jax.device_put(z, NamedSharding(mesh, P("view", "row", None)))
+    It = jax.device_put(It, NamedSharding(mesh, P(None, "view", "row", None)))
+    J0 = jax.device_put(J0, NamedSharding(mesh, P("row", None, None)))
+    params = replicate(params._replace(J=None), mesh)._replace(J=J0)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("row", None, None),  # J rows
+            P(), P(), P(),  # B, beta, gamma replicated
+            P("view", "row", None),  # z block
+            P(None, "view", "row", None),  # I block (channels leading)
+        ),
+        out_specs=(P(), P("row", None, None), P(), P(), P()),
+        # pallas_call outputs carry no varying-across-mesh annotation;
+        # replication of the psum'd outputs is guaranteed by construction
+        check_vma=False,
+    )
+    def shard_grads(Jl, B, beta, gamma, zl, Il):
+        cost, dJ, dB, dbeta, dgamma = fk.fused_fit_grads_prepared(
+            Jl, B, beta, gamma, zl[None], Il[None, :], interpret=interpret
+        )
+        cost = jax.lax.psum(cost, ("view", "row"))
+        dB = jax.lax.psum(dB, ("view", "row"))
+        dbeta = jax.lax.psum(dbeta, ("view", "row"))
+        dgamma = jax.lax.psum(dgamma, ("view", "row"))
+        dJ = jax.lax.psum(dJ, "view")  # complete gradient for local rows
+        return cost, dJ, dB, dbeta, dgamma
+
+    opt = optax.adam(cfg.lr)
+
+    @jax.jit
+    def run(params, z, It):
+        opt_state = opt.init(params)
+
+        def step(carry, _):
+            p, s = carry
+            cost, dJ, dB, dbeta, dgamma = shard_grads(
+                p.J, p.B, p.beta, p.gamma, z, It
+            )
+            k = 1.0 / (n_obs * 3.0)
+            grads = p._replace(J=dJ * k, B=dB * k, beta=dbeta * k, gamma=dgamma * k)
+            updates, s = opt.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), (cost, p.B, p.beta, p.gamma)
+
+        (params, _), ys = jax.lax.scan(step, (params, opt_state), None, length=cfg.num_iter)
+        return params, FitTelemetry(*ys)
+
+    params, tel = run(params, z, It)
+    J = params.J[:H, :W]
+    observed = jnp.any(obs.valid, axis=0)
+    return FitResult(
+        params=params._replace(J=J), J=J, observed=observed, telemetry=tel
     )

@@ -157,3 +157,22 @@ def test_match_survey_sharded_equals_unsharded():
     img = jnp.zeros((obs_t.valid.shape[1], obs_t.valid.shape[2], 3), jnp.float32)
     res = fit_sharded(init_params(image=img), obs_t, FitConfig(num_iter=2), mesh)
     assert np.isfinite(float(res.telemetry.cost[-1]))
+
+
+def test_fit_sharded_pallas_equals_fit(rng):
+    """The shard_map'd Pallas fit (per-shard kernel + psum'd gradients)
+    must match the plain single-device fit."""
+    from sucre_tpu.parallel.mesh import fit_sharded_pallas
+
+    obs, image = _synthetic_obs(rng, V=4, H=8, W=16)
+    obs = obs.compact()
+    params = init_params(image=image)
+    cfg = FitConfig(num_iter=5)
+    ref = fit(params, obs, cfg)
+    mesh = make_mesh(2, 4)
+    out = fit_sharded_pallas(params, obs, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(out.params.B), np.asarray(ref.params.B), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.params.beta), np.asarray(ref.params.beta), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.params.gamma), np.asarray(ref.params.gamma), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.J), np.asarray(ref.J), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.telemetry.cost), np.asarray(ref.telemetry.cost), rtol=1e-5)
