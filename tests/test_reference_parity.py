@@ -264,3 +264,47 @@ def test_light_model_restore_parity(reference_modules, scene_dir, tmp_path):
     np.testing.assert_allclose(
         np.asarray(ours.params.sigma), ref_ckpt["sigma"].numpy(), atol=5e-4
     )
+
+
+def test_h5_cache_cross_interop(reference_modules, scene_dir, tmp_path):
+    """Byte-schema interop of the matches cache: a cache written by OUR
+    matching loads through the REFERENCE's MatchesFile (integrity check
+    included), and the reference's cache loads through ours — same
+    observation stacks both ways."""
+    ref = reference_modules
+    model = ref.sfm.COLMAPModel(
+        model_dir=scene_dir.model_dir, image_dir=scene_dir.image_dir,
+        depth_dir=scene_dir.depth_dir, image_scale=1.0,
+    )
+
+    from sucre_tpu.pipeline import compute_matches
+    from sucre_tpu.scene import Scene
+    from sucre_tpu.store import MatchesFile as OurMF
+
+    scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+    ours_path = tmp_path / "img_002.h5"
+    our_mf = OurMF(ours_path)
+    compute_matches(scene["img_002.png"], scene.view_list(), our_mf)
+
+    # ours -> reference
+    ref_mf = ref.loader.MatchesFile(ours_path, colmap_model=model)
+    ref_mf.check_integrity()
+    data = ref_mf.load_matches()
+    n_ref = len(data)
+    assert n_ref == len(our_mf) and n_ref > 1000
+
+    # reference -> ours
+    target = model["img_002.png"]
+    ref_path = tmp_path / "ref.h5"
+    ref_mf2 = ref.loader.MatchesFile(ref_path, colmap_model=model)
+    target.match_images(
+        image_list=list(model.images.values()), matches_file=ref_mf2,
+        min_cover=1e-6, num_workers=0, device="cpu",
+    )
+    ref_mf2.prepare_matches(num_workers=0)
+    our_target = scene["img_002.png"]
+    obs, names = OurMF(ref_path).load_dense(
+        scene, our_target.height, our_target.width
+    )
+    assert int(np.asarray(obs.valid).sum()) == len(ref_mf2)
+    assert set(names) == {im.name for im in ref_mf2.get_image_list()}
