@@ -83,6 +83,7 @@ def make_scene(
     jpeg: bool = False,
     two_cameras: bool = False,
     light: bool = False,
+    spread: float = 1.2,
 ) -> SyntheticScene:
     """Cameras at z=0 looking down +z at the tilted plane Z = plane_z +
     slope*X, small x/y camera offsets.
@@ -132,7 +133,10 @@ def make_scene(
     # range diversity across views — without it the per-pixel J can absorb
     # any global-parameter error (the real identifiability driver in
     # survey data).
-    offsets = np.linspace(-0.6, 0.6, n_views)
+    # ``spread`` is the total x extent of the camera line: the default
+    # keeps all views overlapping; large values make a transect where
+    # distant views share no surface (exercises the overlap culling).
+    offsets = np.linspace(-spread / 2, spread / 2, n_views)
     offsets_z = 0.5 * np.cos(2.1 * np.arange(n_views))
     images = {}
     names = []

@@ -79,3 +79,40 @@ class TestCullEndToEnd:
                          image_list=image_list, cache=cache, device_views=dv)
         assert a[0].n_obs == b[0].n_obs
         np.testing.assert_allclose(np.nan_to_num(a[0].J), np.nan_to_num(b[0].J), atol=1e-6)
+
+
+def test_transect_survey_culling_equivalence(tmp_path):
+    """A long-transect survey (cameras spread so far views share no
+    surface): the survey path must cull most pairings for each batch and
+    produce results identical to culling disabled."""
+    import dataclasses
+
+    from sucre_tpu.pipeline import restore_survey
+    from sucre_tpu.scene import Scene
+    from tests.synthetic import make_scene
+
+    sd = make_scene(tmp_path, n_views=12, width=64, height=48, spread=40.0)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+
+    # sanity: distant views cannot overlap img_000's surface
+    from sucre_tpu.pipeline import ViewCache
+    from sucre_tpu.ops.culling import cull_views
+
+    cache = ViewCache()
+    keep = cull_views(
+        [cache.aabb(scene["img_000.png"])],
+        [cache.aabb(v) for v in scene.view_list()],
+    )
+    assert keep.sum() < len(scene.view_list()) // 2
+
+    names = ["img_000.png", "img_001.png"]
+    cfg = RestoreConfig(num_iter=4, verbose=False, store="memory")
+    a = restore_survey(scene, names, tmp_path / "on", cfg, batch_targets=2)
+    cfg_off = dataclasses.replace(cfg, frustum_cull=False)
+    b = restore_survey(scene, names, tmp_path / "off", cfg_off, batch_targets=2)
+    for ra, rb in zip(a, b):
+        assert ra.n_obs == rb.n_obs
+        np.testing.assert_allclose(
+            np.nan_to_num(ra.J), np.nan_to_num(rb.J), atol=1e-6
+        )
+        np.testing.assert_allclose(ra.telemetry.cost, rb.telemetry.cost, rtol=1e-5)

@@ -176,3 +176,24 @@ def test_fit_sharded_pallas_equals_fit(rng):
     np.testing.assert_allclose(np.asarray(out.params.gamma), np.asarray(ref.params.gamma), atol=2e-6)
     np.testing.assert_allclose(np.asarray(out.J), np.asarray(ref.J), atol=2e-6)
     np.testing.assert_allclose(np.asarray(out.telemetry.cost), np.asarray(ref.telemetry.cost), rtol=1e-5)
+
+
+def test_restore_survey_with_batch_mesh(tmp_path):
+    """restore_survey with a ('batch',) mesh shards each batch's fit one
+    image per device and must equal the meshless run."""
+    from sucre_tpu.pipeline import RestoreConfig, restore_survey
+    from sucre_tpu.scene import Scene
+    from tests.synthetic import make_scene
+
+    sd = make_scene(tmp_path, n_views=8, width=48, height=32)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    names = sd.names
+    cfg = RestoreConfig(num_iter=3, verbose=False, store="memory", export_dtype="f32")
+    bmesh = jax.sharding.Mesh(np.asarray(jax.devices()), axis_names=("batch",))
+    a = restore_survey(scene, names, tmp_path / "m", cfg, batch_targets=8, mesh=bmesh)
+    b = restore_survey(scene, names, tmp_path / "n", cfg, batch_targets=8)
+    assert len(a) == 8
+    for ra, rb in zip(a, b):
+        assert ra.n_obs == rb.n_obs
+        np.testing.assert_allclose(np.asarray(ra.params.B), np.asarray(rb.params.B), atol=1e-5)
+        np.testing.assert_allclose(np.nan_to_num(ra.J), np.nan_to_num(rb.J), atol=1e-4)
