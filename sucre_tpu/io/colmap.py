@@ -214,6 +214,9 @@ def read_images_txt(path: Path | str) -> dict[int, ColmapImage]:
         lines.pop()
     i = 0
     while i < len(lines):
+        if not lines[i]:  # stray blank while seeking a header (COLMAP's
+            i += 1  # own reader skips these too)
+            continue
         parts = lines[i].split()
         image_id = int(parts[0])
         qvec = np.array([float(x) for x in parts[1:5]])

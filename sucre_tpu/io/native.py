@@ -81,14 +81,17 @@ def _lib() -> ctypes.CDLL:
                 ctypes.c_int32,
                 ctypes.c_int32,
             ]
-            lib.encode_png8.argtypes = [
-                ctypes.c_char_p,
-                ctypes.POINTER(ctypes.c_uint8),
-                ctypes.c_int32,
-                ctypes.c_int32,
-                ctypes.c_int32,
-                ctypes.c_int32,
-            ]
+            try:  # absent from .so builds older than the encoder
+                lib.encode_png8.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                ]
+            except AttributeError:
+                pass
             lib.decode_batch.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p),
                 ctypes.POINTER(ctypes.c_int32),
@@ -218,6 +221,8 @@ def encode_png8(
     """(H, W[, 3]) uint8 -> PNG file via libpng (GIL released during the
     encode — the artifact-export hot path)."""
     lib = _lib()
+    if not hasattr(lib, "encode_png8"):
+        raise NativeUnavailable("libsucre_native.so predates encode_png8; rebuild")
     image = np.ascontiguousarray(image, np.uint8)
     if image.ndim == 2:
         image = image[..., None]

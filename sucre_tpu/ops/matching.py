@@ -107,6 +107,28 @@ def _trunc_px(x: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]
     return xs.astype(jnp.int32), ys.astype(jnp.int32)
 
 
+def _forward_projection(
+    depth1: jnp.ndarray,  # (H, W) target depth, meters
+    intr1: jnp.ndarray,
+    R1: jnp.ndarray,
+    t1: jnp.ndarray,
+    intr2: jnp.ndarray,
+    R2: jnp.ndarray,
+    t2: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Continuous forward reprojection of every target pixel into view 2
+    — the shared geometry block (target pixel -> world -> view-2 pixel
+    candidate). Returns float coordinates (x2, y2)."""
+    H, W = depth1.shape
+    i1 = Intrinsics(intr1[0], intr1[1], intr1[2], intr1[3])
+    i2 = Intrinsics(intr2[0], intr2[1], intr2[2], intr2[3])
+    u1, v1 = pixel_grid(H, W)
+    cP1 = unproject(i1, u1, v1, depth1)
+    wP1 = transform_points(R1, t1, cP1)
+    R2i, t2i = pose_inverse(R2, t2)
+    return project(i2, transform_points(R2i, t2i, wP1))
+
+
 def _match_pair_core(
     depth1: jnp.ndarray,  # (H, W) target depth, meters, 0/neg = invalid
     intr1: jnp.ndarray,  # (4,) fx fy cx cy
@@ -132,10 +154,7 @@ def _match_pair_core(
     valid1 = depth1 > 0
 
     # Forward: target pixel -> world -> view-2 pixel candidate q2
-    cP1 = unproject(i1, u1, v1, depth1)
-    wP1 = transform_points(R1, t1, cP1)
-    R2i, t2i = pose_inverse(R2, t2)
-    x2, y2 = project(i2, transform_points(R2i, t2i, wP1))
+    x2, y2 = _forward_projection(depth1, intr1, R1, t1, intr2, R2, t2)
     u2, v2 = _trunc_px(x2, y2)
     inb2 = (u2 >= 0) & (u2 < W2) & (v2 >= 0) & (v2 < H2)
 
@@ -225,14 +244,8 @@ def bilinear_observation(
     matches. Geometry/validity are untouched — only the observed color
     changes, so fits keep the exact reference observation sets."""
     H2, W2 = rgb2.shape[:2]
-    i1 = Intrinsics(intr1[0], intr1[1], intr1[2], intr1[3])
-    i2 = Intrinsics(intr2[0], intr2[1], intr2[2], intr2[3])
-    H, W = depth1.shape
-    u1, v1 = pixel_grid(H, W)
-    cP1 = unproject(i1, u1, v1, depth1)
-    wP1 = transform_points(R1, t1, cP1)
-    R2i, t2i = pose_inverse(R2, t2)
-    x2, y2 = project(i2, transform_points(R2i, t2i, wP1))
+    # same shared geometry block the consistency check trunc-samples
+    x2, y2 = _forward_projection(depth1, intr1, R1, t1, intr2, R2, t2)
 
     # center-based coords: pixel (u, v)'s center is at (u + 0.5, v + 0.5)
     xs = jnp.clip(jnp.where(jnp.isfinite(x2), x2, 0.0) - 0.5, 0.0, W2 - 1.0)

@@ -101,18 +101,28 @@ def fit_sharded(params, obs: DenseObs, cfg, mesh: Mesh, **kwargs):
     """
     from sucre_tpu.solve import fit
 
-    want_pallas = (
-        getattr(cfg, "use_pallas", None) is True
-        or (getattr(cfg, "use_pallas", None) is None and jax.default_backend() == "tpu")
+    forced = getattr(cfg, "use_pallas", None) is True
+    want_pallas = forced or (
+        getattr(cfg, "use_pallas", None) is None and jax.default_backend() == "tpu"
     )
-    if (
-        want_pallas
-        and not kwargs
+    routable = (
+        not kwargs
         and _pallas_sharded_eligible(params, obs, cfg)
+        and cfg.view_chunk is None  # the memory knob bounds per-step
+        # activations; the kernel route materializes the full stack
         and cfg.save_interval is None
         and cfg.checkpoint_interval is None
-    ):
+    )
+    if want_pallas and routable:
         return fit_sharded_pallas(params, obs, cfg, mesh)
+    if forced:
+        # the XLA fallback below would hit solve.fit's own use_pallas
+        # eligibility raise (multi-device stack) with a confusing message
+        raise ValueError(
+            "use_pallas=True on a sharded fit requires: direct mode, no "
+            "light model, compact z layout, no view_chunk, no snapshot/"
+            "checkpoint callbacks; use use_pallas=None for auto-selection"
+        )
 
     H = obs.valid.shape[1]
     obs = shard_obs(pad_obs_to_mesh(obs, mesh), mesh)

@@ -295,6 +295,8 @@ def compute_matches(
                 )
             log(f"matched {len(kept_names)} kept / {len(idxs)} in chunk")
 
+    if matches_file is not None and bilinear and matches_file.exists():
+        matches_file.set_color_sampling("bilinear")
     dense = None
     if collect_dense and kept_chunks:
         if len(kept_chunks) == 1:
@@ -417,6 +419,10 @@ def match_targets_shared(
                 jax.tree.map(lambda x: jnp.take(x, idx, axis=0), obs)
             )
 
+    if bilinear and matches_files:
+        for mf in matches_files:
+            if mf is not None and mf.exists():
+                mf.set_color_sampling("bilinear")
     dense: list[DenseObs | None] = []
     for parts in kept_chunks:
         if not parts:
@@ -507,6 +513,7 @@ def restore_image(
     t0 = time.perf_counter()
     if obs is None and use_h5:
         log("Load matches.")
+        matches_file.check_color_sampling(cfg.bilinear_colors)
         obs, _ = matches_file.load_dense(scene, target.height, target.width)
     n_obs = int(np.asarray(obs.valid).sum()) if obs is not None else 0
     log(f"Total of {n_obs} observations.")
@@ -571,6 +578,10 @@ def restore_image(
     valid_dev = (
         res.observed.astype(bool) if cfg.use_closed_form else d_dev > 0
     )
+    # export-invalid pixels render black (the reference's NaN-carrying J
+    # NaN-propagates through its reconstruction; ours is zero-filled at
+    # unobserved pixels, which would render as pure backscatter)
+    rec_dev = jnp.where(valid_dev[..., None], rec_dev, 0)
     rgb_dev = viz.plot_J_batch_device(res.J[None], valid_dev[None])[0]
     observed_fetch = res.observed if cfg.use_closed_form else None
     params_noJ, J, observed, rec_u8, rgb_u8 = jax.device_get(
@@ -693,6 +704,7 @@ def _dispatch_batch(
             mf = MatchesFile(matches_path, overwrite=cfg.force_compute_matches)
             if mf.exists():
                 log(f"Load {target.name} matches from cache.")
+                mf.check_color_sampling(cfg.bilinear_colors)
                 obs_cached, _ = mf.load_dense(scene, target.height, target.width)
                 if not cfg.light_model:
                     obs_cached = obs_cached.compact()
@@ -870,13 +882,16 @@ def _dispatch_batch(
         jnp.asarray(t_intrs_np),
         t_depths_dev,
     )
-    # Export validity on device (parity: _export_mask) so the percentile
-    # normalize of the _rgb artifact can also run on device.
+    # Export validity on device (parity: _export_mask); export-invalid
+    # pixels of the reconstruction render black (the reference's
+    # NaN-carrying J NaN-propagates; our J is zero-filled at unobserved
+    # pixels, which would otherwise render pure backscatter).
+    valid_dev = (
+        observed.astype(bool) if cfg.use_closed_form else t_depths_dev > 0
+    )
+    recs_dev = jnp.where(valid_dev[..., None], recs_dev, 0)
     rgbs_dev = None
     if cfg.rgb_plot_on_device is None or cfg.rgb_plot_on_device:
-        valid_dev = (
-            observed.astype(bool) if cfg.use_closed_form else t_depths_dev > 0
-        )
         rgbs_dev = viz.plot_J_batch_device(J, valid_dev)
     if stacked_obs is not None:
         n_obs_dev = stacked_obs.valid.sum(

@@ -224,30 +224,36 @@ def fit(
 
     # Segment boundaries (in completed-iteration counts): snapshots fire
     # after iterations 0, s, 2s, ... (parity: sucre.py:153-154), solver
-    # checkpoints after every checkpoint_interval iterations.
+    # checkpoints after every checkpoint_interval iterations. Each
+    # DISTINCT segment length is a separate XLA compile of the whole fit
+    # program (n_steps is static), so when both periods are active and
+    # misaligned, the checkpoint cadence snaps to the nearest save-
+    # boundary multiple (fault-tolerance cadence is approximate by
+    # nature; unique lengths stay bounded at ~4 instead of O(num_iter)).
+    ckpt_interval = cfg.checkpoint_interval
+    if (
+        ckpt_interval
+        and cfg.save_interval
+        and snapshot_fn is not None
+        and ckpt_interval % cfg.save_interval
+    ):
+        ckpt_interval = max(
+            cfg.save_interval,
+            round(ckpt_interval / cfg.save_interval) * cfg.save_interval,
+        )
     bounds: set[int] = {cfg.num_iter}
     if cfg.save_interval and snapshot_fn is not None:
         bounds |= {
             c + 1 for c in range(0, cfg.num_iter, cfg.save_interval)
         }
-    if cfg.checkpoint_dir is not None and cfg.checkpoint_interval:
-        bounds |= set(range(cfg.checkpoint_interval, cfg.num_iter + 1, cfg.checkpoint_interval))
+    if cfg.checkpoint_dir is not None and ckpt_interval:
+        bounds |= set(range(ckpt_interval, cfg.num_iter + 1, ckpt_interval))
     boundaries = sorted(c for c in bounds if start < c <= cfg.num_iter)
     segments = []
     prev = start
     for c in boundaries:
         segments.append(c - prev)
         prev = c
-    # Each DISTINCT segment length is a separate XLA compile of the whole
-    # fit program (n_steps is static). Misaligned save/checkpoint periods
-    # can produce many unique lengths; collapse them to one compiled
-    # length (their gcd) — more dispatches, but dispatches are ~ms while
-    # first compiles are minutes on remote-compile links.
-    if len(set(segments)) > 2:
-        import math
-
-        g = math.gcd(*set(segments))
-        segments = [g] * (sum(segments) // g)
 
     # Fused-kernel eligibility: direct mode, no light model, compact layout,
     # unchunked, data on a single device (the kernel is not partitioned).
@@ -291,8 +297,8 @@ def fit(
             snapshot_fn(it - 1, params, J_snap, observed_snap)
         if (
             cfg.checkpoint_dir is not None
-            and cfg.checkpoint_interval
-            and it % cfg.checkpoint_interval == 0
+            and ckpt_interval
+            and it % ckpt_interval == 0
             and it < cfg.num_iter
         ):
             from sucre_tpu.utils import fit_checkpoint as fckpt

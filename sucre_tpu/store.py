@@ -47,6 +47,31 @@ class MatchesFile:
         if overwrite:
             self.path.unlink(missing_ok=True)
 
+    def set_color_sampling(self, mode: str) -> None:
+        """Tag the cache with its color-sampling mode ('nearest' is the
+        reference default and the implied value when the attribute is
+        absent — reference-written caches remain readable)."""
+        with h5py.File(self.path, "a", libver="latest") as f:
+            f.attrs["color_sampling"] = mode
+
+    def color_sampling(self) -> str:
+        if not self.path.exists():
+            return "nearest"
+        with h5py.File(self.path, "r", libver="latest") as f:
+            return str(f.attrs.get("color_sampling", "nearest"))
+
+    def check_color_sampling(self, bilinear: bool) -> None:
+        """Refuse to reuse a cache whose colors were sampled in the other
+        mode (the observation geometry matches; the colors don't)."""
+        want = "bilinear" if bilinear else "nearest"
+        got = self.color_sampling()
+        if got != want:
+            raise RuntimeError(
+                f"{self.path} was computed with {got} color sampling but "
+                f"this run requests {want}; pass --force-compute-matches "
+                f"to recompute"
+            )
+
     def exists(self) -> bool:
         return self.path.exists()
 

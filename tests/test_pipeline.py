@@ -463,3 +463,22 @@ def test_joint_params_export_four_targets(scene_dir, tmp_path):
         assert r.telemetry.B.shape == (3, 3)  # (iters, 3) per-target slice
         # shared water model: all targets carry identical globals
         np.testing.assert_allclose(np.asarray(r.params.B), np.asarray(res[0].params.B))
+
+
+def test_bilinear_cache_mode_mismatch(scene_dir, tmp_path):
+    """A cache written under one color-sampling mode refuses to serve a
+    run requesting the other (colors differ; geometry is the same)."""
+    import dataclasses
+
+    scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+    out = tmp_path / "o"
+    cfg_bi = RestoreConfig(num_iter=2, verbose=False, keep_matches=True,
+                           bilinear_colors=True)
+    restore_image(scene, "img_001.png", out, cfg_bi)
+    cfg_nn = dataclasses.replace(cfg_bi, bilinear_colors=False)
+    with pytest.raises(RuntimeError, match="color sampling"):
+        restore_image(scene, "img_001.png", out, cfg_nn)
+    # force recompute clears the mismatch
+    cfg_force = dataclasses.replace(cfg_nn, force_compute_matches=True)
+    res = restore_image(scene, "img_001.png", out, cfg_force)
+    assert res.n_obs > 0
