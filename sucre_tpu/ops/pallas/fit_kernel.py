@@ -41,9 +41,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TH = 32  # row-tile height (u8 min sublane tile)
+TH = 32  # default row-tile height (u8 min sublane tile)
 VB = 4  # views processed per grid step (amortizes per-step overhead)
 LANES = 128
+
+
+def row_tile(Wp: int) -> int:
+    """Row-tile height for a given padded width: the kernel's VMEM
+    working set scales with VB*TH*Wp (z/I blocks + ~8 live per-channel
+    f32 temporaries), and the ~16 MB scoped-VMEM budget overflows past
+    1024 lanes at TH=32 — shrink the tile as images widen."""
+    if Wp <= 1024:
+        return TH
+    return 16 if Wp <= 2048 else 8
 
 # packed partial-sum layout: [cost, dB(3), dbeta(3), dgamma(3), pad...]
 _NPART = 16
@@ -103,8 +113,9 @@ def prepare_obs(z: jnp.ndarray, I: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarra
         z = z[None]
         I = I[None]
     T, V, H, W = z.shape
-    Hp = -(-H // TH) * TH
     Wp = -(-W // LANES) * LANES
+    th = row_tile(Wp)
+    Hp = -(-H // th) * th
     Vp = -(-V // VB) * VB
     zt = jnp.pad(z, [(0, 0), (0, Vp - V), (0, Hp - H), (0, Wp - W)])
     It = jnp.pad(
@@ -136,7 +147,8 @@ def fused_fit_grads_prepared(
     H, W = J.shape[1:3]
     Jt = jnp.pad(jnp.moveaxis(J, -1, 1), [(0, 0), (0, 0), (0, Hp - H), (0, Wp - W)])
 
-    n_tiles = Hp // TH
+    th = row_tile(Wp)
+    n_tiles = Hp // th
     grid = (T, n_tiles, V // VB)
 
     dJt, parts = pl.pallas_call(
@@ -149,20 +161,20 @@ def fused_fit_grads_prepared(
             pl.BlockSpec((1, 1, 3), lambda t, i, v: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 3), lambda t, i, v: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, VB, TH, Wp), lambda t, i, v: (t, v, i, 0), memory_space=pltpu.VMEM
+                (1, VB, th, Wp), lambda t, i, v: (t, v, i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 3, VB, TH, Wp),
+                (1, 3, VB, th, Wp),
                 lambda t, i, v: (t, 0, v, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 3, TH, Wp), lambda t, i, v: (t, 0, i, 0), memory_space=pltpu.VMEM
+                (1, 3, th, Wp), lambda t, i, v: (t, 0, i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 3, TH, Wp), lambda t, i, v: (t, 0, i, 0), memory_space=pltpu.VMEM
+                (1, 3, th, Wp), lambda t, i, v: (t, 0, i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, 1, _NPART), lambda t, i, v: (t, 0, 0), memory_space=pltpu.SMEM

@@ -247,10 +247,11 @@ def fit_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
 
     V, H, W = obs.valid.shape
     # Global pads such that every LOCAL block satisfies the kernel tiling
-    # (rows multiple of TH, views multiple of VB, lanes multiple of 128).
-    Vp = -(-V // (vs * fk.VB)) * (vs * fk.VB)
-    Hp = -(-H // (rs * fk.TH)) * (rs * fk.TH)
+    # (rows multiple of the row tile, views of VB, lanes of 128).
     Wp = -(-W // fk.LANES) * fk.LANES
+    th = fk.row_tile(Wp)
+    Vp = -(-V // (vs * fk.VB)) * (vs * fk.VB)
+    Hp = -(-H // (rs * th)) * (rs * th)
 
     z = jnp.pad(obs.z, [(0, Vp - V), (0, Hp - H), (0, Wp - W)])
     It = jnp.pad(

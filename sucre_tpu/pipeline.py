@@ -748,6 +748,14 @@ def _dispatch_batch(
         # round-trips, output already in the (T, V, H, W) batched layout.
         # Needs: a resident single-bucket stack, no per-pair h5 saving,
         # and every target freshly matched.
+        # Transient HBM of the single program scales with T*V*H*W
+        # (~45 B/pixel-pair measured); past the cap, fall back to the
+        # chunked path, which peaks at T*match_chunk*H*W per dispatch.
+        import os
+
+        max_pairs = int(os.environ.get("SUCRE_SURVEY_MAX_PAIRS", 250_000_000))
+        t0_ = targets[0]
+        n_pairs = len(targets) * len(image_list) * t0_.width * t0_.height
         use_survey = (
             device_views is not None
             and len(device_views.buckets) == 1
@@ -755,6 +763,7 @@ def _dispatch_batch(
             and all(matches_files[ti] is None for ti in to_match)
             and {v.name for v in device_views.buckets[0]["views"]}
             == {v.name for v in image_list}
+            and n_pairs <= max_pairs
         )
         if use_survey:
             from sucre_tpu.ops.matching import match_survey
