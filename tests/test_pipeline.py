@@ -482,3 +482,22 @@ def test_bilinear_cache_mode_mismatch(scene_dir, tmp_path):
     cfg_force = dataclasses.replace(cfg_nn, force_compute_matches=True)
     res = restore_image(scene, "img_001.png", out, cfg_force)
     assert res.n_obs > 0
+
+
+def test_survey_size_guard_falls_back_to_chunked(scene_dir, tmp_path, monkeypatch):
+    """With a tiny pixel-pair budget the survey program is bypassed; the
+    chunked path must produce identical results."""
+    from sucre_tpu.pipeline import DeviceViews, ViewCache, restore_many
+
+    scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+    names = ["img_001.png", "img_002.png"]
+    cfg = RestoreConfig(num_iter=3, verbose=False, store="memory", export_dtype="f32")
+    cache = ViewCache()
+    cache.prefill(scene.view_list())
+    dv = DeviceViews(scene.view_list(), cache)
+    a = restore_many(scene, names, tmp_path / "a", cfg, cache=cache, device_views=dv)
+    monkeypatch.setenv("SUCRE_SURVEY_MAX_PAIRS", "1")
+    b = restore_many(scene, names, tmp_path / "b", cfg, cache=cache, device_views=dv)
+    for ra, rb in zip(a, b):
+        assert ra.n_obs == rb.n_obs
+        np.testing.assert_allclose(np.nan_to_num(ra.J), np.nan_to_num(rb.J), atol=1e-6)
