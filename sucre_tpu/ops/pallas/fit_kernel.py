@@ -50,10 +50,18 @@ def row_tile(Wp: int) -> int:
     """Row-tile height for a given padded width: the kernel's VMEM
     working set scales with VB*TH*Wp (z/I blocks + ~8 live per-channel
     f32 temporaries), and the ~16 MB scoped-VMEM budget overflows past
-    1024 lanes at TH=32 — shrink the tile as images widen."""
-    if Wp <= 1024:
-        return TH
-    return 16 if Wp <= 2048 else 8
+    1024 lanes at TH=32 — shrink the tile as images widen. 16 is the
+    floor (u8 blocks below 16 sublanes are sub-tile for Mosaic); wider
+    images are unsupported by the kernel, see kernel_supported."""
+    return TH if Wp <= 1024 else 16
+
+
+def kernel_supported(W: int) -> bool:
+    """Whether the fused kernel's tiling fits scoped VMEM at this image
+    width (padded to lanes). Past 2048 lanes the row tile would need to
+    drop below the u8 sublane tile — callers fall back to the XLA
+    autodiff path instead (correct at any size, ~2x slower)."""
+    return -(-W // LANES) * LANES <= 2048
 
 # packed partial-sum layout: [cost, dB(3), dbeta(3), dgamma(3), pad...]
 _NPART = 16

@@ -118,11 +118,14 @@ def fit_many(
     n_obs = jnp.sum(obs.valid, axis=(1, 2, 3)).astype(jnp.float32)
     # Fused-kernel eligibility mirrors solve.fit: direct mode, no light,
     # compact layout; the kernel is unsharded, so only without a mesh.
+    from sucre_tpu.ops.pallas.fit_kernel import kernel_supported
+
     eligible = (
         not cfg.use_closed_form
         and params.J is not None
         and params.cam2light is None
         and obs.z is not None
+        and kernel_supported(obs.valid.shape[-1])
         and mesh is None
     )
     cfg_pallas = getattr(cfg, "use_pallas", None)

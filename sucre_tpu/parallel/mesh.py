@@ -212,11 +212,14 @@ def match_survey_sharded(
 
 
 def _pallas_sharded_eligible(params, obs: DenseObs, cfg) -> bool:
+    from sucre_tpu.ops.pallas.fit_kernel import kernel_supported
+
     return (
         not cfg.use_closed_form
         and params.J is not None
         and params.cam2light is None
         and obs.z is not None
+        and kernel_supported(obs.valid.shape[-1])
     )
 
 

@@ -21,6 +21,7 @@ path.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from pathlib import Path
 from typing import Callable, NamedTuple
@@ -751,11 +752,14 @@ def _dispatch_batch(
         # Transient HBM of the single program scales with T*V*H*W
         # (~45 B/pixel-pair measured); past the cap, fall back to the
         # chunked path, which peaks at T*match_chunk*H*W per dispatch.
-        import os
-
+        # V is the post-cull view count padded to the match_chunk
+        # granularity — what the program actually runs with (a culled
+        # transect fits the single program even when the full survey
+        # wouldn't).
         max_pairs = int(os.environ.get("SUCRE_SURVEY_MAX_PAIRS", 250_000_000))
         t0_ = targets[0]
-        n_pairs = len(targets) * len(image_list) * t0_.width * t0_.height
+        n_views_eff = -(-len(culled_list) // cfg.match_chunk) * cfg.match_chunk
+        n_pairs = len(targets) * n_views_eff * t0_.width * t0_.height
         use_survey = (
             device_views is not None
             and len(device_views.buckets) == 1

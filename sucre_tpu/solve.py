@@ -257,12 +257,15 @@ def fit(
 
     # Fused-kernel eligibility: direct mode, no light model, compact layout,
     # unchunked, data on a single device (the kernel is not partitioned).
+    from sucre_tpu.ops.pallas.fit_kernel import kernel_supported
+
     eligible = (
         not use_closed_form
         and params.J is not None
         and params.cam2light is None
         and obs.z is not None
         and not chunked
+        and kernel_supported(obs.valid.shape[-1])
         and len(getattr(obs.valid, "devices", lambda: [None])()) <= 1
     )
     if cfg.use_pallas is None:

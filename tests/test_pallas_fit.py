@@ -104,3 +104,36 @@ def test_fit_many_with_pallas_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(tx.cost), np.asarray(tp.cost), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(Jx), np.asarray(Jp), atol=1e-5)
     np.testing.assert_allclose(np.asarray(px.B), np.asarray(pp.B), atol=1e-6)
+
+
+def test_fused_grads_wide_image_tile(rng):
+    """Widths past 1024 lanes select the 16-row tile (adaptive VMEM
+    budget); gradients must still match autodiff exactly."""
+    from sucre_tpu.ops.pallas.fit_kernel import kernel_supported, row_tile
+
+    assert row_tile(1024) == 32 and row_tile(1152) == 16
+    assert kernel_supported(1920) and not kernel_supported(2100)
+
+    V, H, W = 2, 20, 1100  # Wp=1152 -> th=16
+    z = rng.uniform(1.0, 5.0, (V, H, W)).astype(np.float32)
+    z[rng.uniform(size=z.shape) < 0.2] = 0.0
+    I = rng.integers(0, 256, (V, H, W, 3), np.uint8)
+    valid = z > 0
+    I = np.where(valid[..., None], I, 0).astype(np.uint8)
+    I_f32 = (I / 255).astype(np.float32)
+    J = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    params = init_params(image=J)
+    obs = DenseObs(valid=jnp.array(valid), cP=None, I=jnp.array(I_f32), z=jnp.array(z))
+
+    def loss(p):
+        nl, cost = residual_loss(p, p.J, obs, 1.0)
+        return cost
+
+    cost_ref, grads_ref = jax.value_and_grad(loss)(params)
+    cost, dJ, dB, dbeta, dgamma = fused_fit_grads(
+        params.J, params.B, params.beta, params.gamma,
+        jnp.array(z), jnp.array(I), interpret=True,
+    )
+    np.testing.assert_allclose(float(cost), float(cost_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dJ), np.asarray(grads_ref.J), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dB), np.asarray(grads_ref.B), rtol=1e-4, atol=1e-4)
