@@ -111,3 +111,31 @@ def test_joint_params_mode(scene_dir, tmp_path):
     b = np.load(out / "img_002.npz")
     np.testing.assert_array_equal(a["B"], b["B"])  # shared globals
     np.testing.assert_array_equal(a["beta"], b["beta"])
+
+
+def test_profile_dir_and_compile_cache(scene_dir, tmp_path):
+    """--profile-dir captures a jax.profiler trace; --compile-cache sets
+    the persistent XLA cache directory (both produce files)."""
+    prof = tmp_path / "prof"
+    cache = tmp_path / "xla_cache"
+    rc = main(_base_args(scene_dir, tmp_path / "o") + [
+        "--image-name", "img_001.png",
+        "--profile-dir", str(prof),
+        "--compile-cache", str(cache),
+    ])
+    assert rc == 0
+    assert prof.exists() and any(prof.rglob("*"))  # trace artifacts written
+
+
+def test_bilinear_colors_flag(scene_dir, tmp_path):
+    """--bilinear-colors runs end to end and changes the restored output
+    relative to nearest sampling."""
+    rc = main(_base_args(scene_dir, tmp_path / "a") + [
+        "--image-name", "img_001.png", "--bilinear-colors", "--keep-matches",
+    ])
+    assert rc == 0
+    rc = main(_base_args(scene_dir, tmp_path / "b") + ["--image-name", "img_001.png"])
+    assert rc == 0
+    a = np.load(tmp_path / "a" / "img_001.npz")["J"]
+    b = np.load(tmp_path / "b" / "img_001.npz")["J"]
+    assert not np.allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-6)
