@@ -89,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="restore up to N same-dimension targets per device "
                              "program (--image-list/--image-ids modes); 1 restores "
                              "strictly sequentially like the reference.")
+    parser.add_argument("--params-format", choices=["npz", "pt"], default="npz",
+                        help="parameter-checkpoint format: native .npz or the "
+                             "reference's torch .pt state-dict (interop).")
     parser.add_argument("--bilinear-colors", action="store_true",
                         help="sample observed colors bilinearly at the continuous "
                              "reprojection instead of the reference's nearest-pixel "
@@ -166,6 +169,7 @@ def main(argv: list[str] | None = None) -> int:
         match_chunk=args.match_chunk,
         joint_params=args.joint_params,
         bilinear_colors=args.bilinear_colors,
+        params_format=args.params_format,
         checkpoint_interval=args.checkpoint_interval,
         verbose=not args.quiet,
     )

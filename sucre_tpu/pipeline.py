@@ -77,6 +77,9 @@ class RestoreConfig:
     # the extra u8 image transfer when batches are software-pipelined.
     # None = auto: device in restore_many, host in restore_survey.
     rgb_plot_on_device: bool | None = None
+    # parameter-checkpoint artifact format: native .npz or the
+    # reference's torch .pt state-dict layout (readable by the reference)
+    params_format: str = "npz"
     verbose: bool = True
 
 
@@ -601,7 +604,7 @@ def restore_image(
         output_dir, target.name, res.params, J, valid, target.intrinsics,
         target_depth, reconstruction=np.asarray(rec_u8), rgb_plot=np.asarray(rgb_u8),
     )
-    params_out = (output_dir / target.name).with_suffix(".npz")
+    params_out = (output_dir / target.name).with_suffix("." + cfg.params_format)
     ckpt.save_params(params_out, res.params, J=J, valid=valid)
     artifacts.append(params_out)
 
@@ -972,7 +975,7 @@ def _export_batch(b: _BatchInFlight, fetched) -> list[RestoreResult]:
             reconstruction=recs[t],
             rgb_plot=None if rgb_plots is None else rgb_plots[t],
         )
-        params_out = (output_dir / target.name).with_suffix(".npz")
+        params_out = (output_dir / target.name).with_suffix("." + cfg.params_format)
         ckpt.save_params(params_out, p_t, J=J_t, valid=valid)
         artifacts.append(params_out)
         if b.use_h5 and not cfg.keep_matches:

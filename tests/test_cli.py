@@ -139,3 +139,17 @@ def test_bilinear_colors_flag(scene_dir, tmp_path):
     a = np.load(tmp_path / "a" / "img_001.npz")["J"]
     b = np.load(tmp_path / "b" / "img_001.npz")["J"]
     assert not np.allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-6)
+
+
+def test_params_format_pt(scene_dir, tmp_path):
+    """--params-format pt writes reference-layout torch checkpoints."""
+    import torch
+
+    out = tmp_path / "o"
+    rc = main(_base_args(scene_dir, out) + [
+        "--image-name", "img_001.png", "--params-format", "pt",
+    ])
+    assert rc == 0
+    ckpt = torch.load(out / "img_001.pt", weights_only=True)
+    assert ckpt["B"].shape == (3, 1)  # reference state-dict layout
+    assert ckpt["J"].shape[-1] == 3
