@@ -294,3 +294,32 @@ def test_bilinear_observation():
     step = 255.0 / (W - 1) / 255.0
     assert np.abs(Ib - In).max() <= step + 1e-6
     assert np.abs(Ib - In).mean() > 1e-4
+
+
+def test_two_way_matching_symmetric():
+    """The two-way consistency condition is symmetric: the match set of
+    (1 -> 2) equals the transposed match set of (2 -> 1)."""
+    rng = np.random.default_rng(7)
+    H, W = 24, 32
+    base = 3.0 + 0.4 * np.sin(np.linspace(0, 3, W))[None, :] + 0.2 * np.cos(
+        np.linspace(0, 2, H)
+    )[:, None]
+    d1 = base.astype(np.float32)
+    d2 = (base + 0.05 * rng.standard_normal((H, W))).astype(np.float32)
+    d1[rng.uniform(size=(H, W)) < 0.1] = 0.0
+    d2[rng.uniform(size=(H, W)) < 0.1] = 0.0
+    intr = _intr(25.0, 25.0, W / 2, H / 2)
+    R1 = np.eye(3, dtype=np.float32)
+    t1 = np.zeros(3, np.float32)
+    c, s = np.cos(0.03), np.sin(0.03)
+    R2 = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    t2 = np.array([0.12, -0.04, 0.01], np.float32)
+
+    m12 = match_pair(jnp.array(d1), jnp.array(intr), jnp.array(R1), jnp.array(t1),
+                     jnp.array(d2), jnp.array(intr), jnp.array(R2), jnp.array(t2))
+    m21 = match_pair(jnp.array(d2), jnp.array(intr), jnp.array(R2), jnp.array(t2),
+                     jnp.array(d1), jnp.array(intr), jnp.array(R1), jnp.array(t1))
+    fwd = dense_to_set(m12)
+    rev = {(u2, v2, u1, v1) for (u1, v1, u2, v2) in dense_to_set(m21)}
+    assert len(fwd) > 100
+    assert fwd == rev
