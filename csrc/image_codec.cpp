@@ -34,6 +34,19 @@ struct PngReadCtx {
     }
 };
 
+// libjpeg's default error_exit calls exit(), which would take down the
+// whole process (including decode_batch worker threads) on one corrupt
+// file. Mirror the png_jmpbuf pattern: longjmp back into the decoder,
+// which returns a per-item failure status instead.
+struct JpegErrorMgr {
+    jpeg_error_mgr pub;
+    std::jmp_buf jmp;
+};
+
+void jpeg_error_exit_longjmp(j_common_ptr cinfo) {
+    std::longjmp(reinterpret_cast<JpegErrorMgr*>(cinfo->err)->jmp, 1);
+}
+
 bool open_png(const char* path, PngReadCtx& ctx, uint32_t* w, uint32_t* h,
               int* bit_depth, int* color_type) {
     ctx.f = std::fopen(path, "rb");
@@ -81,11 +94,17 @@ int image_probe(const char* path, int32_t* width, int32_t* height, int32_t* kind
     }
     if (sig[0] == 0xFF && sig[1] == 0xD8) {
         jpeg_decompress_struct cinfo;
-        jpeg_error_mgr jerr;
-        cinfo.err = jpeg_std_error(&jerr);
-        jpeg_create_decompress(&cinfo);
+        JpegErrorMgr jerr;
+        cinfo.err = jpeg_std_error(&jerr.pub);
+        jerr.pub.error_exit = jpeg_error_exit_longjmp;
         FILE* jf = std::fopen(path, "rb");
-        if (!jf) { jpeg_destroy_decompress(&cinfo); return -1; }
+        if (!jf) return -1;
+        if (setjmp(jerr.jmp)) {
+            jpeg_destroy_decompress(&cinfo);
+            std::fclose(jf);
+            return -4;
+        }
+        jpeg_create_decompress(&cinfo);
         jpeg_stdio_src(&cinfo, jf);
         jpeg_read_header(&cinfo, TRUE);
         *width = static_cast<int32_t>(cinfo.image_width);
@@ -205,11 +224,17 @@ int decode_rgb8(const char* path, uint8_t* out, int32_t width, int32_t height) {
 
     if (sig[0] == 0xFF && sig[1] == 0xD8) {
         jpeg_decompress_struct cinfo;
-        jpeg_error_mgr jerr;
-        cinfo.err = jpeg_std_error(&jerr);
-        jpeg_create_decompress(&cinfo);
+        JpegErrorMgr jerr;
+        cinfo.err = jpeg_std_error(&jerr.pub);
+        jerr.pub.error_exit = jpeg_error_exit_longjmp;
         FILE* jf = std::fopen(path, "rb");
-        if (!jf) { jpeg_destroy_decompress(&cinfo); return -1; }
+        if (!jf) return -1;
+        if (setjmp(jerr.jmp)) {
+            jpeg_destroy_decompress(&cinfo);
+            std::fclose(jf);
+            return -4;
+        }
+        jpeg_create_decompress(&cinfo);
         jpeg_stdio_src(&cinfo, jf);
         jpeg_read_header(&cinfo, TRUE);
         cinfo.out_color_space = JCS_RGB;

@@ -57,9 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="learning rate for Adam optimizer.")
     parser.add_argument("--num-iter", type=int, default=200,
                         help="number of optimization steps.")
-    parser.add_argument("--batch-size", type=int, default=5,
-                        help="number of views per gradient-accumulation chunk; "
-                             "higher is faster but requires more memory.")
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="number of views per gradient-accumulation chunk "
+                             "(memory knob; the gradient is exact full-batch "
+                             "either way). Default: the whole observation stack "
+                             "in one pass — fastest; set a small value (the "
+                             "reference's default is 5) to bound memory.")
     parser.add_argument("--save-interval", type=int,
                         help="save restored image every given optimization step.")
     parser.add_argument("--params-path", type=Path,

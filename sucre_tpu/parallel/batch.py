@@ -29,7 +29,17 @@ def stack_params(params_list: list[SucreParams]) -> SucreParams:
 
 def stack_obs(obs_list: list[DenseObs]) -> DenseObs:
     """Stack per-target observation stacks, padding the view axis to the
-    largest V (padded views are invalid => no contribution)."""
+    largest V (padded views are invalid => no contribution).
+
+    Color dtypes may legitimately differ across targets (raw uint8 from
+    fresh matching vs float32 [0,1] loaded from an .h5 cache); stacking
+    those as-is would silently promote the u8 values to f32 0-255 and
+    break the [0,1] convention downstream, so mixed stacks are first
+    normalized to f32 with ``to_f32_rgb``."""
+    from sucre_tpu.ops.matching import to_f32_rgb
+
+    if len({o.I.dtype for o in obs_list}) > 1:
+        obs_list = [o._replace(I=to_f32_rgb(o.I)) for o in obs_list]
     V = max(o.valid.shape[0] for o in obs_list)
 
     def stackpad(*xs):
@@ -42,17 +52,18 @@ def stack_obs(obs_list: list[DenseObs]) -> DenseObs:
 
 @partial(
     jax.jit,
-    static_argnames=("num_iter", "use_closed_form", "lr", "pallas_mode"),
+    static_argnames=("num_iter", "use_closed_form", "lr", "pallas_mode", "chunked"),
     donate_argnums=(0,),
 )
 def _fit_many_jit(
     params: SucreParams,  # leaves with leading T axis
-    obs: DenseObs,  # (T, V, H, W, ...)
+    obs: DenseObs,  # (T, V, H, W, ...) or (T, nc, c, H, W, ...) chunked
     n_obs: jnp.ndarray,  # (T,)
     num_iter: int,
     use_closed_form: bool,
     lr: float,
     pallas_mode: str = "off",
+    chunked: bool = False,
 ):
     opt = optax.adam(lr)
     opt_state = jax.vmap(opt.init)(params)
@@ -65,12 +76,18 @@ def _fit_many_jit(
 
         zt, It = prepare_obs(obs.z, obs.I)
 
+    # View-chunked grad accumulation (the --batch-size memory knob):
+    # per-target obs arrive reshaped (nc, chunk, H, W, ...) and the loss /
+    # closed-form reductions scan over chunks with rematerialization —
+    # mathematically identical to the full-stack gradient (solve._loss).
+    from sucre_tpu.solve import _closed_form, _loss
+
     def one_target_grads(p, o, n):
         if use_closed_form:
-            J_const, _ = closed_form_J(p, o)
-            loss_fn = lambda q: residual_loss(q, J_const, o, n)
+            J_const, _ = _closed_form(p, o, chunked)
+            loss_fn = lambda q: _loss(q, J_const, o, n, chunked)
         else:
-            loss_fn = lambda q: residual_loss(q, q.J, o, n)
+            loss_fn = lambda q: _loss(q, q.J, o, n, chunked)
         (_, cost), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
         return cost, grads
 
@@ -94,10 +111,13 @@ def _fit_many_jit(
 
     (params, _), ys = jax.lax.scan(step, (params, opt_state), None, length=num_iter)
     if use_closed_form:
-        J, observed = jax.vmap(closed_form_J)(params, obs)
+        J, observed = jax.vmap(lambda p, o: _closed_form(p, o, chunked))(params, obs)
     else:
         J = params.J
-        observed = jnp.any(obs.valid, axis=1)
+        observed = jnp.any(
+            obs.valid.reshape(obs.valid.shape[:1] + (-1,) + obs.valid.shape[-2:]),
+            axis=1,
+        )
     return params, J, observed, FitTelemetry(*ys)
 
 
@@ -116,6 +136,21 @@ def fit_many(
     # stays alive for reuse.
     params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
     n_obs = jnp.sum(obs.valid, axis=(1, 2, 3)).astype(jnp.float32)
+    # View-chunked grad accumulation (--batch-size memory knob): reshape
+    # each target's view axis to (nc, chunk) so the loss scans over chunks
+    # with rematerialization — identical gradient, bounded activations.
+    chunked = cfg.view_chunk is not None and cfg.view_chunk < obs.valid.shape[1]
+    if chunked:
+        c = cfg.view_chunk
+        pad = (-obs.valid.shape[1]) % c
+        if pad:
+            obs = jax.tree.map(
+                lambda x: jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)),
+                obs,
+            )
+        obs = jax.tree.map(
+            lambda x: x.reshape((x.shape[0], -1, c) + x.shape[2:]), obs
+        )
     # Fused-kernel eligibility mirrors solve.fit: direct mode, no light,
     # compact layout; the kernel is unsharded, so only without a mesh.
     from sucre_tpu.ops.pallas.fit_kernel import kernel_supported
@@ -125,6 +160,7 @@ def fit_many(
         and params.J is not None
         and params.cam2light is None
         and obs.z is not None
+        and not chunked
         and kernel_supported(obs.valid.shape[-1])
         and mesh is None
     )
@@ -136,7 +172,8 @@ def fit_many(
             raise ValueError(
                 "use_pallas=True but the fused kernel is not eligible for "
                 "this batched fit (needs: direct mode, no light model, "
-                "compact z-layout, no mesh); use use_pallas=None for auto"
+                "compact z-layout, unchunked views, no mesh); use "
+                "use_pallas=None for auto"
             )
         want = cfg_pallas and eligible
     pallas_mode = (
@@ -159,5 +196,5 @@ def fit_many(
         n_obs = jax.device_put(n_obs, NamedSharding(mesh, P(batch_axis)))
     return _fit_many_jit(
         params, obs, n_obs, cfg.num_iter, cfg.use_closed_form, cfg.lr,
-        pallas_mode=pallas_mode,
+        pallas_mode=pallas_mode, chunked=chunked,
     )

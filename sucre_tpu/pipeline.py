@@ -56,7 +56,12 @@ class RestoreConfig:
     min_cover: float = 0.000001  # sucre.py:282
     lr: float = 0.05  # sucre.py:289
     num_iter: int = 200  # sucre.py:291
-    batch_size: int = 5  # fit view-chunk (grad-accum memory knob, sucre.py:292)
+    # Fit view-chunk: the --batch-size grad-accum memory knob
+    # (sucre.py:292). None = whole observation stack in one gradient pass
+    # (identical result — the reference's pair-batching is pure
+    # accumulation); an int bounds activation memory to ~chunk/V of the
+    # stack on every fit path (sequential and batched).
+    batch_size: int | None = None
     save_interval: int | None = None
     params_path: Path | None = None
     force_compute_matches: bool = False
@@ -67,9 +72,14 @@ class RestoreConfig:
     joint_params: bool = False  # share B/beta/gamma across the whole batch
     bilinear_colors: bool = False  # bilinear (vs reference nearest) color sampling
     frustum_cull: bool = True  # skip pairs whose surface AABBs cannot overlap
-    export_dtype: str = "f16"  # J device->host transfer dtype ("f16" | "f32");
-    # f16 halves the fetch; its ~5e-4 max error is far below the 8-bit
-    # artifact quantization and irrelevant at the 0.1 dB parity bar
+    # J device->host transfer dtype on the batched path ("f32" | "f16").
+    # f32 (default) keeps the parameter checkpoint (.npz/.pt J — the
+    # full-precision restoration artifact, warm-start input and
+    # reference-interop payload) exact, matching the single-image path.
+    # "f16" halves the J fetch for slow links but rounds the CHECKPOINT
+    # too (~5e-4 relative) — opt in only when the link dominates and the
+    # npz J is not the deliverable. PNG renders are u8 either way.
+    export_dtype: str = "f32"
     checkpoint_interval: int | None = None  # mid-fit solver snapshots
     # Where the _rgb artifact's percentile-normalize runs. Device keeps
     # host work off the critical path of a single blocking restore;
@@ -857,7 +867,10 @@ def _dispatch_batch(
         f"{', joint globals' if cfg.joint_params else ''}).")
     mark("match_dispatch")  # async dispatch; device matching time folds into fit_batch
     so = stacked_obs if stacked_obs is not None else stack_obs(obs_list)
-    fit_cfg = FitConfig(lr=cfg.lr, num_iter=cfg.num_iter, use_closed_form=cfg.use_closed_form)
+    fit_cfg = FitConfig(
+        lr=cfg.lr, num_iter=cfg.num_iter, use_closed_form=cfg.use_closed_form,
+        view_chunk=cfg.batch_size,
+    )
     if cfg.joint_params:
         from sucre_tpu.parallel.joint import JointParams, fit_joint
 

@@ -10,7 +10,9 @@ Parity notes (sfm.py:186-238):
     fx,cx scale by width/w and fy,cy by height/h (sfm.py:193-199).
   - Poses are stored cam->world (COLMAP's cam_from_world inverted,
     sfm.py:219-222).
-  - Depth path = depth_dir / ('depth_' + stem + '.png') (sfm.py:214).
+  - Depth path = (depth_dir / name).with_stem('depth_' + stem)
+    .with_suffix('.png') — subdirectories in image names are preserved
+    (sfm.py:214).
   - ``scene[name]`` looks up views by image name (sfm.py:226-234).
 """
 
@@ -155,7 +157,11 @@ class Scene:
             t_cw = -R_wc.T @ t_wc
             width, height, fx, fy, cx, cy = scaled[im.camera_id]
             rgb_path = image_dir / im.name
-            depth_path = depth_dir / f"depth_{Path(im.name).stem}.png"
+            # with_stem semantics (sfm.py:214): nested names like
+            # 'cam0/img.jpg' keep their subdirectory ->
+            # depth_dir/cam0/depth_img.png (flattening would collide
+            # same-basename images from different subdirs).
+            depth_path = (depth_dir / im.name).parent / f"depth_{Path(im.name).stem}.png"
             views[im.image_id] = View(
                 image_id=im.image_id,
                 name=im.name,

@@ -116,6 +116,26 @@ class TestSceneIngest:
         assert view.depth_path.name == "depth_img_001.png"
         assert view.rgb_path.exists() and view.depth_path.exists()
 
+    def test_nested_image_names_keep_subdirs(self, tmp_path):
+        """Depth-path with_stem parity (sfm.py:214): 'cam0/img.jpg' ->
+        depth_dir/cam0/depth_img.png — flattening would collide
+        same-basename images from different subdirectories."""
+        scene_def = make_scene(tmp_path, n_views=2)
+        from sucre_tpu.io import colmap as cio
+
+        cameras, images, _ = cio.read_model(scene_def.model_dir)
+        for i, im in images.items():
+            im.name = f"cam{i % 2}/shot.png"
+        cio.write_images_bin(images, scene_def.model_dir / "images.bin")
+        scene = Scene.from_colmap(
+            scene_def.model_dir, scene_def.image_dir, scene_def.depth_dir
+        )
+        paths = {v.depth_path for v in scene.view_list()}
+        assert paths == {
+            scene_def.depth_dir / "cam0" / "depth_shot.png",
+            scene_def.depth_dir / "cam1" / "depth_shot.png",
+        }
+
     def test_text_model(self, tmp_path):
         scene_def = make_scene(tmp_path, n_views=2, binary=False)
         scene = Scene.from_colmap(scene_def.model_dir, scene_def.image_dir, scene_def.depth_dir)

@@ -85,6 +85,28 @@ class TestDecodeNative:
         with pytest.raises(IOError, match="failures"):
             native.decode_batch([(tmp_path / "missing.png", "rgb8", 4, 4)])
 
+    def test_corrupt_jpeg_fails_per_item(self, tmp_path, rng):
+        """A truncated/corrupt JPEG must surface as a per-item decode
+        failure, not kill the process (libjpeg's default error_exit calls
+        exit(); the codec installs a longjmp handler instead)."""
+        img = rng.integers(0, 256, (32, 40, 3), np.uint8)
+        cv2.imwrite(str(tmp_path / "ok.jpg"), img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+        data = (tmp_path / "ok.jpg").read_bytes()
+        # hard corruption: JPEG magic followed by garbage (invalid marker
+        # => error_exit; mere truncation is only a libjpeg warning)
+        (tmp_path / "bad.jpg").write_bytes(data[:2] + b"\x00" * 64)
+        with pytest.raises(IOError, match="failures"):
+            native.decode_batch(
+                [
+                    (tmp_path / "bad.jpg", "rgb8", 40, 32),
+                    (tmp_path / "ok.jpg", "rgb8", 40, 32),
+                ],
+                n_threads=2,
+            )
+        # the process survives and can still decode good files afterwards
+        got = native.decode_rgb8(tmp_path / "ok.jpg", 40, 32)
+        assert got.shape == (32, 40, 3)
+
 
 class TestCachePrefillNative:
     def test_prefill_uses_native(self, tmp_path):

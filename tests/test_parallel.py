@@ -81,6 +81,41 @@ def test_fit_many_equals_individual(rng, closed_form):
         )
 
 
+def test_stack_obs_mixed_color_dtypes(rng):
+    """A batch mixing raw-u8 colors (fresh matching) with f32 [0,1]
+    colors (h5 cache loads) must normalize to one convention — stacking
+    as-is would promote u8 0-255 into the f32 [0,1] pipeline."""
+    obs_u8, _ = _synthetic_obs(rng, V=3, H=6, W=7)
+    obs_u8 = obs_u8._replace(
+        I=(np.clip(np.asarray(obs_u8.I), 0, 1) * 255).astype(np.uint8)
+    )
+    obs_f32, _ = _synthetic_obs(rng, V=3, H=6, W=7)
+    stacked = stack_obs([obs_u8, obs_f32])
+    assert stacked.I.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(stacked.I[0]), np.asarray(obs_u8.I).astype(np.float32) / 255
+    )
+    np.testing.assert_allclose(np.asarray(stacked.I[1]), np.asarray(obs_f32.I))
+
+
+@pytest.mark.parametrize("closed_form", [False, True])
+def test_fit_many_view_chunk_equals_full(rng, closed_form):
+    """The --batch-size grad-accum knob on the batched path: chunked
+    view accumulation is the exact full-batch gradient."""
+    T = 2
+    cfg_full = FitConfig(num_iter=4, use_closed_form=closed_form)
+    cfg_chunk = FitConfig(num_iter=4, use_closed_form=closed_form, view_chunk=2)
+    obs_list = [_synthetic_obs(rng, V=5, H=6, W=7)[0] for _ in range(T)]
+    image = None if closed_form else np.zeros((6, 7, 3), np.float32)
+    params_list = [init_params(image=image, use_closed_form=closed_form) for _ in range(T)]
+    pa, Ja, oa, ta = fit_many(stack_params(params_list), stack_obs(obs_list), cfg_full)
+    pb, Jb, ob, tb = fit_many(stack_params(params_list), stack_obs(obs_list), cfg_chunk)
+    np.testing.assert_allclose(np.asarray(pa.B), np.asarray(pb.B), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Ja), np.asarray(Jb), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+    np.testing.assert_allclose(np.asarray(ta.cost), np.asarray(tb.cost), rtol=1e-5)
+
+
 def test_fit_many_sharded_batch(rng):
     T = 8
     cfg = FitConfig(num_iter=3, use_closed_form=True)
