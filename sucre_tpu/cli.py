@@ -107,6 +107,19 @@ def build_parser() -> argparse.ArgumentParser:
                         help="snapshot full solver state (params + Adam moments + "
                              "iteration) every N iterations; an interrupted restore "
                              "resumes exactly where it stopped.")
+    parser.add_argument("--shard-mode", choices=["auto", "batch", "view-row", "none"],
+                        default="auto",
+                        help="multi-chip strategy when several devices are "
+                             "visible. batch: different chips restore different "
+                             "targets (batched runs); view-row: each restore's "
+                             "observation stack shards over a (view x row) mesh "
+                             "(single-target / sequential runs); auto picks "
+                             "batch for batched runs and view-row otherwise; "
+                             "none disables sharding.")
+    parser.add_argument("--mesh", type=str, default=None, metavar="VxR",
+                        help="explicit (view x row) mesh factorization for "
+                             "--shard-mode view-row, e.g. 2x4; default 1xN "
+                             "(all devices shard pixel rows).")
     parser.add_argument("--profile-dir", type=Path,
                         help="capture a jax.profiler trace of the run into this "
                              "directory (view with TensorBoard/XProf).")
@@ -117,6 +130,8 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
+    import os
+
     import jax
 
     if args.platform:
@@ -124,6 +139,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.compile_cache and str(args.compile_cache):
         jax.config.update("jax_compilation_cache_dir", str(args.compile_cache))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # Multi-host (DCN tier): when launched under a JAX coordinator, join
+    # the process group; each host then restores a disjoint strided slice
+    # of the target list (no cross-host communication during restores).
+    multihost = bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if multihost:
+        from sucre_tpu.parallel.multihost import initialize_distributed
+
+        initialize_distributed()
 
     print("Loading COLMAP model.")
     scene = Scene.from_colmap(
@@ -184,6 +208,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.profile_dir
         else contextlib.nullcontext()
     )
+    # Multi-host: each process restores a disjoint strided slice of the
+    # target list (artifacts land in the shared output dir; the matches
+    # cache is file-granular, so failed hosts re-run only their targets).
+    if multihost:
+        from sucre_tpu.parallel.multihost import shard_targets
+
+        targets = shard_targets(targets)
+        print(
+            f"Process {jax.process_index()}/{jax.process_count()}: "
+            f"{len(targets)} targets."
+        )
     # Multi-target batching: group same-dimension targets and restore each
     # group in one device program (views decoded/uploaded once). Modes the
     # batched fit doesn't cover (snapshots, mid-fit checkpoints,
@@ -197,6 +232,38 @@ def main(argv: list[str] | None = None) -> int:
     if args.joint_params and not batched_ok:
         raise SystemExit("--joint-params requires multiple targets and the "
                          "batched path (no --save-interval/--checkpoint-interval)")
+
+    # Multi-chip sharding (this process's local devices): batched runs
+    # spread the target batch one-image-per-chip; sequential/single-target
+    # runs shard each restore's observation stack over a (view x row) mesh.
+    devices = jax.local_devices()
+    mode = args.shard_mode
+    if mode == "auto":
+        mode = "none" if len(devices) == 1 else ("batch" if batched_ok else "view-row")
+    if mode == "batch" and not batched_ok:
+        mode = "view-row"  # batch sharding needs the batched path
+    if len(devices) == 1:
+        mode = "none"
+    mesh = None
+    batch_targets = args.batch_targets
+    if mode == "batch":
+        import numpy as np
+
+        mesh = jax.sharding.Mesh(np.asarray(devices), axis_names=("batch",))
+        # batches must fill the mesh's batch axis to shard evenly
+        batch_targets = max(batch_targets, len(devices))
+        print(f"Sharding: target batches of {batch_targets} over "
+              f"{len(devices)} devices.")
+    elif mode == "view-row":
+        from sucre_tpu.parallel import make_mesh
+
+        if args.mesh:
+            v, r = (int(x) for x in args.mesh.lower().split("x"))
+        else:
+            v, r = 1, len(devices)
+        mesh = make_mesh(v, r, devices=devices)
+        print(f"Sharding: (view={v} x row={r}) mesh per restore.")
+
     with profile_cm:
         if batched_ok:
             from sucre_tpu.pipeline import restore_survey
@@ -206,11 +273,14 @@ def main(argv: list[str] | None = None) -> int:
             # compute against host transfer+export across batches.
             restore_survey(
                 scene, targets, args.output_dir, cfg,
-                image_list=image_list, batch_targets=args.batch_targets,
+                image_list=image_list, batch_targets=batch_targets,
+                mesh=mesh if mode == "batch" else None,
             )
         else:
+            rmesh = mesh if mode == "view-row" else None
             for name in targets:
-                restore_image(scene, name, args.output_dir, cfg, image_list=image_list)
+                restore_image(scene, name, args.output_dir, cfg,
+                              image_list=image_list, mesh=rmesh)
     return 0
 
 

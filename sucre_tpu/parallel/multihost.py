@@ -23,6 +23,8 @@ targets.
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 
@@ -31,9 +33,25 @@ def initialize_distributed(
     num_processes: int | None = None,
     process_id: int | None = None,
 ) -> None:
-    """Initialize jax.distributed (no-op when already initialized or when
-    running single-process). Arguments default to JAX's standard
-    environment-based discovery (JAX_COORDINATOR_ADDRESS etc.)."""
+    """Initialize jax.distributed (no-op when already initialized).
+
+    Arguments default to the JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID environment variables (jax's own
+    auto-discovery only covers managed clusters like SLURM), falling
+    back to jax.distributed's cluster detection when unset."""
+    if jax.distributed.is_initialized():
+        return
+    # Multi-process CPU (tests, virtual meshes) needs a cross-process
+    # collectives backend for the client to register as multi-node.
+    platforms = getattr(jax.config, "jax_platforms", None) or ""
+    if "cpu" in platforms:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -454,8 +454,13 @@ def restore_image(
     output_dir: Path | str,
     cfg: RestoreConfig | None = None,
     image_list: list[View] | None = None,
+    mesh=None,
 ) -> RestoreResult:
-    """Restore one image end to end (parity: sucre.py:160-219)."""
+    """Restore one image end to end (parity: sucre.py:160-219).
+
+    With a ('view', 'row') ``mesh``, the fit runs sharded across the
+    mesh's devices — views data-parallel, pixel rows spatially parallel
+    (``parallel.fit_sharded``); results equal the unsharded fit."""
     cfg = cfg or RestoreConfig()
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -558,21 +563,31 @@ def restore_image(
     if cfg.checkpoint_interval:
         ckpt_dir = output_dir / f"{Path(target.name).stem}_fit_ckpt"
     t0 = time.perf_counter()
-    res = fit(
-        params,
-        obs,
-        FitConfig(
-            lr=cfg.lr,
-            num_iter=cfg.num_iter,
-            use_closed_form=cfg.use_closed_form,
-            view_chunk=cfg.batch_size,
-            save_interval=cfg.save_interval,
-            checkpoint_dir=ckpt_dir,
-            checkpoint_interval=cfg.checkpoint_interval,
-        ),
-        telemetry_fn=print_telemetry if cfg.verbose else None,
-        snapshot_fn=snapshot_fn,
+    fit_cfg = FitConfig(
+        lr=cfg.lr,
+        num_iter=cfg.num_iter,
+        use_closed_form=cfg.use_closed_form,
+        view_chunk=cfg.batch_size,
+        save_interval=cfg.save_interval,
+        checkpoint_dir=ckpt_dir,
+        checkpoint_interval=cfg.checkpoint_interval,
     )
+    # drop None callbacks: fit_sharded treats "no kwargs" as eligibility
+    # for the fused-kernel route
+    fit_kwargs = {
+        k: v
+        for k, v in dict(
+            telemetry_fn=print_telemetry if cfg.verbose else None,
+            snapshot_fn=snapshot_fn,
+        ).items()
+        if v is not None
+    }
+    if mesh is not None:
+        from sucre_tpu.parallel import fit_sharded
+
+        res = fit_sharded(params, obs, fit_cfg, mesh, **fit_kwargs)
+    else:
+        res = fit(params, obs, fit_cfg, **fit_kwargs)
     timings["fit"] = time.perf_counter() - t0
     if ckpt_dir is not None and ckpt_dir.exists():
         # successful completion: drop the mid-run solver snapshots
@@ -706,6 +721,14 @@ def _dispatch_batch(
     dims = {(t.width, t.height) for t in targets}
     if len(dims) != 1:
         raise ValueError(f"restore_many requires same-dimension targets, got {dims}")
+    if mesh is not None and len(targets) % mesh.devices.shape[0] != 0:
+        # the batch axis must divide evenly across its mesh shards; a
+        # ragged (usually final) batch runs unsharded rather than failing
+        log(
+            f"Batch of {len(targets)} not divisible by the "
+            f"{mesh.devices.shape[0]}-way batch mesh; running unsharded."
+        )
+        mesh = None
 
     use_h5 = cfg.store == "hdf5"
     matches_files: list[MatchesFile | None] = []
