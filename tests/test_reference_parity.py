@@ -308,3 +308,63 @@ def test_h5_cache_cross_interop(reference_modules, scene_dir, tmp_path):
     )
     assert int(np.asarray(obs.valid).sum()) == len(ref_mf2)
     assert set(names) == {im.name for im in ref_mf2.get_image_list()}
+
+
+def test_full_defaults_quality_parity(reference_modules, scene_dir, tmp_path):
+    """THE quality bar (BASELINE.md): at FULL reference defaults
+    (200 iterations, lr 0.05, default batching), the restored image's
+    PSNR against the scene's analytic ground truth must be within
+    0.1 dB of the reference pipeline's, and the two restorations must
+    agree closely with each other. SSIM is recorded alongside."""
+    ref = reference_modules
+    model = ref.sfm.COLMAPModel(
+        model_dir=scene_dir.model_dir, image_dir=scene_dir.image_dir,
+        depth_dir=scene_dir.depth_dir, image_scale=1.0,
+    )
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    ref.sucre.restore_image(
+        image=model["img_002.png"], colmap_model=model, output_dir=ref_out,
+        num_iter=200, batch_size=5, device="cpu", keep_matches=True,
+    )
+    import torch
+
+    J_ref = torch.load(ref_out / "img_002.pt", weights_only=True)["J"].numpy()
+
+    from sucre_tpu.pipeline import RestoreConfig, restore_image
+    from sucre_tpu.scene import Scene
+    from sucre_tpu.utils.metrics import psnr, ssim
+
+    scene = Scene.from_colmap(
+        scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir
+    )
+    ours = restore_image(
+        scene, "img_002.png", tmp_path / "our_out",
+        RestoreConfig(num_iter=200, verbose=False),
+    )
+
+    J_gt = scene_dir.J_views[2]
+    valid = (
+        np.isfinite(J_ref).all(axis=-1)
+        & np.isfinite(ours.J).all(axis=-1)
+        & np.isfinite(J_gt).all(axis=-1)
+    )
+    assert valid.mean() > 0.95
+
+    psnr_ref_gt = psnr(J_ref, J_gt, mask=valid)
+    psnr_our_gt = psnr(ours.J, J_gt, mask=valid)
+    psnr_cross = psnr(ours.J, J_ref, mask=valid)
+    ssim_ref = ssim(np.where(valid[..., None], J_ref, 0), np.where(valid[..., None], J_gt, 0))
+    ssim_our = ssim(np.where(valid[..., None], ours.J, 0), np.where(valid[..., None], J_gt, 0))
+    print(
+        f"\nFULL-DEFAULTS QUALITY: PSNR(ref vs GT)={psnr_ref_gt:.3f} dB, "
+        f"PSNR(ours vs GT)={psnr_our_gt:.3f} dB, delta={psnr_our_gt - psnr_ref_gt:+.3f} dB, "
+        f"PSNR(ours vs ref)={psnr_cross:.2f} dB, "
+        f"SSIM ref={ssim_ref:.4f} ours={ssim_our:.4f}"
+    )
+    # the BASELINE.md bar: within 0.1 dB of the reference at defaults
+    assert psnr_our_gt >= psnr_ref_gt - 0.1, (
+        f"ours {psnr_our_gt:.3f} dB vs reference {psnr_ref_gt:.3f} dB"
+    )
+    assert psnr_cross > 35.0
+    assert abs(ssim_our - ssim_ref) < 0.01
