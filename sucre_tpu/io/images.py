@@ -64,10 +64,18 @@ def _native():
 
 
 def load_rgb_raw(rgb_path: Path | str, width: int, height: int) -> np.ndarray:
-    """Decode RGB keeping uint8 when no resize is needed (exact: u8/255 on
-    device equals the f32 decode); falls back to the float path when
-    resizing (the reference resizes in float — loader.py:156-163 — and
-    uint8-domain resampling would round differently).
+    """Decode RGB keeping uint8 (exact when unresized: u8/255 on device
+    equals the f32 decode). DOWNSCALING (image_scale < 1, the flag's
+    common use) resamples in the uint8 domain — cv2's fixed-point
+    INTER_AREA rounds at most 1 LSB (~4e-3) differently from the
+    reference's float-domain resize (measured 0.00196 max), far below
+    the 8-bit artifact quantization and the 0.1 dB parity bar (see
+    tests/test_reference_parity.py::test_image_scale_full_parity) —
+    keeping the packed single-gather matching path + 4x cheaper H2D.
+    UPSCALING falls back to the float path: the reference's
+    float-domain INTER_CUBIC overshoots outside [0, 1] (measured down
+    to -0.17 / up to 1.19) and those unclipped values are load-bearing
+    observation colors, which uint8 cannot represent.
 
     Uses the native libjpeg/libpng decoder (csrc/image_codec.cpp) when
     built; cv2 otherwise.
@@ -84,6 +92,9 @@ def load_rgb_raw(rgb_path: Path | str, width: int, height: int) -> np.ndarray:
     if bgr is None:
         raise FileNotFoundError(f"Cannot decode image {rgb_path}")
     if bgr.shape[0] == height and bgr.shape[1] == width:
+        return np.ascontiguousarray(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+    if width < bgr.shape[1]:
+        bgr = cv2.resize(bgr, (width, height), interpolation=cv2.INTER_AREA)
         return np.ascontiguousarray(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
     return load_rgb(rgb_path, width, height)
 

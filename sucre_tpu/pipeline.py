@@ -275,7 +275,11 @@ def compute_matches(
         if cache is not None:
             stream = ((i, *cache.get(v)) for i, v in enumerate(views))
         else:
-            stream = prefetch_views(views, rgb=True, depth=True, num_workers=num_workers)
+            # raw dtypes: packed single-gather matching + 4x cheaper H2D
+            # (u8-domain downscale under image_scale, see load_rgb_raw)
+            stream = prefetch_views(
+                views, rgb=True, depth=True, num_workers=num_workers, raw=True
+            )
         for chunk in batched(stream, match_chunk):
             idxs = [i for i, _, _ in chunk]
             sub = [views[i] for i in idxs]
@@ -542,7 +546,12 @@ def restore_image(
 
     image = None
     if not cfg.use_closed_form:
-        image = load_rgb(target.rgb_path, target.width, target.height)
+        # raw decode + convert == load_rgb exactly when unresized; under
+        # image_scale it keeps the same u8-domain resample the survey
+        # path's device stacks use, so both paths share one J init
+        from sucre_tpu.io.images import load_rgb_raw
+
+        image = rgb_to_f32(load_rgb_raw(target.rgb_path, target.width, target.height))
     params = init_params(
         image=image, light_model=cfg.light_model, use_closed_form=cfg.use_closed_form
     )

@@ -72,3 +72,41 @@ def test_prefetch_depth_only(tmp_path):
 
 def test_batched():
     assert list(batched(range(5), 2)) == [[0, 1], [2, 3], [4]]
+
+
+def test_rgb_raw_scaled_stays_u8_and_close_to_float_path(tmp_path):
+    """image_scale != 1: the raw decode resamples in the uint8 domain
+    (keeping the packed matching path); values stay within ~1 LSB of the
+    reference's float-domain resize."""
+    from sucre_tpu.io.images import load_rgb, load_rgb_raw
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    cv2.imwrite(str(tmp_path / "a.png"), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    raw = load_rgb_raw(tmp_path / "a.png", 32, 24)  # downscale: u8 AREA
+    assert raw.dtype == np.uint8 and raw.shape == (24, 32, 3)
+    ref = load_rgb(tmp_path / "a.png", 32, 24)
+    assert np.abs(raw.astype(np.float32) / 255 - ref).max() <= 1.5 / 255
+    # upscale keeps the float path: the reference's float-domain CUBIC
+    # overshoots outside [0,1] and those values are real observations
+    up = load_rgb_raw(tmp_path / "a.png", 96, 72)
+    assert up.dtype == np.float32
+    np.testing.assert_array_equal(up, load_rgb(tmp_path / "a.png", 96, 72))
+
+
+def test_scaled_scene_keeps_packed_path(tmp_path):
+    """A whole image_scale=0.5 pipeline keeps raw integer dtypes through
+    the view cache, so matching takes the packed single-gather path."""
+    from sucre_tpu.ops.matching import _is_raw_views
+    from sucre_tpu.pipeline import ViewCache
+
+    sd = make_scene(tmp_path, n_views=2, width=64, height=48)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir, image_scale=0.5)
+    cache = ViewCache()
+    cache.prefill(scene.view_list())
+    rgb, depth = cache.get(scene["img_000.png"])
+    assert rgb.dtype == np.uint8 and rgb.shape == (24, 32, 3)
+    assert depth.dtype == np.uint16 and depth.shape == (24, 32)
+    import jax.numpy as jnp
+
+    assert _is_raw_views(jnp.asarray(depth[None]), jnp.asarray(rgb[None]))

@@ -368,3 +368,50 @@ def test_full_defaults_quality_parity(reference_modules, scene_dir, tmp_path):
     )
     assert psnr_cross > 35.0
     assert abs(ssim_our - ssim_ref) < 0.01
+
+
+def test_image_scale_full_parity(reference_modules, scene_dir, tmp_path):
+    """--image-scale 0.5: both full pipelines at scaled resolution. Our
+    raw path resamples colors in uint8 (packed-gather fast path; ~1 LSB
+    from the reference's float-domain resize) — globals and restored J
+    must still agree tightly."""
+    ref = reference_modules
+    model = ref.sfm.COLMAPModel(
+        model_dir=scene_dir.model_dir, image_dir=scene_dir.image_dir,
+        depth_dir=scene_dir.depth_dir, image_scale=0.5,
+    )
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    ref.sucre.restore_image(
+        image=model["img_002.png"], colmap_model=model, output_dir=ref_out,
+        num_iter=30, batch_size=5, device="cpu", keep_matches=True,
+    )
+    import torch
+
+    ref_ckpt = torch.load(ref_out / "img_002.pt", weights_only=True)
+
+    from sucre_tpu.pipeline import RestoreConfig, restore_image
+    from sucre_tpu.scene import Scene
+    from sucre_tpu.utils.metrics import psnr
+
+    scene = Scene.from_colmap(
+        scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir,
+        image_scale=0.5,
+    )
+    ours = restore_image(
+        scene, "img_002.png", tmp_path / "our_out",
+        RestoreConfig(num_iter=30, verbose=False),
+    )
+    assert ours.J.shape == (24, 32, 3)
+
+    for key, mine in (("B", ours.params.B), ("beta", ours.params.beta),
+                      ("gamma", ours.params.gamma)):
+        np.testing.assert_allclose(
+            np.asarray(mine), ref_ckpt[key].numpy().ravel(), atol=3e-3,
+            err_msg=key,
+        )
+    J_ref = ref_ckpt["J"].numpy()
+    valid = np.isfinite(J_ref).all(axis=-1) & np.isfinite(ours.J).all(axis=-1)
+    assert valid.mean() > 0.9
+    p = psnr(ours.J, J_ref, mask=valid)
+    assert p > 40.0, f"scaled restore PSNR vs reference {p:.1f} dB"
