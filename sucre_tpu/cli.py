@@ -278,9 +278,18 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             rmesh = mesh if mode == "view-row" else None
+            cache = None
+            if len(targets) > 1:
+                # decode each view / compute each surface AABB once
+                # across the sequential loop (the reference re-decodes
+                # per target, sfm.py:130-131)
+                from sucre_tpu.pipeline import ViewCache
+
+                cache = ViewCache()
+                cache.prefill(image_list, num_workers=args.num_workers)
             for name in targets:
                 restore_image(scene, name, args.output_dir, cfg,
-                              image_list=image_list, mesh=rmesh)
+                              image_list=image_list, mesh=rmesh, cache=cache)
     return 0
 
 

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from sucre_tpu.models.sucre import SucreParams, closed_form_J, residual_loss
+from sucre_tpu.models.sucre import SucreParams
 from sucre_tpu.ops.matching import DenseObs
 from sucre_tpu.solve import FitConfig, FitTelemetry
 
@@ -75,17 +75,20 @@ def init_joint_params(
 
 @partial(
     jax.jit,
-    static_argnames=("num_iter", "use_closed_form", "lr"),
+    static_argnames=("num_iter", "use_closed_form", "lr", "chunked"),
     donate_argnums=(0,),
 )
 def _fit_joint_jit(
     params: JointParams,
-    obs: DenseObs,  # (T, V, H, W, ...)
+    obs: DenseObs,  # (T, V, H, W, ...) or (T, nc, c, H, W, ...) chunked
     n_obs: jnp.ndarray,  # (T,)
     num_iter: int,
     use_closed_form: bool,
     lr: float,
+    chunked: bool = False,
 ):
+    from sucre_tpu.solve import _closed_form, _loss
+
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
@@ -97,9 +100,9 @@ def _fit_joint_jit(
                 # constant w.r.t. the globals within an iteration
                 # (reference torch.no_grad parity, sucre.py:66-68; also
                 # halves the backward pass over the stack)
-                J_const = jax.lax.stop_gradient(closed_form_J(sp, t_obs)[0])
-                return residual_loss(sp, J_const, t_obs, t_n)
-            return residual_loss(sp, t_J, t_obs, t_n)
+                J_const = jax.lax.stop_gradient(_closed_form(sp, t_obs, chunked)[0])
+                return _loss(sp, J_const, t_obs, t_n, chunked)
+            return _loss(sp, t_J, t_obs, t_n, chunked)
 
         if p.J is None:
             nl, cost = jax.vmap(lambda o, n: one(o, n, None))(obs, n_obs)
@@ -119,13 +122,17 @@ def _fit_joint_jit(
     def final_J(p):
         if use_closed_form:
             return jax.vmap(
-                lambda o: closed_form_J(
+                lambda o: _closed_form(
                     SucreParams(B=p.B, beta=p.beta, gamma=p.gamma, J=None,
                                 cam2light=p.cam2light, sigma=p.sigma),
-                    o,
+                    o, chunked,
                 )
             )(obs)
-        return p.J, jnp.any(obs.valid, axis=1)
+        observed = jnp.any(
+            obs.valid.reshape(obs.valid.shape[:1] + (-1,) + obs.valid.shape[-2:]),
+            axis=1,
+        )
+        return p.J, observed
 
     J, observed = final_J(params)
     # telemetry parity with the per-target fit: globals are shared, but
@@ -143,13 +150,57 @@ def _fit_joint_jit(
     return params, J, observed, tel
 
 
-def fit_joint(params: JointParams, obs: DenseObs, cfg: FitConfig):
+def fit_joint(params: JointParams, obs: DenseObs, cfg: FitConfig, mesh=None):
     """Jointly fit T targets with shared globals.
+
+    With a ``mesh`` (first axis = target batch), the observation stacks
+    and per-target J shard one-target-per-device while the shared
+    globals stay replicated — GSPMD turns their gradient reductions into
+    psums across the mesh, so every chip's observations constrain the
+    same water model (requires T divisible by the mesh axis).
 
     Returns (params, J (T,H,W,3), observed (T,H,W), telemetry with
     cost (num_iter, T) and the shared-parameter trajectories broadcast
     per target, (num_iter, T, 3) — same layout as fit_many's).
     """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
     n_obs = jnp.sum(obs.valid, axis=tuple(range(1, obs.valid.ndim))).astype(jnp.float32)
-    return _fit_joint_jit(params, obs, n_obs, cfg.num_iter, cfg.use_closed_form, cfg.lr)
+    # --batch-size grad-accum memory knob (same reshape as fit_many)
+    chunked = cfg.view_chunk is not None and cfg.view_chunk < obs.valid.shape[1]
+    if chunked:
+        c = cfg.view_chunk
+        pad = (-obs.valid.shape[1]) % c
+        if pad:
+            obs = jax.tree.map(
+                lambda x: jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)),
+                obs,
+            )
+        obs = jax.tree.map(
+            lambda x: x.reshape((x.shape[0], -1, c) + x.shape[2:]), obs
+        )
+    if mesh is not None:
+        batch_axis = mesh.axis_names[0]
+
+        def batch_put(x):
+            return jax.device_put(
+                x, NamedSharding(mesh, P(*([batch_axis] + [None] * (x.ndim - 1))))
+            )
+
+        obs = jax.tree.map(batch_put, obs)
+        n_obs = batch_put(n_obs)
+        repl = NamedSharding(mesh, P())
+        params = JointParams(
+            B=jax.device_put(params.B, repl),
+            beta=jax.device_put(params.beta, repl),
+            gamma=jax.device_put(params.gamma, repl),
+            J=None if params.J is None else batch_put(params.J),
+            cam2light=None if params.cam2light is None
+            else jax.device_put(params.cam2light, repl),
+            sigma=None if params.sigma is None else jax.device_put(params.sigma, repl),
+        )
+    return _fit_joint_jit(
+        params, obs, n_obs, cfg.num_iter, cfg.use_closed_form, cfg.lr,
+        chunked=chunked,
+    )

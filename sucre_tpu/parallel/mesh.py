@@ -155,11 +155,13 @@ def match_survey_sharded(
     v_ts,  # (V, 3)
     min_cover=0.000001,
     compact: bool = True,
+    bilinear: bool = False,
 ) -> DenseObs:
     """The survey matching stage partitioned over the mesh: view stacks
     shard over the 'view' axis (each chip matches ITS views — every
-    random gather stays chip-local) and the target pixel grid shards
-    over the 'row' axis. The output observation stack comes back sharded
+    random gather stays chip-local; ``bilinear`` color sampling gathers
+    the four neighbors from the same chip-local view block) and the
+    target pixel grid shards over the 'row' axis. The output observation stack comes back sharded
     (view, row) on its (V, H) axes — exactly the layout ``fit_sharded``
     consumes, so matching + fit run multi-chip end to end with the
     observations never leaving their chip. The only collective GSPMD
@@ -203,7 +205,7 @@ def match_survey_sharded(
     W = t_depths.shape[2]
     return match_survey(
         t_depths, t_intrs, t_Rs, t_ts, *v_arrays,
-        jnp.float32(min_cover), compact=compact,
+        jnp.float32(min_cover), compact=compact, bilinear=bilinear,
         # the UNPADDED pixel count: padded rows have no valid matches but
         # would otherwise inflate the min-cover denominator, silently
         # dropping borderline pairs that the unsharded program keeps

@@ -271,6 +271,12 @@ def compute_matches(
     kept_chunks: list[DenseObs] = []  # device-resident, already min-cover-filtered
     area = float(target.width * target.height)
 
+    # Phase 1: dispatch every chunk's matching program asynchronously —
+    # no host sync inside the loop (a per-chunk count fetch costs one
+    # device round trip each, ~30 ms on high-latency links). Holds all
+    # chunk uploads live on device (~5 B/pixel/view, same as a resident
+    # DeviceViews stack).
+    pending = []  # (sub_views, n, obs, match, counts_dev)
     for (w2, h2), views in buckets.items():
         if cache is not None:
             stream = ((i, *cache.get(v)) for i, v in enumerate(views))
@@ -290,28 +296,33 @@ def compute_matches(
             obs, match = match_and_observe_chunk_jit(
                 d1, intr1, R1, t1, *dev, compact=compact, bilinear=bilinear
             )
-            # Only the tiny per-view count vector crosses to host; the dense
-            # stacks stay device-resident for the fit.
-            counts = np.asarray(obs.valid[:n].sum(axis=(1, 2)))
-            keep = [j for j in range(n) if counts[j] / area > min_cover]
-            for j in keep:
-                view2 = sub[j]
-                if matches_file is not None:
-                    matches_file.save_pair_from_dense(
-                        view2.name,
-                        PairMatch(
-                            u2=match.u2[j], v2=match.v2[j],
-                            d2=match.d2[j], valid=match.valid[j],
-                        ),
-                        obs.I[j],
-                    )
-                kept_names.append(view2.name)
-            if collect_dense and keep:
-                idx = jnp.asarray(np.asarray(keep, np.int32))
-                kept_chunks.append(
-                    jax.tree.map(lambda x: jnp.take(x, idx, axis=0), obs)
+            pending.append((sub, n, obs, match, obs.valid[:n].sum(axis=(1, 2))))
+
+    # Phase 2: ONE batched host fetch of the tiny count vectors; the
+    # dense stacks stay device-resident for the fit.
+    all_counts = jax.device_get([p[4] for p in pending])
+
+    # Phase 3: min-cover filter (device-side take, still async) + h5 save.
+    for (sub, n, obs, match, _), counts in zip(pending, all_counts):
+        keep = [j for j in range(n) if counts[j] / area > min_cover]
+        for j in keep:
+            view2 = sub[j]
+            if matches_file is not None:
+                matches_file.save_pair_from_dense(
+                    view2.name,
+                    PairMatch(
+                        u2=match.u2[j], v2=match.v2[j],
+                        d2=match.d2[j], valid=match.valid[j],
+                    ),
+                    obs.I[j],
                 )
-            log(f"matched {len(kept_names)} kept / {len(idxs)} in chunk")
+            kept_names.append(view2.name)
+        if collect_dense and keep:
+            idx = jnp.asarray(np.asarray(keep, np.int32))
+            kept_chunks.append(
+                jax.tree.map(lambda x: jnp.take(x, idx, axis=0), obs)
+            )
+        log(f"matched {len(kept_names)} kept / {n} in chunk")
 
     if matches_file is not None and bilinear and matches_file.exists():
         matches_file.set_color_sampling("bilinear")
@@ -459,12 +470,17 @@ def restore_image(
     cfg: RestoreConfig | None = None,
     image_list: list[View] | None = None,
     mesh=None,
+    cache: "ViewCache | None" = None,
 ) -> RestoreResult:
     """Restore one image end to end (parity: sucre.py:160-219).
 
     With a ('view', 'row') ``mesh``, the fit runs sharded across the
     mesh's devices — views data-parallel, pixel rows spatially parallel
-    (``parallel.fit_sharded``); results equal the unsharded fit."""
+    (``parallel.fit_sharded``); results equal the unsharded fit.
+
+    A shared ``cache`` (ViewCache) makes sequential multi-target runs
+    decode each view and compute each surface AABB once instead of once
+    per target (the reference re-decodes per target, sfm.py:130-131)."""
     cfg = cfg or RestoreConfig()
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -483,7 +499,10 @@ def restore_image(
     if image_list is None:
         image_list = scene.view_list()
 
-    target_depth = load_depth_map(target.depth_path, target.width, target.height)
+    if cache is not None:
+        target_depth = depth_to_f32(cache.get(target)[1])
+    else:
+        target_depth = load_depth_map(target.depth_path, target.width, target.height)
 
     t0 = time.perf_counter()
     obs = None
@@ -495,13 +514,16 @@ def restore_image(
             from sucre_tpu.ops.culling import cull_views, surface_aabb
 
             t_aabb = surface_aabb(target_depth, target.intrinsics, target.R, target.t)
-            v_aabbs = [
-                surface_aabb(
-                    load_depth_raw(v.depth_path, v.width, v.height),
-                    v.intrinsics, v.R, v.t,
-                )
-                for v in image_list
-            ]
+            if cache is not None:
+                v_aabbs = [cache.aabb(v) for v in image_list]
+            else:
+                v_aabbs = [
+                    surface_aabb(
+                        load_depth_raw(v.depth_path, v.width, v.height),
+                        v.intrinsics, v.R, v.t,
+                    )
+                    for v in image_list
+                ]
             keep_mask = cull_views([t_aabb], v_aabbs)
             if not all(keep_mask):
                 log(
@@ -519,6 +541,7 @@ def restore_image(
             num_workers=cfg.num_workers,
             target_depth=target_depth,
             collect_dense=True,
+            cache=cache,
             compact=not cfg.light_model,
             bilinear=cfg.bilinear_colors,
         )
@@ -549,9 +572,14 @@ def restore_image(
         # raw decode + convert == load_rgb exactly when unresized; under
         # image_scale it keeps the same u8-domain resample the survey
         # path's device stacks use, so both paths share one J init
-        from sucre_tpu.io.images import load_rgb_raw
+        if cache is not None:
+            image = rgb_to_f32(cache.get(target)[0])
+        else:
+            from sucre_tpu.io.images import load_rgb_raw
 
-        image = rgb_to_f32(load_rgb_raw(target.rgb_path, target.width, target.height))
+            image = rgb_to_f32(
+                load_rgb_raw(target.rgb_path, target.width, target.height)
+            )
     params = init_params(
         image=image, light_model=cfg.light_model, use_closed_form=cfg.use_closed_form
     )
@@ -912,7 +940,7 @@ def _dispatch_batch(
             J=None if p0.J is None else jnp.stack([p.J for p in params_list]),
             cam2light=p0.cam2light, sigma=p0.sigma,
         )
-        jparams, J, observed, tel = fit_joint(jp, so, fit_cfg)
+        jparams, J, observed, tel = fit_joint(jp, so, fit_cfg, mesh=mesh)
         # broadcast the shared globals into per-target param stacks so the
         # export path below is uniform
         T = len(targets)

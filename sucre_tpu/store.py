@@ -187,12 +187,3 @@ class MatchesFile:
         )
 
 
-def dense_obs_concat(parts: list[DenseObs]) -> DenseObs:
-    """Concatenate observation stacks along the view axis."""
-    import jax.numpy as jnp
-
-    return DenseObs(
-        valid=jnp.concatenate([p.valid for p in parts], axis=0),
-        cP=jnp.concatenate([p.cP for p in parts], axis=0),
-        I=jnp.concatenate([p.I for p in parts], axis=0),
-    )

@@ -232,3 +232,85 @@ def test_restore_survey_with_batch_mesh(tmp_path):
         assert ra.n_obs == rb.n_obs
         np.testing.assert_allclose(np.asarray(ra.params.B), np.asarray(rb.params.B), atol=1e-5)
         np.testing.assert_allclose(np.nan_to_num(ra.J), np.nan_to_num(rb.J), atol=1e-4)
+
+
+def test_match_survey_sharded_bilinear():
+    """--bilinear-colors composes with the sharded survey matching: the
+    four-neighbor color gathers stay chip-local and equal the
+    single-device bilinear program."""
+    import tempfile
+    from pathlib import Path
+
+    from sucre_tpu.io.images import load_view_arrays
+    from sucre_tpu.ops.matching import match_survey
+    from sucre_tpu.parallel import match_survey_sharded
+    from sucre_tpu.scene import Scene
+    from tests.synthetic import make_scene
+
+    sd = make_scene(Path(tempfile.mkdtemp()), n_views=4, width=64, height=48)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    views = scene.view_list()
+    arrays = [load_view_arrays(v, raw=True) for v in views]
+    v_depths = jnp.asarray(np.stack([a[1] for a in arrays]))
+    v_rgbs = jnp.asarray(np.stack([a[0] for a in arrays]))
+    v_intrs = jnp.asarray(np.stack([v.intrinsics for v in views]).astype(np.float32))
+    v_Rs = jnp.asarray(np.stack([v.R for v in views]).astype(np.float32))
+    v_ts = jnp.asarray(np.stack([v.t for v in views]).astype(np.float32))
+    tidx = jnp.asarray([1, 2])
+    ref = match_survey(
+        v_depths[tidx], v_intrs[tidx], v_Rs[tidx], v_ts[tidx],
+        v_depths, v_rgbs, v_intrs, v_Rs, v_ts,
+        jnp.float32(1e-6), compact=True, bilinear=True,
+    )
+    mesh = make_mesh(2, 4)
+    out = match_survey_sharded(
+        mesh, v_depths[tidx], v_intrs[tidx], v_Rs[tidx], v_ts[tidx],
+        v_depths, v_rgbs, v_intrs, v_Rs, v_ts, bilinear=True,
+    )
+    V, H = 4, 48
+    assert out.I.dtype == jnp.float32  # bilinear colors are interpolated
+    np.testing.assert_array_equal(np.asarray(out.valid[:, :V, :H]), np.asarray(ref.valid))
+    np.testing.assert_allclose(np.asarray(out.I[:, :V, :H]), np.asarray(ref.I), atol=1e-6)
+
+
+def test_fit_joint_mesh_equals_unsharded(rng):
+    """fit_joint over a ('batch',) mesh (targets sharded, shared globals
+    replicated + psum'd) equals the single-device joint fit."""
+    from sucre_tpu.parallel.joint import JointParams, fit_joint
+
+    T = 8
+    obs_list = [_synthetic_obs(rng, V=4, H=6, W=7)[0] for _ in range(T)]
+    so = stack_obs(obs_list)
+    jp = JointParams(
+        B=jnp.full((3,), 0.1), beta=jnp.full((3,), 0.1), gamma=jnp.full((3,), 0.1),
+        J=jnp.zeros((T, 6, 7, 3), jnp.float32),
+    )
+    cfg = FitConfig(num_iter=4)
+    p_ref, J_ref, o_ref, t_ref = fit_joint(jp, so, cfg)
+    bmesh = jax.sharding.Mesh(np.asarray(jax.devices()), axis_names=("batch",))
+    p_m, J_m, o_m, t_m = fit_joint(jp, so, cfg, mesh=bmesh)
+    np.testing.assert_allclose(np.asarray(p_m.B), np.asarray(p_ref.B), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_m.beta), np.asarray(p_ref.beta), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(J_m), np.asarray(J_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t_m.cost), np.asarray(t_ref.cost), rtol=1e-4)
+
+
+@pytest.mark.parametrize("closed_form", [False, True])
+def test_fit_joint_view_chunk_equals_full(rng, closed_form):
+    """The --batch-size grad-accum knob on the joint fit."""
+    from sucre_tpu.parallel.joint import JointParams, fit_joint
+
+    T = 2
+    obs_list = [_synthetic_obs(rng, V=5, H=6, W=7)[0] for _ in range(T)]
+    so = stack_obs(obs_list)
+    jp = JointParams(
+        B=jnp.full((3,), 0.1), beta=jnp.full((3,), 0.1), gamma=jnp.full((3,), 0.1),
+        J=None if closed_form else jnp.zeros((T, 6, 7, 3), jnp.float32),
+    )
+    pa, Ja, oa, ta = fit_joint(jp, so, FitConfig(num_iter=4, use_closed_form=closed_form))
+    pb, Jb, ob, tb = fit_joint(
+        jp, so, FitConfig(num_iter=4, use_closed_form=closed_form, view_chunk=2)
+    )
+    np.testing.assert_allclose(np.asarray(pa.B), np.asarray(pb.B), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Ja), np.asarray(Jb), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ta.cost), np.asarray(tb.cost), rtol=1e-5)

@@ -501,3 +501,23 @@ def test_survey_size_guard_falls_back_to_chunked(scene_dir, tmp_path, monkeypatc
     for ra, rb in zip(a, b):
         assert ra.n_obs == rb.n_obs
         np.testing.assert_allclose(np.nan_to_num(ra.J), np.nan_to_num(rb.J), atol=1e-6)
+
+
+def test_restore_image_shared_cache_equals_plain(scene_dir, tmp_path):
+    """restore_image with a shared ViewCache (decode once across a
+    sequential loop) produces the same result as the cacheless path."""
+    from sucre_tpu.pipeline import ViewCache
+
+    scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+    cfg = RestoreConfig(num_iter=4, verbose=False, store="memory")
+    plain = restore_image(scene, "img_002.png", tmp_path / "a", cfg)
+    cache = ViewCache()
+    cache.prefill(scene.view_list())
+    cached = restore_image(scene, "img_002.png", tmp_path / "b", cfg, cache=cache)
+    assert plain.n_obs == cached.n_obs
+    np.testing.assert_allclose(
+        np.asarray(cached.params.B), np.asarray(plain.params.B), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.nan_to_num(cached.J), np.nan_to_num(plain.J), atol=1e-6
+    )
