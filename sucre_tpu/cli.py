@@ -271,10 +271,14 @@ def main(argv: list[str] | None = None) -> int:
             # Groups same-dimension targets into batches over one shared
             # decoded/uploaded view stack, software-pipelining device
             # compute against host transfer+export across batches.
+            # batch meshes spread targets one-per-chip; (view x row)
+            # meshes shard each batch's observation stacks (and raise
+            # the survey-program pair budget by the mesh size — the
+            # views-axis HBM scaling path)
             restore_survey(
                 scene, targets, args.output_dir, cfg,
                 image_list=image_list, batch_targets=batch_targets,
-                mesh=mesh if mode == "batch" else None,
+                mesh=mesh,
             )
         else:
             rmesh = mesh if mode == "view-row" else None

@@ -139,7 +139,14 @@ def fit_many(
     # View-chunked grad accumulation (--batch-size memory knob): reshape
     # each target's view axis to (nc, chunk) so the loss scans over chunks
     # with rematerialization — identical gradient, bounded activations.
-    chunked = cfg.view_chunk is not None and cfg.view_chunk < obs.valid.shape[1]
+    # A (view x row) mesh already bounds per-chip memory by sharding the
+    # stack, so the knob is moot there (and would fight the view axis).
+    vr_mesh = mesh is not None and "view" in mesh.axis_names
+    chunked = (
+        not vr_mesh
+        and cfg.view_chunk is not None
+        and cfg.view_chunk < obs.valid.shape[1]
+    )
     if chunked:
         c = cfg.view_chunk
         pad = (-obs.valid.shape[1]) % c
@@ -179,7 +186,23 @@ def fit_many(
     pallas_mode = (
         ("tpu" if jax.default_backend() == "tpu" else "interpret") if want else "off"
     )
-    if mesh is not None:
+    if vr_mesh:
+        # (view x row) mesh: each target's stack shards over views and
+        # pixel rows (the oversized-survey layout match_survey_sharded
+        # emits); params replicate and GSPMD psums their gradients.
+        obs = jax.tree.map(
+            lambda v: jax.device_put(
+                v,
+                NamedSharding(
+                    mesh, P(None, "view", "row", *([None] * (v.ndim - 3)))
+                ),
+            ),
+            obs,
+        )
+        repl = NamedSharding(mesh, P())
+        params = jax.tree.map(lambda x: jax.device_put(x, repl), params)
+        n_obs = jax.device_put(n_obs, repl)
+    elif mesh is not None:
         batch_axis = mesh.axis_names[0]
         obs = jax.tree.map(
             lambda v: jax.device_put(

@@ -167,8 +167,13 @@ def fit_joint(params: JointParams, obs: DenseObs, cfg: FitConfig, mesh=None):
 
     params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
     n_obs = jnp.sum(obs.valid, axis=tuple(range(1, obs.valid.ndim))).astype(jnp.float32)
-    # --batch-size grad-accum memory knob (same reshape as fit_many)
-    chunked = cfg.view_chunk is not None and cfg.view_chunk < obs.valid.shape[1]
+    # --batch-size grad-accum memory knob (same reshape as fit_many; a
+    # (view x row) mesh already bounds memory by sharding — knob moot)
+    chunked = (
+        not (mesh is not None and "view" in mesh.axis_names)
+        and cfg.view_chunk is not None
+        and cfg.view_chunk < obs.valid.shape[1]
+    )
     if chunked:
         c = cfg.view_chunk
         pad = (-obs.valid.shape[1]) % c
@@ -180,7 +185,20 @@ def fit_joint(params: JointParams, obs: DenseObs, cfg: FitConfig, mesh=None):
         obs = jax.tree.map(
             lambda x: x.reshape((x.shape[0], -1, c) + x.shape[2:]), obs
         )
-    if mesh is not None:
+    if mesh is not None and "view" in mesh.axis_names:
+        # (view x row) mesh (oversized surveys): stacks shard over views
+        # and pixel rows; everything else replicates.
+        repl = NamedSharding(mesh, P())
+        obs = jax.tree.map(
+            lambda v: jax.device_put(
+                v,
+                NamedSharding(mesh, P(None, "view", "row", *([None] * (v.ndim - 3)))),
+            ),
+            obs,
+        )
+        n_obs = jax.device_put(n_obs, repl)
+        params = jax.tree.map(lambda x: jax.device_put(x, repl), params)
+    elif mesh is not None:
         batch_axis = mesh.axis_names[0]
 
         def batch_put(x):

@@ -758,9 +758,14 @@ def _dispatch_batch(
     dims = {(t.width, t.height) for t in targets}
     if len(dims) != 1:
         raise ValueError(f"restore_many requires same-dimension targets, got {dims}")
-    if mesh is not None and len(targets) % mesh.devices.shape[0] != 0:
+    if (
+        mesh is not None
+        and "view" not in mesh.axis_names
+        and len(targets) % mesh.devices.shape[0] != 0
+    ):
         # the batch axis must divide evenly across its mesh shards; a
         # ragged (usually final) batch runs unsharded rather than failing
+        # ((view x row) meshes don't shard the target axis — exempt)
         log(
             f"Batch of {len(targets)} not divisible by the "
             f"{mesh.devices.shape[0]}-way batch mesh; running unsharded."
@@ -830,6 +835,18 @@ def _dispatch_batch(
         # transect fits the single program even when the full survey
         # wouldn't).
         max_pairs = int(os.environ.get("SUCRE_SURVEY_MAX_PAIRS", 250_000_000))
+        # A (view x row) mesh shards the survey program — view tables
+        # V/vs per chip, the observation stack (T, V, H, W) over both
+        # axes — so the pair budget scales with the mesh size: surveys
+        # whose stacks exceed ONE chip's HBM run as one multi-chip
+        # program instead of the host-driven chunk-dispatch fallback
+        # (the SURVEY §5 views-axis scaling story; GSPMD materializes
+        # the cross-chip view-block movement as ICI collectives — the
+        # compiler-scheduled form of ring rotation).
+        vr_mesh = (
+            mesh if mesh is not None and "view" in mesh.axis_names else None
+        )
+        pair_budget = max_pairs * (vr_mesh.size if vr_mesh is not None else 1)
         t0_ = targets[0]
         n_views_eff = -(-len(culled_list) // cfg.match_chunk) * cfg.match_chunk
         n_pairs = len(targets) * n_views_eff * t0_.width * t0_.height
@@ -840,7 +857,7 @@ def _dispatch_batch(
             and all(matches_files[ti] is None for ti in to_match)
             and {v.name for v in device_views.buckets[0]["views"]}
             == {v.name for v in image_list}
-            and n_pairs <= max_pairs
+            and n_pairs <= pair_budget
         )
         if use_survey:
             from sucre_tpu.ops.matching import match_survey
@@ -864,20 +881,46 @@ def _dispatch_batch(
                     )
                     for a in arrays
                 )
-            log(
-                f"Compute matches for {len(targets)} targets "
-                f"(one survey program over {arrays[0].shape[0]} views)."
-            )
-            stacked_obs = match_survey(
-                target_depth_stack(),
-                jnp.asarray(t_intrs_np),
-                jnp.asarray(np.stack([t.R for t in targets]).astype(np.float32)),
-                jnp.asarray(np.stack([t.t for t in targets]).astype(np.float32)),
-                *arrays,
-                jnp.float32(cfg.min_cover),
-                compact=not cfg.light_model,
-                bilinear=cfg.bilinear_colors,
-            )
+            t_Rs_dev = jnp.asarray(np.stack([t.R for t in targets]).astype(np.float32))
+            t_ts_dev = jnp.asarray(np.stack([t.t for t in targets]).astype(np.float32))
+            if vr_mesh is not None:
+                from sucre_tpu.parallel import match_survey_sharded
+
+                log(
+                    f"Compute matches for {len(targets)} targets "
+                    f"(sharded survey program over {arrays[0].shape[0]} views "
+                    f"on the {dict(vr_mesh.shape)} mesh)."
+                )
+                stacked_obs = match_survey_sharded(
+                    vr_mesh,
+                    target_depth_stack(), jnp.asarray(t_intrs_np),
+                    t_Rs_dev, t_ts_dev, *arrays,
+                    min_cover=cfg.min_cover,
+                    compact=not cfg.light_model,
+                    bilinear=cfg.bilinear_colors,
+                )
+                # crop row padding back to the target grid (padded views
+                # stay: they are invalid and contribute nothing)
+                H0 = t0_.height
+                if stacked_obs.valid.shape[2] != H0:
+                    stacked_obs = jax.tree.map(
+                        lambda x: x[:, :, :H0], stacked_obs
+                    )
+            else:
+                log(
+                    f"Compute matches for {len(targets)} targets "
+                    f"(one survey program over {arrays[0].shape[0]} views)."
+                )
+                stacked_obs = match_survey(
+                    target_depth_stack(),
+                    jnp.asarray(t_intrs_np),
+                    t_Rs_dev,
+                    t_ts_dev,
+                    *arrays,
+                    jnp.float32(cfg.min_cover),
+                    compact=not cfg.light_model,
+                    bilinear=cfg.bilinear_colors,
+                )
         else:
             log(f"Compute matches for {len(to_match)} targets (shared view stack).")
             dense, _ = match_targets_shared(

@@ -314,3 +314,84 @@ def test_fit_joint_view_chunk_equals_full(rng, closed_form):
     np.testing.assert_allclose(np.asarray(pa.B), np.asarray(pb.B), atol=1e-6)
     np.testing.assert_allclose(np.asarray(Ja), np.asarray(Jb), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ta.cost), np.asarray(tb.cost), rtol=1e-5)
+
+
+def test_match_survey_sharded_100_views_bounded_blocks():
+    """The views-axis HBM scaling story (SURVEY §5): a 100+ view survey
+    matches as ONE sharded program on the 8-device mesh — view tables
+    V/vs per chip, observation stack sharded over (view, row) — with
+    results identical to the single-device program."""
+    import tempfile
+    from pathlib import Path
+
+    from sucre_tpu.io.images import load_view_arrays
+    from sucre_tpu.ops.matching import match_survey
+    from sucre_tpu.parallel import match_survey_sharded
+    from sucre_tpu.scene import Scene
+    from tests.synthetic import make_scene
+
+    V = 104
+    sd = make_scene(Path(tempfile.mkdtemp()), n_views=V, width=48, height=32)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    views = scene.view_list()
+    arrays = [load_view_arrays(v, raw=True) for v in views]
+    v_depths = jnp.asarray(np.stack([a[1] for a in arrays]))
+    v_rgbs = jnp.asarray(np.stack([a[0] for a in arrays]))
+    v_intrs = jnp.asarray(np.stack([v.intrinsics for v in views]).astype(np.float32))
+    v_Rs = jnp.asarray(np.stack([v.R for v in views]).astype(np.float32))
+    v_ts = jnp.asarray(np.stack([v.t for v in views]).astype(np.float32))
+    tidx = jnp.asarray([10, 60])
+    ref = match_survey(
+        v_depths[tidx], v_intrs[tidx], v_Rs[tidx], v_ts[tidx],
+        v_depths, v_rgbs, v_intrs, v_Rs, v_ts,
+        jnp.float32(1e-6), compact=True,
+    )
+    mesh = make_mesh(2, 4)
+    out = match_survey_sharded(
+        mesh, v_depths[tidx], v_intrs[tidx], v_Rs[tidx], v_ts[tidx],
+        v_depths, v_rgbs, v_intrs, v_Rs, v_ts,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.valid[:, :V, :32]), np.asarray(ref.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.z[:, :V, :32]), np.asarray(ref.z), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(out.I[:, :V, :32]), np.asarray(ref.I))
+    # per-chip block memory is bounded: each device holds a (V/2, H/4)
+    # slice of the stack, not the whole thing
+    shard_shapes = {s.data.shape for s in out.valid.addressable_shards}
+    T, Vp, Hp, W = out.valid.shape
+    assert shard_shapes == {(T, Vp // 2, Hp // 4, W)}
+
+
+def test_restore_survey_view_row_mesh_oversized(tmp_path, monkeypatch):
+    """Pipeline wiring of the views-axis scaling: a survey pushed past
+    SUCRE_SURVEY_MAX_PAIRS with a (view x row) mesh runs the SHARDED
+    survey program (budget scales by mesh size) and reproduces the
+    unsharded restore."""
+    from sucre_tpu.pipeline import RestoreConfig, restore_survey
+    from sucre_tpu.scene import Scene
+    from tests.synthetic import make_scene
+
+    sd = make_scene(tmp_path / "s", n_views=6, width=48, height=32)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    names = sd.names[:2]
+    cfg = RestoreConfig(num_iter=3, verbose=False, store="memory")
+    ref = restore_survey(scene, names, tmp_path / "plain", cfg, batch_targets=2)
+
+    # cap below this survey's 2 * 8 * 48 * 32 pairs, but within 8x of it:
+    # single-chip budget fails, the 8-chip sharded budget passes
+    monkeypatch.setenv("SUCRE_SURVEY_MAX_PAIRS", str(2 * 8 * 48 * 32 - 1))
+    mesh = make_mesh(2, 4)
+    got = restore_survey(
+        scene, names, tmp_path / "sharded", cfg, batch_targets=2, mesh=mesh
+    )
+    for r, g in zip(ref, got):
+        assert r.n_obs == g.n_obs
+        np.testing.assert_allclose(
+            np.asarray(g.params.B), np.asarray(r.params.B), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.nan_to_num(g.J), np.nan_to_num(r.J), atol=1e-4
+        )
