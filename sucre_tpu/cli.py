@@ -107,6 +107,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="snapshot full solver state (params + Adam moments + "
                              "iteration) every N iterations; an interrupted restore "
                              "resumes exactly where it stopped.")
+    parser.add_argument("--store", choices=["hdf5", "memory"], default="hdf5",
+                        help="matches-cache backend. hdf5 (reference parity) "
+                             "writes <image>.h5 caches — file-granular resume "
+                             "and --keep-matches. memory skips the cache: "
+                             "fastest, and required for the single-program "
+                             "survey matching path (including the sharded "
+                             "oversized-survey route on a view-row mesh).")
     parser.add_argument("--shard-mode", choices=["auto", "batch", "view-row", "none"],
                         default="auto",
                         help="multi-chip strategy when several devices are "
@@ -181,7 +188,11 @@ def main(argv: list[str] | None = None) -> int:
 
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
+    if args.store == "memory" and args.keep_matches:
+        raise SystemExit("--keep-matches requires the hdf5 store "
+                         "(--store memory writes no matches cache)")
     cfg = RestoreConfig(
+        store=args.store,
         light_model=args.light_model,
         use_closed_form=args.use_closed_form,
         min_cover=args.min_cover,
@@ -240,8 +251,11 @@ def main(argv: list[str] | None = None) -> int:
     mode = args.shard_mode
     if mode == "auto":
         mode = "none" if len(devices) == 1 else ("batch" if batched_ok else "view-row")
-    if mode == "batch" and not batched_ok:
-        mode = "view-row"  # batch sharding needs the batched path
+    elif mode == "batch" and not batched_ok:
+        # Explicit modes are honored or declined, never silently swapped.
+        print("--shard-mode batch needs the batched path (multiple targets, "
+              "no --save-interval/--checkpoint-interval); running unsharded.")
+        mode = "none"
     if len(devices) == 1:
         mode = "none"
     mesh = None

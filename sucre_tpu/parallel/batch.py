@@ -50,6 +50,35 @@ def stack_obs(obs_list: list[DenseObs]) -> DenseObs:
     return jax.tree.map(stackpad, *obs_list)
 
 
+def chunk_batched_views(obs: DenseObs, view_chunk: int) -> DenseObs:
+    """(T, V, ...) -> (T, nc, chunk, ...): the --batch-size grad-accum
+    reshape (view axis padded with invalid entries to a chunk multiple);
+    the loss then scans over chunks with rematerialization — identical
+    gradient, bounded activations. Shared by fit_many and fit_joint."""
+    c = view_chunk
+    pad = (-obs.valid.shape[1]) % c
+    if pad:
+        obs = jax.tree.map(
+            lambda x: jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)),
+            obs,
+        )
+    return jax.tree.map(lambda x: x.reshape((x.shape[0], -1, c) + x.shape[2:]), obs)
+
+
+def shard_batched_obs_vr(obs: DenseObs, mesh: Mesh) -> DenseObs:
+    """Place a batched (T, V, H, W, ...) stack on a (view x row) mesh —
+    the oversized-survey layout match_survey_sharded emits. Shared by
+    fit_many and fit_joint (params/aux replicate; GSPMD psums their
+    gradient reductions)."""
+    return jax.tree.map(
+        lambda v: jax.device_put(
+            v,
+            NamedSharding(mesh, P(None, "view", "row", *([None] * (v.ndim - 3)))),
+        ),
+        obs,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("num_iter", "use_closed_form", "lr", "pallas_mode", "chunked"),
@@ -148,16 +177,7 @@ def fit_many(
         and cfg.view_chunk < obs.valid.shape[1]
     )
     if chunked:
-        c = cfg.view_chunk
-        pad = (-obs.valid.shape[1]) % c
-        if pad:
-            obs = jax.tree.map(
-                lambda x: jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)),
-                obs,
-            )
-        obs = jax.tree.map(
-            lambda x: x.reshape((x.shape[0], -1, c) + x.shape[2:]), obs
-        )
+        obs = chunk_batched_views(obs, cfg.view_chunk)
     # Fused-kernel eligibility mirrors solve.fit: direct mode, no light,
     # compact layout; the kernel is unsharded, so only without a mesh.
     from sucre_tpu.ops.pallas.fit_kernel import kernel_supported
@@ -190,15 +210,7 @@ def fit_many(
         # (view x row) mesh: each target's stack shards over views and
         # pixel rows (the oversized-survey layout match_survey_sharded
         # emits); params replicate and GSPMD psums their gradients.
-        obs = jax.tree.map(
-            lambda v: jax.device_put(
-                v,
-                NamedSharding(
-                    mesh, P(None, "view", "row", *([None] * (v.ndim - 3)))
-                ),
-            ),
-            obs,
-        )
+        obs = shard_batched_obs_vr(obs, mesh)
         repl = NamedSharding(mesh, P())
         params = jax.tree.map(lambda x: jax.device_put(x, repl), params)
         n_obs = jax.device_put(n_obs, repl)

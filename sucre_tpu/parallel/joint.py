@@ -169,33 +169,21 @@ def fit_joint(params: JointParams, obs: DenseObs, cfg: FitConfig, mesh=None):
     n_obs = jnp.sum(obs.valid, axis=tuple(range(1, obs.valid.ndim))).astype(jnp.float32)
     # --batch-size grad-accum memory knob (same reshape as fit_many; a
     # (view x row) mesh already bounds memory by sharding — knob moot)
+    from sucre_tpu.parallel.batch import chunk_batched_views, shard_batched_obs_vr
+
+    vr_mesh = mesh is not None and "view" in mesh.axis_names
     chunked = (
-        not (mesh is not None and "view" in mesh.axis_names)
+        not vr_mesh
         and cfg.view_chunk is not None
         and cfg.view_chunk < obs.valid.shape[1]
     )
     if chunked:
-        c = cfg.view_chunk
-        pad = (-obs.valid.shape[1]) % c
-        if pad:
-            obs = jax.tree.map(
-                lambda x: jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)),
-                obs,
-            )
-        obs = jax.tree.map(
-            lambda x: x.reshape((x.shape[0], -1, c) + x.shape[2:]), obs
-        )
-    if mesh is not None and "view" in mesh.axis_names:
+        obs = chunk_batched_views(obs, cfg.view_chunk)
+    if vr_mesh:
         # (view x row) mesh (oversized surveys): stacks shard over views
         # and pixel rows; everything else replicates.
         repl = NamedSharding(mesh, P())
-        obs = jax.tree.map(
-            lambda v: jax.device_put(
-                v,
-                NamedSharding(mesh, P(None, "view", "row", *([None] * (v.ndim - 3)))),
-            ),
-            obs,
-        )
+        obs = shard_batched_obs_vr(obs, mesh)
         n_obs = jax.device_put(n_obs, repl)
         params = jax.tree.map(lambda x: jax.device_put(x, repl), params)
     elif mesh is not None:

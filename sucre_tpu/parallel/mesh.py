@@ -129,6 +129,20 @@ def fit_sharded(params, obs: DenseObs, cfg, mesh: Mesh, **kwargs):
     Hp = obs.valid.shape[1]
     if params.J is not None and Hp != H:
         params = params._replace(J=jnp.pad(params.J, [(0, Hp - H), (0, 0), (0, 0)]))
+    if Hp != H and kwargs.get("snapshot_fn") is not None:
+        # snapshot callbacks see the caller's unpadded row count (the
+        # final result is cropped below; mid-fit snapshots must match)
+        inner = kwargs["snapshot_fn"]
+
+        def _cropped_snapshot(iteration, p, J_snap, observed_snap):
+            inner(
+                iteration,
+                p._replace(J=None if p.J is None else p.J[:H]),
+                J_snap[:H],
+                observed_snap[:H],
+            )
+
+        kwargs = {**kwargs, "snapshot_fn": _cropped_snapshot}
     params = replicate(params, mesh)
     result = fit(params, obs, cfg, **kwargs)
     if result.J.shape[0] != H:

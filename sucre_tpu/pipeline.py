@@ -271,12 +271,41 @@ def compute_matches(
     kept_chunks: list[DenseObs] = []  # device-resident, already min-cover-filtered
     area = float(target.width * target.height)
 
-    # Phase 1: dispatch every chunk's matching program asynchronously —
-    # no host sync inside the loop (a per-chunk count fetch costs one
-    # device round trip each, ~30 ms on high-latency links). Holds all
-    # chunk uploads live on device (~5 B/pixel/view, same as a resident
-    # DeviceViews stack).
+    # Chunks dispatch asynchronously and their tiny min-cover count
+    # vectors are fetched in batched WINDOWS of several chunks (a
+    # per-chunk fetch costs one ~30 ms round trip each on high-latency
+    # links; an unbounded window would keep every chunk's dense outputs
+    # alive on device at once — transient HBM must stay bounded at
+    # ~window * match_chunk full-size views, like the chunked path
+    # promises). Filtering a window frees its buffers: only the kept
+    # (jnp.take-copied) slices survive.
+    window = max(2, 64 // max(match_chunk, 1))
     pending = []  # (sub_views, n, obs, match, counts_dev)
+
+    def flush_pending():
+        all_counts = jax.device_get([p[4] for p in pending])
+        for (sub, n, obs, match, _), counts in zip(pending, all_counts):
+            keep = [j for j in range(n) if counts[j] / area > min_cover]
+            for j in keep:
+                view2 = sub[j]
+                if matches_file is not None:
+                    matches_file.save_pair_from_dense(
+                        view2.name,
+                        PairMatch(
+                            u2=match.u2[j], v2=match.v2[j],
+                            d2=match.d2[j], valid=match.valid[j],
+                        ),
+                        obs.I[j],
+                    )
+                kept_names.append(view2.name)
+            if collect_dense and keep:
+                idx = jnp.asarray(np.asarray(keep, np.int32))
+                kept_chunks.append(
+                    jax.tree.map(lambda x: jnp.take(x, idx, axis=0), obs)
+                )
+            log(f"matched {len(kept_names)} kept / {n} in chunk")
+        pending.clear()
+
     for (w2, h2), views in buckets.items():
         if cache is not None:
             stream = ((i, *cache.get(v)) for i, v in enumerate(views))
@@ -297,32 +326,9 @@ def compute_matches(
                 d1, intr1, R1, t1, *dev, compact=compact, bilinear=bilinear
             )
             pending.append((sub, n, obs, match, obs.valid[:n].sum(axis=(1, 2))))
-
-    # Phase 2: ONE batched host fetch of the tiny count vectors; the
-    # dense stacks stay device-resident for the fit.
-    all_counts = jax.device_get([p[4] for p in pending])
-
-    # Phase 3: min-cover filter (device-side take, still async) + h5 save.
-    for (sub, n, obs, match, _), counts in zip(pending, all_counts):
-        keep = [j for j in range(n) if counts[j] / area > min_cover]
-        for j in keep:
-            view2 = sub[j]
-            if matches_file is not None:
-                matches_file.save_pair_from_dense(
-                    view2.name,
-                    PairMatch(
-                        u2=match.u2[j], v2=match.v2[j],
-                        d2=match.d2[j], valid=match.valid[j],
-                    ),
-                    obs.I[j],
-                )
-            kept_names.append(view2.name)
-        if collect_dense and keep:
-            idx = jnp.asarray(np.asarray(keep, np.int32))
-            kept_chunks.append(
-                jax.tree.map(lambda x: jnp.take(x, idx, axis=0), obs)
-            )
-        log(f"matched {len(kept_names)} kept / {n} in chunk")
+            if len(pending) >= window:
+                flush_pending()
+    flush_pending()
 
     if matches_file is not None and bilinear and matches_file.exists():
         matches_file.set_color_sampling("bilinear")

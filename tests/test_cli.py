@@ -208,10 +208,15 @@ def test_multihost_two_processes(tmp_path):
     import subprocess
     import sys
 
+    import socket
+
     sd = make_scene(tmp_path / "scene", n_views=4, width=48, height=32)
     out = tmp_path / "out"
     lst = tmp_path / "list.txt"
     lst.write_text("".join(f"img_{i:03d}.png\n" for i in range(4)))
+    with socket.socket() as s:  # a free port, not a hardcoded one
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     procs = []
     for pid in range(2):
         # This environment's device-tunnel sitecustomize (AXON_*) breaks
@@ -224,7 +229,7 @@ def test_multihost_two_processes(tmp_path):
         }
         env.update(
             JAX_PLATFORMS="cpu",
-            JAX_COORDINATOR_ADDRESS="localhost:12387",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
             JAX_NUM_PROCESSES="2",
             JAX_PROCESS_ID=str(pid),
         )

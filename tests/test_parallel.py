@@ -395,3 +395,24 @@ def test_restore_survey_view_row_mesh_oversized(tmp_path, monkeypatch):
         np.testing.assert_allclose(
             np.nan_to_num(g.J), np.nan_to_num(r.J), atol=1e-4
         )
+
+
+def test_fit_sharded_snapshot_unpadded(rng):
+    """Mid-fit snapshot callbacks under a row-padding mesh must see the
+    caller's UNPADDED row count (the padding is an internal layout)."""
+    obs, _ = _synthetic_obs(rng, V=4, H=6, W=7)  # H=6 pads to 8 on 4 row shards
+    params = init_params(image=np.zeros((6, 7, 3), np.float32))
+    seen = []
+
+    def snapshot_fn(iteration, p, J_snap, observed_snap):
+        seen.append((iteration, J_snap.shape, observed_snap.shape, p.J.shape))
+
+    fit_sharded(
+        params, obs, FitConfig(num_iter=4, save_interval=2),
+        make_mesh(2, 4), snapshot_fn=snapshot_fn,
+    )
+    assert [s[0] for s in seen] == [0, 2]
+    for _, J_shape, o_shape, pJ_shape in seen:
+        assert J_shape == (6, 7, 3)
+        assert o_shape == (6, 7)
+        assert pJ_shape == (6, 7, 3)
