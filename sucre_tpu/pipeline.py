@@ -87,6 +87,14 @@ class RestoreConfig:
     # the extra u8 image transfer when batches are software-pipelined.
     # None = auto: device in restore_many, host in restore_survey.
     rgb_plot_on_device: bool | None = None
+    # Where the reconstruction render runs on the batched path. Device
+    # renders while J is resident (one fused fetch); host renders from
+    # the already-fetched J inside the exporter thread, saving the u8
+    # render's device->host transfer — the winner when the link is the
+    # bottleneck. None = auto: device in restore_many, host in
+    # restore_survey (no-light model only — the light render stays on
+    # device).
+    reconstruction_on_device: bool | None = None
     # parameter-checkpoint artifact format: native .npz or the
     # reference's torch .pt state-dict layout (readable by the reference)
     params_format: str = "npz"
@@ -1014,20 +1022,26 @@ def _dispatch_batch(
     from sucre_tpu.ops.matching import to_f32_depth
 
     t_depths_dev = to_f32_depth(target_depth_stack())
-    recs_dev = viz.render_reconstruction_batch_device(
-        params._replace(J=None),
-        J,
-        jnp.asarray(t_intrs_np),
-        t_depths_dev,
-    )
-    # Export validity on device (parity: _export_mask); export-invalid
-    # pixels of the reconstruction render black (the reference's
-    # NaN-carrying J NaN-propagates; our J is zero-filled at unobserved
-    # pixels, which would otherwise render pure backscatter).
     valid_dev = (
         observed.astype(bool) if cfg.use_closed_form else t_depths_dev > 0
     )
-    recs_dev = jnp.where(valid_dev[..., None], recs_dev, 0)
+    recon_on_device = cfg.reconstruction_on_device
+    if recon_on_device is None:
+        recon_on_device = True
+    recon_on_device = recon_on_device or cfg.light_model  # host render is no-light only
+    recs_dev = None
+    if recon_on_device:
+        recs_dev = viz.render_reconstruction_batch_device(
+            params._replace(J=None),
+            J,
+            jnp.asarray(t_intrs_np),
+            t_depths_dev,
+        )
+        # Export validity on device (parity: _export_mask); export-invalid
+        # pixels of the reconstruction render black (the reference's
+        # NaN-carrying J NaN-propagates; our J is zero-filled at unobserved
+        # pixels, which would otherwise render pure backscatter).
+        recs_dev = jnp.where(valid_dev[..., None], recs_dev, 0)
     rgbs_dev = None
     if cfg.rgb_plot_on_device is None or cfg.rgb_plot_on_device:
         rgbs_dev = viz.plot_J_batch_device(J, valid_dev)
@@ -1075,7 +1089,8 @@ def _fetch_batch(b: _BatchInFlight):
             )
     J = np.asarray(J, np.float32)
     params = params_noJ._replace(J=J if b.params_dev.J is not None else None)
-    recs = np.asarray(recs)  # (T, H, W, 3) uint8, written to PNG as-is
+    if recs is not None:
+        recs = np.asarray(recs)  # (T, H, W, 3) uint8, written to PNG as-is
     return params, J, observed, tel, recs, rgb_plots, n_obs_list
 
 
@@ -1092,9 +1107,18 @@ def _export_batch(b: _BatchInFlight, fetched) -> list[RestoreResult]:
         )
         J_t = np.asarray(J[t], np.float32).copy()
         J_t[~valid] = np.nan
+        if recs is None:
+            # host render from the already-fetched J (its u8 device
+            # transfer skipped; runs inside the overlapped exporter)
+            rec_t = viz.render_reconstruction_host(
+                p_t, J[t], target.intrinsics, b.depths[t]
+            )
+            rec_t[~valid] = 0
+        else:
+            rec_t = recs[t]
         artifacts = viz.save_plots(
             output_dir, target.name, p_t, J_t, valid, target.intrinsics, b.depths[t],
-            reconstruction=recs[t],
+            reconstruction=rec_t,
             rgb_plot=None if rgb_plots is None else rgb_plots[t],
         )
         params_out = (output_dir / target.name).with_suffix("." + cfg.params_format)
@@ -1193,6 +1217,9 @@ def restore_survey(
         # pipelined: host normalize in the exporter thread beats paying
         # for the extra u8 image transfer on the serialized device link
         cfg = dataclasses.replace(cfg, rgb_plot_on_device=False)
+    if cfg.reconstruction_on_device is None:
+        # same trade: render from the fetched J in the exporter thread
+        cfg = dataclasses.replace(cfg, reconstruction_on_device=False)
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     logger = get_logger()

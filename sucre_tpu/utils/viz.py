@@ -127,6 +127,40 @@ def render_reconstruction_batch_device(params_stacked, J_dev, intrs_dev, depths_
     return _render_reconstruction_batch_jit(params_stacked, J_dev, intrs_dev, depths_dev)
 
 
+def render_reconstruction_host(
+    params: SucreParams, J: np.ndarray, intrinsics, depth_map: np.ndarray
+) -> np.ndarray:
+    """Host-numpy reconstruction render (no-light model only) — same
+    f32 math and floor-quantization as ``_render_reconstruction_jit``.
+
+    Used by the pipelined survey exporter: computing the u8 render on the
+    already-fetched J inside the (overlapped) exporter thread saves its
+    device->host transfer, which dominates on slow links. Exp ULP
+    differences between numpy and XLA can flip a floor boundary on rare
+    pixels — within the PNG artifact's own quantization."""
+    if params.cam2light is not None:
+        raise ValueError("host reconstruction render supports the no-light model only")
+    fx, fy, cx, cy = (np.float32(x) for x in np.asarray(intrinsics, np.float32))
+    d = np.asarray(depth_map, np.float32)
+    H, W = d.shape
+    valid = d > 0
+    # unproject own depth (ops/pinhole convention: +0.5 pixel centers)
+    xs = (np.arange(W, dtype=np.float32) + np.float32(0.5) - cx) / fx
+    ys = (np.arange(H, dtype=np.float32) + np.float32(0.5) - cy) / fy
+    X = d * xs[None, :]
+    Y = d * ys[:, None]
+    z = np.sqrt(X * X + Y * Y + d * d, dtype=np.float32)[..., None]
+    beta = np.asarray(params.beta, np.float32)
+    gamma = np.asarray(params.gamma, np.float32)
+    B = np.asarray(params.B, np.float32)
+    I_hat = np.nan_to_num(np.asarray(J, np.float32)) * np.exp(-beta * z) + B * (
+        1.0 - np.exp(-gamma * z)
+    )
+    I_hat = np.clip(I_hat, 0.0, 1.0, dtype=np.float32)
+    I_hat[~valid] = 0.0
+    return np.floor(I_hat * np.float32(255.0)).astype(np.uint8)
+
+
 @jax.jit
 def _render_vignetting_jit(params, intr4, d):
     intr = Intrinsics(intr4[0], intr4[1], intr4[2], intr4[3])

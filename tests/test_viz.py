@@ -98,3 +98,41 @@ def test_plot_matches(rng):
     u2 = np.array([3, 7]); v2 = np.array([1, 4])
     img = plot_matches(rgb1, rgb2, u1, v1, u2, v2, step=1)
     assert img.size == (12 + 14, 10)
+
+
+def test_host_reconstruction_matches_device(rng):
+    """The exporter-thread host render equals the device render (up to
+    rare exp-ULP floor flips of 1 LSB)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sucre_tpu.models.sucre import SucreParams
+    from sucre_tpu.utils.viz import (
+        render_reconstruction_batch_device,
+        render_reconstruction_host,
+    )
+
+    H, W = 20, 31
+    depth = (rng.uniform(1.0, 4.0, (H, W)) * (rng.uniform(size=(H, W)) < 0.9)).astype(
+        np.float32
+    )
+    J = rng.uniform(0, 1.2, (H, W, 3)).astype(np.float32)
+    intr = np.array([25.0, 26.0, W / 2, H / 2], np.float32)
+    params = SucreParams(
+        B=jnp.asarray([0.12, 0.1, 0.08], jnp.float32),
+        beta=jnp.asarray([0.2, 0.15, 0.1], jnp.float32),
+        gamma=jnp.asarray([0.3, 0.25, 0.2], jnp.float32),
+        J=None,
+    )
+    dev = np.asarray(
+        render_reconstruction_batch_device(
+            jax.tree.map(lambda x: x[None], params),
+            jnp.asarray(J)[None], jnp.asarray(intr)[None],
+            jnp.asarray(depth)[None],
+        )[0]
+    )
+    host = render_reconstruction_host(params, J, intr, depth)
+    assert host.dtype == np.uint8 and host.shape == dev.shape
+    diff = np.abs(host.astype(int) - dev.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
