@@ -323,3 +323,42 @@ def test_two_way_matching_symmetric():
     rev = {(u2, v2, u1, v1) for (u1, v1, u2, v2) in dense_to_set(m21)}
     assert len(fwd) > 100
     assert fwd == rev
+
+
+def test_matching_gauge_invariance():
+    """Property: matching depends only on RELATIVE geometry — applying a
+    global rigid transform to every pose leaves the match set unchanged
+    (up to rare float truncation-boundary flips)."""
+    rng = np.random.default_rng(11)
+    H, W = 24, 32
+    base = 3.0 + 0.4 * np.sin(np.linspace(0, 3, W))[None, :] + 0.2 * np.cos(
+        np.linspace(0, 2, H)
+    )[:, None]
+    d1 = base.astype(np.float32)
+    d2 = (base + 0.05 * rng.standard_normal((H, W))).astype(np.float32)
+    d1[rng.uniform(size=(H, W)) < 0.1] = 0.0
+    intr = _intr(25.0, 25.0, W / 2, H / 2)
+    R1 = np.eye(3, dtype=np.float32)
+    t1 = np.zeros(3, np.float32)
+    c, s = np.cos(0.03), np.sin(0.03)
+    R2 = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    t2 = np.array([0.12, -0.04, 0.01], np.float32)
+
+    # a substantial global rigid motion G
+    cg, sg = np.cos(0.7), np.sin(0.7)
+    G_R = np.array([[1, 0, 0], [0, cg, -sg], [0, sg, cg]], np.float32)
+    G_t = np.array([2.0, -1.5, 0.8], np.float32)
+
+    def transformed(R, t):
+        return (G_R @ R).astype(np.float32), (G_R @ t + G_t).astype(np.float32)
+
+    m = match_pair(jnp.array(d1), jnp.array(intr), jnp.array(R1), jnp.array(t1),
+                   jnp.array(d2), jnp.array(intr), jnp.array(R2), jnp.array(t2))
+    R1g, t1g = transformed(R1, t1)
+    R2g, t2g = transformed(R2, t2)
+    mg = match_pair(jnp.array(d1), jnp.array(intr), jnp.array(R1g), jnp.array(t1g),
+                    jnp.array(d2), jnp.array(intr), jnp.array(R2g), jnp.array(t2g))
+    a, b = dense_to_set(m), dense_to_set(mg)
+    assert len(a) > 100
+    # identical up to float truncation slivers at pixel boundaries
+    assert len(a ^ b) <= max(2, len(a) // 200), f"{len(a ^ b)} / {len(a)} differ"

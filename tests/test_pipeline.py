@@ -521,3 +521,34 @@ def test_restore_image_shared_cache_equals_plain(scene_dir, tmp_path):
     np.testing.assert_allclose(
         np.nan_to_num(cached.J), np.nan_to_num(plain.J), atol=1e-6
     )
+
+
+def test_restore_survey_salvages_completed_batches(scene_dir, tmp_path, monkeypatch):
+    """A failure while dispatching batch k+1 must not discard batch k's
+    finished device work: its artifacts are exported before the error
+    propagates (mid-survey fault tolerance at batch granularity)."""
+    import sucre_tpu.pipeline as pl
+
+    scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+    cfg = RestoreConfig(num_iter=2, verbose=False, store="memory")
+    names = [f"img_{i:03d}.png" for i in range(4)]
+
+    real_dispatch = pl._dispatch_batch
+    calls = {"n": 0}
+
+    def failing_dispatch(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected batch-2 failure")
+        return real_dispatch(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "_dispatch_batch", failing_dispatch)
+    with pytest.raises(RuntimeError, match="injected"):
+        pl.restore_survey(
+            scene, names, tmp_path / "o", cfg, batch_targets=2
+        )
+    # batch 1 (img_000, img_001) was dispatched before the failure: its
+    # artifacts must exist
+    assert (tmp_path / "o" / "img_000.npz").exists()
+    assert (tmp_path / "o" / "img_001.npz").exists()
+    assert not (tmp_path / "o" / "img_002.npz").exists()
