@@ -57,9 +57,10 @@ class FitConfig:
     view_chunk: int | None = None  # grad-accum chunk over the view axis
     save_interval: int | None = None
     # Fused Pallas forward+backward kernel for the gradient step:
-    # None = auto (on when eligible: direct mode, no light model, compact
-    # z-layout, unchunked, single-device). True forces (interpret mode off
-    # TPU), False disables.
+    # None = auto (on when eligible: direct mode, unchunked,
+    # single-device; compact z layout without the light model, full cP
+    # layout with it — both modes have fused kernels). True forces
+    # (interpret mode off TPU), False disables.
     use_pallas: bool | None = None
     # Mid-run fault tolerance: checkpoint (params, opt_state, iteration)
     # every ``checkpoint_interval`` iterations into ``checkpoint_dir`` and
@@ -132,7 +133,9 @@ def _closed_form(params: SucreParams, obs: DenseObs, chunked: bool):
 
 @partial(
     jax.jit,
-    static_argnames=("n_steps", "use_closed_form", "chunked", "lr", "pallas_mode"),
+    static_argnames=(
+        "n_steps", "use_closed_form", "chunked", "lr", "pallas_mode", "light"
+    ),
     donate_argnums=(0, 1),
 )
 def _run_segment(
@@ -145,11 +148,19 @@ def _run_segment(
     chunked: bool,
     lr: float,
     pallas_mode: str = "off",  # "off" | "tpu" | "interpret"
+    light: bool = False,  # fused LIGHT-model kernel instead of the no-light one
 ):
     """Run ``n_steps`` Adam iterations as a lax.scan, returning telemetry."""
     opt = optax.adam(lr)
 
-    if pallas_mode != "off":
+    if pallas_mode != "off" and light:
+        from sucre_tpu.ops.pallas.light_kernel import (
+            fused_light_fit_grads_prepared,
+            prepare_light_obs,
+        )
+
+        cPt, Itl = prepare_light_obs(obs.cP, obs.I)
+    elif pallas_mode != "off":
         from sucre_tpu.ops.pallas.fit_kernel import (
             fused_fit_grads_prepared,
             prepare_obs,
@@ -158,6 +169,18 @@ def _run_segment(
         zt, It = prepare_obs(obs.z, obs.I)
 
     def grads_of(params):
+        if pallas_mode != "off" and light:
+            cost, dJ, dB, dbeta, dgamma, dc2l, dsig = fused_light_fit_grads_prepared(
+                params.J, params.B, params.beta, params.gamma,
+                params.cam2light, params.sigma, cPt, Itl,
+                interpret=(pallas_mode == "interpret"),
+            )
+            s = 1.0 / (n_obs * 3.0)
+            grads = SucreParams(
+                B=dB * s, beta=dbeta * s, gamma=dgamma * s, J=dJ * s,
+                cam2light=dc2l * s, sigma=dsig * s,
+            )
+            return cost, grads
         if pallas_mode != "off":
             cost, dJ, dB, dbeta, dgamma = fused_fit_grads_prepared(
                 params.J, params.B, params.beta, params.gamma, zt, It,
@@ -255,28 +278,41 @@ def fit(
         segments.append(c - prev)
         prev = c
 
-    # Fused-kernel eligibility: direct mode, no light model, compact layout,
-    # unchunked, data on a single device (the kernel is not partitioned).
+    # Fused-kernel eligibility (direct mode, unchunked, single-device —
+    # the kernels are not partitioned): the no-light kernel needs the
+    # compact z layout; the light kernel needs the full cP layout.
     from sucre_tpu.ops.pallas.fit_kernel import kernel_supported
+    from sucre_tpu.ops.pallas.light_kernel import light_kernel_supported
 
-    eligible = (
-        not use_closed_form
-        and params.J is not None
-        and params.cam2light is None
-        and obs.z is not None
-        and not chunked
-        and kernel_supported(obs.valid.shape[-1])
-        and len(getattr(obs.valid, "devices", lambda: [None])()) <= 1
-    )
+    single_device = len(getattr(obs.valid, "devices", lambda: [None])()) <= 1
+    light = params.cam2light is not None
+    if light:
+        eligible = (
+            not use_closed_form
+            and params.J is not None
+            and obs.cP is not None
+            and not chunked
+            and light_kernel_supported(obs.valid.shape[-1])
+            and single_device
+        )
+    else:
+        eligible = (
+            not use_closed_form
+            and params.J is not None
+            and obs.z is not None
+            and not chunked
+            and kernel_supported(obs.valid.shape[-1])
+            and single_device
+        )
     if cfg.use_pallas is None:
         want = eligible and jax.default_backend() == "tpu"
     else:
         if cfg.use_pallas and not eligible:
             raise ValueError(
-                "use_pallas=True but the fused kernel is not eligible here "
-                "(needs: direct mode, no light model, compact z-layout, "
-                "unchunked views, single-device stack); use use_pallas=None "
-                "for auto-selection"
+                "use_pallas=True but no fused kernel is eligible here "
+                "(needs: direct mode, unchunked views, single-device stack, "
+                "and the compact z layout without the light model / the "
+                "full cP layout with it); use use_pallas=None for auto"
             )
         want = cfg.use_pallas and eligible
     if want:
@@ -289,7 +325,7 @@ def fit(
     for n_steps in segments:
         params, opt_state, tel = _run_segment(
             params, opt_state, obs, n_obs, n_steps, use_closed_form, chunked, cfg.lr,
-            pallas_mode=pallas_mode,
+            pallas_mode=pallas_mode, light=light and pallas_mode != "off",
         )
         tel_parts.append(jax.device_get(tel))
         if telemetry_fn is not None:
