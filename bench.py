@@ -138,16 +138,20 @@ def main() -> None:
             break
     wall = min(walls[1:]) if len(walls) > 1 else walls[0]
 
-    # Device-compute-only phase: dispatch the full match+fit+render
-    # pipeline per batch and sync with a tiny scalar fetch (the bulk J /
-    # render transfer and artifact export never happen). Reuses the
-    # already-compiled survey programs (rgb_plot_on_device=False).
+    # Device-compute-only phase: dispatch the full match+fit pipeline per
+    # batch and sync with a tiny scalar fetch (the bulk J / render
+    # transfer and artifact export never happen). Both on-device render
+    # flags are forced off exactly as restore_survey forces them, so this
+    # phase reuses the e2e phase's already-compiled programs and measures
+    # the same device work the e2e number contains.
     import dataclasses as _dc
 
     from sucre_tpu import pipeline as _pl
 
     dev_reps = int(os.environ.get("BENCH_DEV_REPS", 3))
-    cfg_dev = _dc.replace(cfg, rgb_plot_on_device=False)
+    cfg_dev = _dc.replace(
+        cfg, rgb_plot_on_device=False, reconstruction_on_device=False
+    )
     batches = [targets[i : i + B] for i in range(0, T, B)]
     dwalls = []
     for rep in range(dev_reps):

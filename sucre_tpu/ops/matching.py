@@ -69,9 +69,11 @@ class DenseObs(NamedTuple):
                  iterations without the light model, so storing it
                  directly cuts HBM traffic ~3x (z f32 + I u8 + valid
                  = 8B/obs vs 25B).
-    ``I`` keeps its source dtype: uint8 straight from the decoded image
-    (exact — the /255 conversion fuses into the loss) or float32 when
-    colors were resampled (image_scale != 1).
+    ``I`` keeps its source dtype: uint8 whenever colors live in the u8
+    domain (decoded images, including u8-domain INTER_AREA downscales
+    under image_scale < 1 — the /255 conversion fuses into the loss) or
+    float32 [0,1] when they left it (cubic upscales, bilinear sampling,
+    .h5 cache loads).
     """
 
     valid: jnp.ndarray  # (V, H, W) bool

@@ -79,6 +79,47 @@ def shard_batched_obs_vr(obs: DenseObs, mesh: Mesh) -> DenseObs:
     )
 
 
+def prepare_batched_obs(obs: DenseObs, cfg: FitConfig, mesh: Mesh | None):
+    """The placement preamble shared by ``fit_many`` and ``fit_joint``:
+    per-target observation counts, the --batch-size view-chunk reshape
+    (moot on a (view x row) mesh, which bounds memory by sharding), and
+    mesh placement of the stack.
+
+    Returns ``(obs, n_obs, chunked, batch_put, repl_put)``. ``batch_put``
+    places a per-target parameter leaf (leading T axis) the way the stack
+    was placed — sharded over the batch axis on a batch mesh, replicated
+    on a (view x row) mesh, identity without a mesh; ``repl_put``
+    replicates a shared/global leaf (identity without a mesh).
+    """
+    n_obs = jnp.sum(obs.valid, axis=tuple(range(1, obs.valid.ndim))).astype(
+        jnp.float32
+    )
+    vr_mesh = mesh is not None and "view" in mesh.axis_names
+    chunked = (
+        not vr_mesh
+        and cfg.view_chunk is not None
+        and cfg.view_chunk < obs.valid.shape[1]
+    )
+    if chunked:
+        obs = chunk_batched_views(obs, cfg.view_chunk)
+    if mesh is None:
+        ident = lambda x: x
+        return obs, n_obs, chunked, ident, ident
+    repl_put = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+    if vr_mesh:
+        obs = shard_batched_obs_vr(obs, mesh)
+        return obs, repl_put(n_obs), chunked, repl_put, repl_put
+    batch_axis = mesh.axis_names[0]
+
+    def batch_put(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(*([batch_axis] + [None] * (x.ndim - 1))))
+        )
+
+    obs = jax.tree.map(batch_put, obs)
+    return obs, batch_put(n_obs), chunked, batch_put, repl_put
+
+
 @partial(
     jax.jit,
     static_argnames=("num_iter", "use_closed_form", "lr", "pallas_mode", "chunked"),
@@ -164,20 +205,7 @@ def fit_many(
     # The jit donates the params buffers; copy so the caller's pytree
     # stays alive for reuse.
     params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
-    n_obs = jnp.sum(obs.valid, axis=(1, 2, 3)).astype(jnp.float32)
-    # View-chunked grad accumulation (--batch-size memory knob): reshape
-    # each target's view axis to (nc, chunk) so the loss scans over chunks
-    # with rematerialization — identical gradient, bounded activations.
-    # A (view x row) mesh already bounds per-chip memory by sharding the
-    # stack, so the knob is moot there (and would fight the view axis).
-    vr_mesh = mesh is not None and "view" in mesh.axis_names
-    chunked = (
-        not vr_mesh
-        and cfg.view_chunk is not None
-        and cfg.view_chunk < obs.valid.shape[1]
-    )
-    if chunked:
-        obs = chunk_batched_views(obs, cfg.view_chunk)
+    obs, n_obs, chunked, batch_put, _ = prepare_batched_obs(obs, cfg, mesh)
     # Fused-kernel eligibility mirrors solve.fit: direct mode, no light,
     # compact layout; the kernel is unsharded, so only without a mesh.
     from sucre_tpu.ops.pallas.fit_kernel import kernel_supported
@@ -206,29 +234,10 @@ def fit_many(
     pallas_mode = (
         ("tpu" if jax.default_backend() == "tpu" else "interpret") if want else "off"
     )
-    if vr_mesh:
-        # (view x row) mesh: each target's stack shards over views and
-        # pixel rows (the oversized-survey layout match_survey_sharded
-        # emits); params replicate and GSPMD psums their gradients.
-        obs = shard_batched_obs_vr(obs, mesh)
-        repl = NamedSharding(mesh, P())
-        params = jax.tree.map(lambda x: jax.device_put(x, repl), params)
-        n_obs = jax.device_put(n_obs, repl)
-    elif mesh is not None:
-        batch_axis = mesh.axis_names[0]
-        obs = jax.tree.map(
-            lambda v: jax.device_put(
-                v, NamedSharding(mesh, P(*([batch_axis] + [None] * (v.ndim - 1))))
-            ),
-            obs,
-        )
-        params = jax.tree.map(
-            lambda x: jax.device_put(
-                x, NamedSharding(mesh, P(*([batch_axis] + [None] * (x.ndim - 1))))
-            ),
-            params,
-        )
-        n_obs = jax.device_put(n_obs, NamedSharding(mesh, P(batch_axis)))
+    # Per-target params place like the stack: batch-sharded on a batch
+    # mesh, replicated on a (view x row) mesh (GSPMD psums the gradient
+    # reductions), untouched without a mesh.
+    params = jax.tree.map(batch_put, params)
     return _fit_many_jit(
         params, obs, n_obs, cfg.num_iter, cfg.use_closed_form, cfg.lr,
         pallas_mode=pallas_mode, chunked=chunked,

@@ -163,49 +163,21 @@ def fit_joint(params: JointParams, obs: DenseObs, cfg: FitConfig, mesh=None):
     cost (num_iter, T) and the shared-parameter trajectories broadcast
     per target, (num_iter, T, 3) — same layout as fit_many's).
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sucre_tpu.parallel.batch import prepare_batched_obs
 
     params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
-    n_obs = jnp.sum(obs.valid, axis=tuple(range(1, obs.valid.ndim))).astype(jnp.float32)
-    # --batch-size grad-accum memory knob (same reshape as fit_many; a
-    # (view x row) mesh already bounds memory by sharding — knob moot)
-    from sucre_tpu.parallel.batch import chunk_batched_views, shard_batched_obs_vr
-
-    vr_mesh = mesh is not None and "view" in mesh.axis_names
-    chunked = (
-        not vr_mesh
-        and cfg.view_chunk is not None
-        and cfg.view_chunk < obs.valid.shape[1]
+    obs, n_obs, chunked, batch_put, repl_put = prepare_batched_obs(obs, cfg, mesh)
+    # Shared globals replicate (GSPMD psums their gradient reductions);
+    # the per-target J places like the stack (batch-sharded on a batch
+    # mesh, replicated on a (view x row) mesh).
+    params = JointParams(
+        B=repl_put(params.B),
+        beta=repl_put(params.beta),
+        gamma=repl_put(params.gamma),
+        J=None if params.J is None else batch_put(params.J),
+        cam2light=None if params.cam2light is None else repl_put(params.cam2light),
+        sigma=None if params.sigma is None else repl_put(params.sigma),
     )
-    if chunked:
-        obs = chunk_batched_views(obs, cfg.view_chunk)
-    if vr_mesh:
-        # (view x row) mesh (oversized surveys): stacks shard over views
-        # and pixel rows; everything else replicates.
-        repl = NamedSharding(mesh, P())
-        obs = shard_batched_obs_vr(obs, mesh)
-        n_obs = jax.device_put(n_obs, repl)
-        params = jax.tree.map(lambda x: jax.device_put(x, repl), params)
-    elif mesh is not None:
-        batch_axis = mesh.axis_names[0]
-
-        def batch_put(x):
-            return jax.device_put(
-                x, NamedSharding(mesh, P(*([batch_axis] + [None] * (x.ndim - 1))))
-            )
-
-        obs = jax.tree.map(batch_put, obs)
-        n_obs = batch_put(n_obs)
-        repl = NamedSharding(mesh, P())
-        params = JointParams(
-            B=jax.device_put(params.B, repl),
-            beta=jax.device_put(params.beta, repl),
-            gamma=jax.device_put(params.gamma, repl),
-            J=None if params.J is None else batch_put(params.J),
-            cam2light=None if params.cam2light is None
-            else jax.device_put(params.cam2light, repl),
-            sigma=None if params.sigma is None else jax.device_put(params.sigma, repl),
-        )
     return _fit_joint_jit(
         params, obs, n_obs, cfg.num_iter, cfg.use_closed_form, cfg.lr,
         chunked=chunked,

@@ -283,11 +283,12 @@ def compute_matches(
     # vectors are fetched in batched WINDOWS of several chunks (a
     # per-chunk fetch costs one ~30 ms round trip each on high-latency
     # links; an unbounded window would keep every chunk's dense outputs
-    # alive on device at once — transient HBM must stay bounded at
-    # ~window * match_chunk full-size views, like the chunked path
-    # promises). Filtering a window frees its buffers: only the kept
+    # alive on device at once). The window is a FIXED chunk count so the
+    # transient-HBM peak stays ~window * match_chunk views and
+    # --match-chunk remains an effective memory knob (lowering it lowers
+    # the peak). Filtering a window frees its buffers: only the kept
     # (jnp.take-copied) slices survive.
-    window = max(2, 64 // max(match_chunk, 1))
+    window = 4
     pending = []  # (sub_views, n, obs, match, counts_dev)
 
     def flush_pending():
