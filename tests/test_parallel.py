@@ -365,6 +365,58 @@ def test_match_survey_sharded_100_views_bounded_blocks():
     assert shard_shapes == {(T, Vp // 2, Hp // 4, W)}
 
 
+def test_match_survey_sharded_is_communication_free():
+    """HLO-level proof of the locality claim (SURVEY §5 scaling story):
+    the compiled sharded matching program moves NO view tables and NO
+    observation blocks between chips — each (view, row) chip matches its
+    resident view slice against its resident target rows. The only
+    collective GSPMD may insert is the tiny per-pair min-cover count
+    psum (a (T, V)-shaped all-reduce)."""
+    import functools
+    import re
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sucre_tpu.ops.matching import match_survey
+
+    mesh = make_mesh(2, 4)
+    V, T, H, W = 8, 2, 64, 128
+    rng = np.random.default_rng(0)
+    depths = (
+        rng.uniform(1500, 2500, (V, H, W)) * (rng.uniform(size=(V, H, W)) < 0.9)
+    ).astype(np.uint16)
+    rgbs = rng.integers(0, 256, (V, H, W, 3), dtype=np.uint8)
+    intrs = np.tile(np.array([40.0, 40.0, W / 2, H / 2], np.float32), (V, 1))
+    Rs = np.tile(np.eye(3, dtype=np.float32), (V, 1, 1))
+    ts = np.stack([np.array([0.05 * k, 0, 0], np.float32) for k in range(V)])
+
+    va = lambda x: NamedSharding(mesh, P("view", *([None] * (x.ndim - 1))))
+    ra = lambda x: NamedSharding(mesh, P(None, "row", *([None] * (x.ndim - 2))))
+    repl = NamedSharding(mesh, P())
+    v_args = [
+        jax.device_put(jnp.asarray(x), va(x)) for x in (depths, rgbs, intrs, Rs, ts)
+    ]
+    td = jax.device_put(jnp.asarray(depths[:T]), ra(depths[:T]))
+    t_args = [
+        jax.device_put(jnp.asarray(x), repl) for x in (intrs[:T], Rs[:T], ts[:T])
+    ]
+    f = jax.jit(
+        functools.partial(
+            match_survey, compact=True, bilinear=False, area=jnp.float32(H * W)
+        )
+    )
+    hlo = f.lower(td, *t_args, *v_args, jnp.float32(1e-6)).compile().as_text()
+
+    for op in ("all-gather", "all-to-all", "collective-permute", "reduce-scatter"):
+        assert f" {op}(" not in hlo, f"unexpected {op} in sharded matching HLO"
+    # every all-reduce is the tiny count psum, never a table/stack-sized one
+    shapes = re.findall(r"=\s*\w+\[([\d,]*)\][^ ]*\s+all-reduce\(", hlo)
+    assert shapes, "expected the min-cover count all-reduce"
+    for s in shapes:
+        n = np.prod([int(d) for d in s.split(",")]) if s else 1
+        assert n <= T * V, f"all-reduce of {n} elements — data is moving: [{s}]"
+
+
 def test_restore_survey_view_row_mesh_oversized(tmp_path, monkeypatch):
     """Pipeline wiring of the views-axis scaling: a survey pushed past
     SUCRE_SURVEY_MAX_PAIRS with a (view x row) mesh runs the SHARDED
