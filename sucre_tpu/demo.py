@@ -1,0 +1,86 @@
+"""Self-contained demo: generate a synthetic underwater survey, restore
+it, and report quality vs the known ground truth.
+
+The reference has no way to try the pipeline without real survey data
+(images + depth maps + COLMAP model). This module renders a small
+analytic scene with the exact image-formation model (known J, B, beta,
+gamma), runs the full restoration pipeline on it, and prints the
+recovered water parameters and the PSNR of the restored image against
+the analytic ground truth — a one-command end-to-end smoke test of an
+installation.
+
+Usage:
+    python -m sucre_tpu.demo [--output-dir DIR] [--views N]
+        [--size WxH] [--num-iter N] [--light-model] [--platform cpu|tpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        description="SUCRe-TPU demo on a generated synthetic survey.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--output-dir", type=Path, default=Path("sucre_demo"),
+                   help="directory for the generated scene and artifacts.")
+    p.add_argument("--views", type=int, default=8, help="survey size.")
+    p.add_argument("--size", type=str, default="160x120", metavar="WxH",
+                   help="image dimensions.")
+    p.add_argument("--num-iter", type=int, default=200,
+                   help="optimization steps.")
+    p.add_argument("--light-model", action="store_true",
+                   help="render and fit with an artificial light.")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX platform (cpu/tpu).")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    from sucre_tpu.pipeline import RestoreConfig, restore_image
+    from sucre_tpu.scene import Scene
+    from sucre_tpu.synth import make_scene
+    from sucre_tpu.utils.metrics import psnr
+
+    w, h = (int(x) for x in args.size.lower().split("x"))
+    scene_dir = args.output_dir / "scene"
+    out_dir = args.output_dir / "restored"
+    print(f"Generating a {args.views}-view {w}x{h} synthetic survey "
+          f"in {scene_dir} ...")
+    sd = make_scene(
+        scene_dir, n_views=args.views, width=w, height=h,
+        light=args.light_model,
+    )
+    print(f"Ground truth: B={sd.B}, beta={sd.beta}, gamma={sd.gamma}")
+
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    target = sd.names[len(sd.names) // 2]  # a well-covered middle view
+    cfg = RestoreConfig(num_iter=args.num_iter, light_model=args.light_model)
+    res = restore_image(scene, target, out_dir, cfg)
+
+    t_idx = sd.names.index(target)
+    J_true = sd.J_views[t_idx]
+    valid = np.asarray(res.valid, bool)
+    q = psnr(np.nan_to_num(np.asarray(res.J)), J_true, mask=valid)
+    print()
+    print(f"Restored {target}: {res.n_obs} observations, "
+          f"final cost {float(np.asarray(res.telemetry.cost[-1])):.4e}")
+    print(f"Recovered beta = {np.asarray(res.params.beta).ravel().round(4)} "
+          f"(true {sd.beta})")
+    print(f"PSNR of restored J vs analytic ground truth: {q:.2f} dB")
+    print("Artifacts:")
+    for a in res.artifacts:
+        print(f"  {a}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -251,3 +251,19 @@ def test_multihost_two_processes(tmp_path):
     assert "2 targets" in outs[0] and "2 targets" in outs[1]
     for i in range(4):
         assert (out / f"img_{i:03d}.npz").exists()
+
+
+def test_demo_module(tmp_path, capsys):
+    """python -m sucre_tpu.demo end to end: generates a scene, restores
+    a target, reports ground-truth comparison and artifacts."""
+    from sucre_tpu.demo import main as demo_main
+
+    rc = demo_main([
+        "--output-dir", str(tmp_path / "demo"), "--views", "4",
+        "--size", "48x32", "--num-iter", "3", "--platform", "cpu",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "PSNR of restored J vs analytic ground truth" in out
+    assert (tmp_path / "demo" / "restored").is_dir()
+    assert list((tmp_path / "demo" / "restored").glob("*_rgb.png"))
