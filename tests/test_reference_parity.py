@@ -370,6 +370,80 @@ def test_full_defaults_quality_parity(reference_modules, scene_dir, tmp_path):
     assert abs(ssim_our - ssim_ref) < 0.01
 
 
+@pytest.mark.parametrize(
+    "mode",
+    ["closed_form", "light"],
+)
+def test_full_defaults_quality_parity_modes(
+    reference_modules, scene_dir, tmp_path_factory, mode
+):
+    """The full-defaults quality bar for the OTHER fit modes: closed-form
+    J, and the light model (on a scene rendered WITH an artificial
+    light). Same criterion as the direct-mode test: PSNR vs the scene's
+    analytic ground truth within 0.1 dB of the reference pipeline run at
+    identical settings."""
+    from tests.synthetic import make_scene
+
+    ref = reference_modules
+    tmp_path = tmp_path_factory.mktemp(f"fdq_{mode}")
+    light = mode == "light"
+    if light:
+        sd = make_scene(tmp_path / "scene", n_views=5, width=64, height=48,
+                        light=True)
+    else:
+        sd = scene_dir
+    kwargs = dict(
+        light_model=light,
+        # closed-form both standalone and as the reference recommends
+        # with the light model (sucre.py README usage)
+        use_closed_form=True,
+    )
+    model = ref.sfm.COLMAPModel(
+        model_dir=sd.model_dir, image_dir=sd.image_dir,
+        depth_dir=sd.depth_dir, image_scale=1.0,
+    )
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    ref.sucre.restore_image(
+        image=model["img_002.png"], colmap_model=model, output_dir=ref_out,
+        num_iter=200, batch_size=5, device="cpu", keep_matches=True, **kwargs,
+    )
+    import torch
+
+    J_ref = torch.load(ref_out / "img_002.pt", weights_only=True)["J"].numpy()
+
+    from sucre_tpu.pipeline import RestoreConfig, restore_image
+    from sucre_tpu.scene import Scene
+    from sucre_tpu.utils.metrics import psnr
+
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    ours = restore_image(
+        scene, "img_002.png", tmp_path / "our_out",
+        RestoreConfig(num_iter=200, verbose=False, **kwargs),
+    )
+
+    J_gt = sd.J_views[2]
+    valid = (
+        np.isfinite(J_ref).all(axis=-1)
+        & np.isfinite(ours.J).all(axis=-1)
+        & np.isfinite(J_gt).all(axis=-1)
+    )
+    assert valid.mean() > 0.9
+    psnr_ref_gt = psnr(J_ref, J_gt, mask=valid)
+    psnr_our_gt = psnr(np.asarray(ours.J), J_gt, mask=valid)
+    psnr_cross = psnr(np.asarray(ours.J), J_ref, mask=valid)
+    print(
+        f"\nFULL-DEFAULTS QUALITY [{mode}]: PSNR(ref vs GT)={psnr_ref_gt:.3f} dB, "
+        f"PSNR(ours vs GT)={psnr_our_gt:.3f} dB, "
+        f"delta={psnr_our_gt - psnr_ref_gt:+.3f} dB, "
+        f"PSNR(ours vs ref)={psnr_cross:.2f} dB"
+    )
+    assert psnr_our_gt >= psnr_ref_gt - 0.1, (
+        f"[{mode}] ours {psnr_our_gt:.3f} dB vs reference {psnr_ref_gt:.3f} dB"
+    )
+    assert psnr_cross > 30.0
+
+
 def test_image_scale_full_parity(reference_modules, scene_dir, tmp_path):
     """--image-scale 0.5: both full pipelines at scaled resolution. Our
     raw path resamples colors in uint8 (packed-gather fast path; ~1 LSB
