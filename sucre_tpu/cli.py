@@ -130,6 +130,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile-dir", type=Path,
                         help="capture a jax.profiler trace of the run into this "
                              "directory (view with TensorBoard/XProf).")
+    parser.add_argument("--report", type=Path, nargs="?", const=Path("-"),
+                        metavar="PATH",
+                        help="write a JSON run report (per-target observation "
+                             "counts, final cost/parameters, stage timings, "
+                             "artifacts; run-level config/platform/wall time). "
+                             "Without PATH, writes <output-dir>/report.json.")
     parser.add_argument("--quiet", action="store_true", help="suppress telemetry.")
     return parser
 
@@ -278,6 +284,10 @@ def main(argv: list[str] | None = None) -> int:
         mesh = make_mesh(v, r, devices=devices)
         print(f"Sharding: (view={v} x row={r}) mesh per restore.")
 
+    import time
+
+    run_t0 = time.perf_counter()
+    results = []
     with profile_cm:
         if batched_ok:
             from sucre_tpu.pipeline import restore_survey
@@ -289,7 +299,7 @@ def main(argv: list[str] | None = None) -> int:
             # meshes shard each batch's observation stacks (and raise
             # the survey-program pair budget by the mesh size — the
             # views-axis HBM scaling path)
-            restore_survey(
+            results = restore_survey(
                 scene, targets, args.output_dir, cfg,
                 image_list=image_list, batch_targets=batch_targets,
                 mesh=mesh,
@@ -306,9 +316,65 @@ def main(argv: list[str] | None = None) -> int:
                 cache = ViewCache()
                 cache.prefill(image_list, num_workers=args.num_workers)
             for name in targets:
-                restore_image(scene, name, args.output_dir, cfg,
-                              image_list=image_list, mesh=rmesh, cache=cache)
+                results.append(
+                    restore_image(scene, name, args.output_dir, cfg,
+                                  image_list=image_list, mesh=rmesh, cache=cache)
+                )
+    if args.report is not None:
+        path = (
+            args.output_dir / "report.json"
+            if str(args.report) == "-"
+            else args.report
+        )
+        _write_report(path, args, results, mode, time.perf_counter() - run_t0)
+        print(f"Report: {path}")
     return 0
+
+
+def _write_report(path, args, results, shard_mode: str, wall_s: float) -> None:
+    """One JSON document summarizing the run: per-target fit outcomes and
+    stage timings plus run-level config/platform (the observability
+    counterpart of the reference's per-iteration prints)."""
+    import json
+
+    import jax
+    import numpy as np
+
+    def target_entry(r):
+        e = {
+            "image": r.image_name,
+            "n_obs": int(r.n_obs),
+            "final_cost": float(np.asarray(r.telemetry.cost)[-1].sum()),
+            "B": np.asarray(r.params.B).ravel().tolist(),
+            "beta": np.asarray(r.params.beta).ravel().tolist(),
+            "gamma": np.asarray(r.params.gamma).ravel().tolist(),
+            "observed_fraction": float(np.asarray(r.valid, bool).mean()),
+            "timings_s": {k: round(v, 4) for k, v in r.timings.items()},
+            "artifacts": [str(a) for a in r.artifacts],
+        }
+        if r.params.cam2light is not None:
+            e["cam2light"] = np.asarray(r.params.cam2light).ravel().tolist()
+            e["sigma"] = np.asarray(r.params.sigma).tolist()
+        return e
+
+    report = {
+        "framework": "sucre_tpu",
+        "platform": jax.default_backend(),
+        "devices": len(jax.local_devices()),
+        "shard_mode": shard_mode,
+        "num_iter": args.num_iter,
+        "learning_rate": args.learning_rate,
+        "light_model": args.light_model,
+        "use_closed_form": args.use_closed_form,
+        "joint_params": args.joint_params,
+        "wall_s": round(wall_s, 3),
+        "n_targets": len(results),
+        "total_obs": int(sum(int(r.n_obs) for r in results)),
+        "targets": [target_entry(r) for r in results],
+    }
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps(report, indent=1))
 
 
 if __name__ == "__main__":

@@ -267,3 +267,32 @@ def test_demo_module(tmp_path, capsys):
     assert "PSNR of restored J vs analytic ground truth" in out
     assert (tmp_path / "demo" / "restored").is_dir()
     assert list((tmp_path / "demo" / "restored").glob("*_rgb.png"))
+
+
+def test_report_flag(scene_dir, tmp_path):
+    """--report writes a JSON run summary covering every restored target
+    (both the batched-survey and the sequential paths)."""
+    import json
+
+    out = tmp_path / "out"
+    lst = tmp_path / "list.txt"
+    lst.write_text("img_001.png\nimg_002.png\n")
+    rc = main(_base_args(scene_dir, out) + [
+        "--image-list", str(lst), "--num-iter", "2", "--quiet", "--report",
+    ])
+    assert rc == 0
+    rep = json.loads((out / "report.json").read_text())
+    assert rep["n_targets"] == 2 and len(rep["targets"]) == 2
+    t = rep["targets"][0]
+    assert t["image"] == "img_001.png" and t["n_obs"] > 0
+    assert len(t["beta"]) == 3 and t["artifacts"]
+    assert rep["total_obs"] == sum(x["n_obs"] for x in rep["targets"])
+
+    # sequential path + explicit report path
+    rc = main(_base_args(scene_dir, tmp_path / "out2") + [
+        "--image-name", "img_001.png", "--num-iter", "2", "--quiet",
+        "--report", str(tmp_path / "r.json"),
+    ])
+    assert rc == 0
+    rep2 = json.loads((tmp_path / "r.json").read_text())
+    assert rep2["n_targets"] == 1
