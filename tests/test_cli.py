@@ -296,3 +296,56 @@ def test_report_flag(scene_dir, tmp_path):
     assert rc == 0
     rep2 = json.loads((tmp_path / "r.json").read_text())
     assert rep2["n_targets"] == 1
+
+
+def test_multihost_two_processes_with_local_mesh(tmp_path):
+    """Two-tier parallelism end to end: two coordinated processes split
+    the target list (DCN tier), and EACH process shards its restores
+    over a (view x row) mesh of its 2 local virtual devices (ICI tier).
+    No collective crosses processes; artifacts land in the shared output
+    directory."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    sd = make_scene(tmp_path / "scene", n_views=4, width=48, height=32)
+    out = tmp_path / "out"
+    lst = tmp_path / "list.txt"
+    lst.write_text("".join(f"img_{i:03d}.png\n" for i in range(4)))
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in range(2):
+        env = {
+            k: v
+            for k, v in os.environ.items()
+            if not k.startswith(("PALLAS_AXON", "AXON"))
+        }
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "sucre_tpu",
+                 "--image-dir", str(sd.image_dir), "--depth-dir", str(sd.depth_dir),
+                 "--model-dir", str(sd.model_dir), "--output-dir", str(out),
+                 "--image-list", str(lst), "--num-iter", "2", "--quiet",
+                 "--batch-targets", "1", "--shard-mode", "view-row",
+                 "--platform", "cpu"],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-2000:]
+    for o in outs:
+        assert "2 targets" in o
+        assert "Sharding: (view=1 x row=2) mesh per restore." in o
+    for i in range(4):
+        assert (out / f"img_{i:03d}.npz").exists()
