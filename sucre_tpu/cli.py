@@ -84,8 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="force a JAX platform (cpu/tpu).")
     parser.add_argument("--match-chunk", type=int, default=8,
                         help="views matched per device batch.")
-    parser.add_argument("--compile-cache", type=Path,
-                        default=Path.home() / ".cache" / "sucre_tpu_xla",
+    parser.add_argument("--compile-cache", type=str,
+                        default=str(Path.home() / ".cache" / "sucre_tpu_xla"),
                         help="persistent XLA compilation cache directory "
                              "(pass an empty string to disable).")
     parser.add_argument("--batch-targets", type=int, default=4,
@@ -95,6 +95,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--params-format", choices=["npz", "pt"], default="npz",
                         help="parameter-checkpoint format: native .npz or the "
                              "reference's torch .pt state-dict (interop).")
+    parser.add_argument("--no-culling", action="store_true",
+                        help="disable surface-overlap view culling. Culling is "
+                             "conservative (a dropped pair's surfaces provably "
+                             "cannot intersect) but its AABBs subsample depth "
+                             "maps — disable for strict reference-identical "
+                             "pair sets on pathological depth data.")
     parser.add_argument("--bilinear-colors", action="store_true",
                         help="sample observed colors bilinearly at the continuous "
                              "reprojection instead of the reference's nearest-pixel "
@@ -149,8 +155,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.compile_cache and str(args.compile_cache):
-        jax.config.update("jax_compilation_cache_dir", str(args.compile_cache))
+    if args.compile_cache:
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # Multi-host (DCN tier): when launched under a JAX coordinator, join
@@ -211,6 +217,7 @@ def main(argv: list[str] | None = None) -> int:
         keep_matches=args.keep_matches,
         num_workers=args.num_workers,
         match_chunk=args.match_chunk,
+        frustum_cull=not args.no_culling,
         joint_params=args.joint_params,
         bilinear_colors=args.bilinear_colors,
         params_format=args.params_format,

@@ -493,7 +493,5 @@ def match_survey(
     I = jnp.where(valid[..., None], I, jnp.zeros((), I.dtype))
     obs = DenseObs(valid=valid, cP=jnp.where(valid[..., None], cP, 0.0), I=I)
     if compact:
-        cP_safe = jnp.where(valid[..., None], obs.cP, 1.0)
-        z = jnp.sqrt(jnp.sum(cP_safe * cP_safe, axis=-1))
-        obs = DenseObs(valid=valid, cP=None, I=I, z=jnp.where(valid, z, 0.0))
+        obs = obs.compact()  # shape-agnostic: one z-derivation everywhere
     return obs

@@ -254,6 +254,7 @@ def compute_matches(
     cache: ViewCache | None = None,
     compact: bool = False,
     bilinear: bool = False,
+    primed_depths: dict[str, np.ndarray] | None = None,
     log: Callable[[str], None] = lambda s: None,
 ) -> tuple[DenseObs | None, list[str]]:
     """Stage A+B fused: match the target against every view in
@@ -318,6 +319,23 @@ def compute_matches(
     for (w2, h2), views in buckets.items():
         if cache is not None:
             stream = ((i, *cache.get(v)) for i, v in enumerate(views))
+        elif primed_depths:
+            # depths already decoded by the caller (the cull prepass) —
+            # decode only the RGBs, popping each primed depth as consumed
+            def _primed_stream(views=views):
+                from sucre_tpu.io.images import load_depth_raw
+
+                it = prefetch_views(
+                    views, rgb=True, depth=False, num_workers=num_workers,
+                    raw=True,
+                )
+                for (i, r, _), v in zip(it, views):
+                    d = primed_depths.pop(v.name, None)
+                    if d is None:
+                        d = load_depth_raw(v.depth_path, v.width, v.height)
+                    yield i, r, d
+
+            stream = _primed_stream()
         else:
             # raw dtypes: packed single-gather matching + 4x cheaper H2D
             # (u8-domain downscale under image_scale, see load_rgb_raw)
@@ -411,10 +429,40 @@ def match_targets_shared(
     kept_names: list[list[str]] = [[] for _ in range(T)]
     kept_chunks: list[list[DenseObs]] = [[] for _ in range(T)]
 
-    # Phase 1: dispatch every (chunk x target) matching program
-    # asynchronously — no host sync inside the loop (device roundtrips
-    # dominate wall time on high-latency links).
-    pending = []  # (ti, sub_views, n, obs, match, counts_dev)
+    # Chunks dispatch asynchronously and their tiny min-cover count
+    # vectors are fetched in batched WINDOWS (one host round trip per
+    # window instead of per chunk). The window is a FIXED chunk count so
+    # transient HBM stays ~window * match_chunk unfiltered views per
+    # target on top of the kept (take-copied) stacks — the bound this
+    # path exists to provide for surveys past the single-program budget.
+    # PairMatch buffers are dropped at dispatch when there is no h5 file
+    # to save them to (--store memory).
+    window = 4
+    pending = []  # (ti, sub_views, n, obs, match_or_None, counts_dev)
+
+    def flush_pending():
+        all_counts = jax.device_get([p[5] for p in pending])
+        for (ti, sub, n, obs, match, _), counts in zip(pending, all_counts):
+            keep = [j for j in range(n) if counts[j] / areas[ti] > min_cover]
+            mf = matches_files[ti] if matches_files else None
+            for j in keep:
+                if mf is not None:
+                    mf.save_pair_from_dense(
+                        sub[j].name,
+                        PairMatch(
+                            u2=match.u2[j], v2=match.v2[j],
+                            d2=match.d2[j], valid=match.valid[j],
+                        ),
+                        obs.I[j],
+                    )
+                kept_names[ti].append(sub[j].name)
+            if keep:
+                idx = jnp.asarray(np.asarray(keep, np.int32))
+                kept_chunks[ti].append(
+                    jax.tree.map(lambda x: jnp.take(x, idx, axis=0), obs)
+                )
+        pending.clear()
+
     if device_views is not None:
         chunk_iter = device_views.chunks
     else:
@@ -436,32 +484,14 @@ def match_targets_shared(
                 *tdev[ti], *dev, compact=compact, bilinear=bilinear
             )
             counts = obs.valid[:n].sum(axis=(1, 2))
-            pending.append((ti, sub, n, obs, match, counts))
-    log(f"dispatched matching for {T} targets")
-
-    # Phase 2: ONE batched host fetch of all the tiny count vectors.
-    all_counts = jax.device_get([p[5] for p in pending])
-
-    # Phase 3: min-cover filter (device-side take, still async) + h5 save.
-    for (ti, sub, n, obs, match, _), counts in zip(pending, all_counts):
-        keep = [j for j in range(n) if counts[j] / areas[ti] > min_cover]
-        mf = matches_files[ti] if matches_files else None
-        for j in keep:
-            if mf is not None:
-                mf.save_pair_from_dense(
-                    sub[j].name,
-                    PairMatch(
-                        u2=match.u2[j], v2=match.v2[j],
-                        d2=match.d2[j], valid=match.valid[j],
-                    ),
-                    obs.I[j],
-                )
-            kept_names[ti].append(sub[j].name)
-        if keep:
-            idx = jnp.asarray(np.asarray(keep, np.int32))
-            kept_chunks[ti].append(
-                jax.tree.map(lambda x: jnp.take(x, idx, axis=0), obs)
+            mf = matches_files[ti] if matches_files else None
+            pending.append(
+                (ti, sub, n, obs, match if mf is not None else None, counts)
             )
+        if len(pending) >= window * T:
+            flush_pending()
+    flush_pending()
+    log(f"matched {T} targets")
 
     if bilinear and matches_files:
         for mf in matches_files:
@@ -521,6 +551,7 @@ def restore_image(
 
     t0 = time.perf_counter()
     obs = None
+    primed_depths: dict[str, np.ndarray] = {}
     if not use_h5 or cfg.force_compute_matches or not matches_path.exists():
         if cfg.frustum_cull:
             # depth-only pre-pass: drop views whose observed surface cannot
@@ -532,19 +563,25 @@ def restore_image(
             if cache is not None:
                 v_aabbs = [cache.aabb(v) for v in image_list]
             else:
-                v_aabbs = [
-                    surface_aabb(
-                        load_depth_raw(v.depth_path, v.width, v.height),
-                        v.intrinsics, v.R, v.t,
-                    )
-                    for v in image_list
-                ]
+                # keep the decoded depths for the matching stage below —
+                # the prepass and the matcher otherwise decode every
+                # depth map twice (consumed/popped as matching streams)
+                primed_depths = {}
+                v_aabbs = []
+                for v in image_list:
+                    d = load_depth_raw(v.depth_path, v.width, v.height)
+                    primed_depths[v.name] = d
+                    v_aabbs.append(surface_aabb(d, v.intrinsics, v.R, v.t))
             keep_mask = cull_views([t_aabb], v_aabbs)
             if not all(keep_mask):
                 log(
                     f"Surface cull: {int(keep_mask.sum())}/{len(image_list)} "
                     f"views kept."
                 )
+                if primed_depths:
+                    for v, k in zip(image_list, keep_mask):
+                        if not k:
+                            primed_depths.pop(v.name, None)
                 image_list = [v for v, k in zip(image_list, keep_mask) if k]
         log(f"Compute {target.name} matches.")
         obs, _ = compute_matches(
@@ -559,6 +596,7 @@ def restore_image(
             cache=cache,
             compact=not cfg.light_model,
             bilinear=cfg.bilinear_colors,
+            primed_depths=primed_depths or None,
         )
     timings["match"] = time.perf_counter() - t0
 
@@ -576,7 +614,19 @@ def restore_image(
         log("Load matches.")
         matches_file.check_color_sampling(cfg.bilinear_colors)
         obs, _ = matches_file.load_dense(scene, target.height, target.width)
-    n_obs = int(np.asarray(obs.valid).sum()) if obs is not None else 0
+        if not cfg.light_model:
+            # same compact z layout the fresh-matching path emits (fused
+            # kernel eligibility + ~3x smaller stack) — resume must not
+            # silently degrade the fit stage
+            obs = obs.compact()
+    if obs is None:
+        n_obs = 0
+    elif isinstance(obs.valid, np.ndarray):
+        n_obs = int(obs.valid.sum())
+    else:
+        # device-resident mask: reduce on device, fetch ONE scalar (the
+        # full bool mask is ~V*H*W bytes over a slow link)
+        n_obs = int(jax.device_get(obs.valid.sum()))
     log(f"Total of {n_obs} observations.")
     if obs is None or n_obs == 0:
         raise RuntimeError(f"No observations for {target.name}; cannot restore.")
@@ -613,7 +663,9 @@ def restore_image(
 
     ckpt_dir = None
     if cfg.checkpoint_interval:
-        ckpt_dir = output_dir / f"{Path(target.name).stem}_fit_ckpt"
+        # preserve subdirectories of nested image names (no collisions)
+        base = output_dir / target.name
+        ckpt_dir = base.parent / f"{base.stem}_fit_ckpt"
     t0 = time.perf_counter()
     fit_cfg = FitConfig(
         lr=cfg.lr,
@@ -844,7 +896,8 @@ def _dispatch_batch(
         # and every target freshly matched.
         # Transient HBM of the single program scales with T*V*H*W
         # (~45 B/pixel-pair measured); past the cap, fall back to the
-        # chunked path, which peaks at T*match_chunk*H*W per dispatch.
+        # chunked path, whose unfiltered-output transient is bounded at
+        # ~window(4) * T*match_chunk*H*W on top of the kept stacks.
         # V is the post-cull view count padded to the match_chunk
         # granularity — what the program actually runs with (a culled
         # transect fits the single program even when the full survey

@@ -39,6 +39,28 @@ def _unproject_np(intr: np.ndarray, u, v, d) -> np.ndarray:
     return np.stack([X, Y, d], axis=-1)
 
 
+def _leaf_groups(f):
+    """Yield (image_name, group) for every pair group in iteration order.
+
+    Image names containing subdirectories ('cam0/img.png') become NESTED
+    h5 groups when written (h5py splits on '/'), so readers walk the
+    tree and reassemble the full name; a pair group is recognized by its
+    'u1' dataset. Flat files iterate exactly as before (alphabetical
+    top-level groups — matching the reference's ``f.items()``)."""
+
+    def walk(g, prefix):
+        for key in g:
+            item = g[key]
+            if isinstance(item, h5py.Group):
+                name = f"{prefix}{key}"
+                if "u1" in item:
+                    yield name, item
+                else:
+                    yield from walk(item, name + "/")
+
+    yield from walk(f, "")
+
+
 class MatchesFile:
     """HDF5-backed per-target matches DB (see module docstring)."""
 
@@ -51,6 +73,7 @@ class MatchesFile:
         """Tag the cache with its color-sampling mode ('nearest' is the
         reference default and the implied value when the attribute is
         absent — reference-written caches remain readable)."""
+        self.path.parent.mkdir(parents=True, exist_ok=True)
         with h5py.File(self.path, "a", libver="latest") as f:
             f.attrs["color_sampling"] = mode
 
@@ -77,7 +100,7 @@ class MatchesFile:
 
     def pair_names(self) -> list[str]:
         with h5py.File(self.path, "r", libver="latest") as f:
-            return list(f)
+            return [name for name, _ in _leaf_groups(f)]
 
     def save_pair(
         self,
@@ -99,6 +122,7 @@ class MatchesFile:
         if I.ndim != 2 or I.shape[1] != 3 or I.shape[0] != len(np.asarray(u1)):
             raise ValueError(f"I must be (N, 3) observations-major, got {I.shape}")
         I = I.T  # stored channels-first per the reference schema
+        self.path.parent.mkdir(parents=True, exist_ok=True)
         with h5py.File(self.path, "a", libver="latest") as f:
             group = f.create_group(image2_name)
             group.create_dataset("u1", data=np.asarray(u1, np.int16))
@@ -126,7 +150,7 @@ class MatchesFile:
         """Reference integrity gate (loader.py:89-101): no NaNs anywhere,
         non-negative coords/colors, strictly positive depths."""
         with h5py.File(self.path, "r", libver="latest") as f:
-            for group in f.values():
+            for _, group in _leaf_groups(f):
                 for name in ["u1", "v1", "u2", "v2", "d", "I"]:
                     data = group[name][()]
                     assert not np.isnan(data).any(), (
@@ -148,7 +172,7 @@ class MatchesFile:
             return 0
         size = 0
         with h5py.File(self.path, "r", libver="latest") as f:
-            for group in f.values():
+            for _, group in _leaf_groups(f):
                 size += group["u1"].shape[0]
         return size
 
@@ -162,13 +186,13 @@ class MatchesFile:
         """
         names: list[str] = []
         with h5py.File(self.path, "r", libver="latest") as f:
-            names = list(f)
+            groups = list(_leaf_groups(f))
+            names = [n for n, _ in groups]
             V = len(names)
             valid = np.zeros((V, height, width), bool)
             cP = np.zeros((V, height, width, 3), np.float32)
             I = np.zeros((V, height, width, 3), np.float32)
-            for k, name in enumerate(names):
-                g = f[name]
+            for k, (name, g) in enumerate(groups):
                 u1 = g["u1"][()].astype(np.int64)
                 v1 = g["v1"][()].astype(np.int64)
                 u2 = g["u2"][()].astype(np.int64)

@@ -36,6 +36,7 @@ def save_params(
     (closed-form mode has no J leaf; direct mode NaN-masks at export).
     """
     path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)  # nested image names
     # One batched device->host fetch (per-leaf np.asarray would pay the
     # transfer latency once per array).
     import jax

@@ -245,8 +245,13 @@ def save_plots(
     (sucre.py:115-121). Precomputed ``reconstruction`` / ``rgb_plot``
     arrays (from the batched device export path) skip the per-target
     render dispatch / host percentile-normalize."""
-    save_dir = Path(save_dir)
-    stem = Path(image_name).stem
+    # Mirror the reference's path semantics (sucre.py:116 with_stem):
+    # image names with subdirectories keep them, so 'cam0/x.png' and
+    # 'cam1/x.png' never overwrite each other's artifacts.
+    base = (Path(save_dir) / image_name).with_suffix(".png")
+    base.parent.mkdir(parents=True, exist_ok=True)
+    save_dir = base.parent
+    stem = base.stem
     suffix = "" if iteration is None else f"_{iteration:04d}"
     written = []
 

@@ -349,3 +349,28 @@ def test_multihost_two_processes_with_local_mesh(tmp_path):
         assert "Sharding: (view=1 x row=2) mesh per restore." in o
     for i in range(4):
         assert (out / f"img_{i:03d}.npz").exists()
+
+
+def test_no_culling_flag(scene_dir, tmp_path):
+    """--no-culling disables the surface-overlap prepass (strict
+    reference pair-set parity); output matches the culled run on a
+    fully-overlapping scene."""
+    a, b = tmp_path / "a", tmp_path / "b"
+    for out, extra in ((a, []), (b, ["--no-culling"])):
+        rc = main(_base_args(scene_dir, out) + [
+            "--image-name", "img_001.png", "--num-iter", "2", "--quiet",
+        ] + extra)
+        assert rc == 0
+    ja = np.load(a / "img_001.npz")["J"]
+    jb = np.load(b / "img_001.npz")["J"]
+    np.testing.assert_allclose(np.nan_to_num(ja), np.nan_to_num(jb), atol=1e-6)
+
+
+def test_compile_cache_empty_disables(tmp_path):
+    """--compile-cache '' must disable the persistent cache, not point it
+    at the current directory."""
+    args = build_parser().parse_args([
+        "--image-dir", "x", "--depth-dir", "x", "--model-dir", "x",
+        "--output-dir", "x", "--image-name", "x", "--compile-cache", "",
+    ])
+    assert not args.compile_cache

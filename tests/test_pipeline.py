@@ -552,3 +552,57 @@ def test_restore_survey_salvages_completed_batches(scene_dir, tmp_path, monkeypa
     assert (tmp_path / "o" / "img_000.npz").exists()
     assert (tmp_path / "o" / "img_001.npz").exists()
     assert not (tmp_path / "o" / "img_002.npz").exists()
+
+
+def test_nested_image_names_end_to_end(tmp_path):
+    """Multi-camera layouts name images with subdirectories
+    ('cam0/img.png'). The whole lifecycle must work: depth-path
+    derivation (reference with_stem semantics), nested h5 pair groups
+    (h5py splits names on '/'), artifact/checkpoint writes under
+    output subdirectories without cross-camera collisions, and resume
+    from the kept cache."""
+    import dataclasses
+    import shutil
+
+    from sucre_tpu.io import colmap as cio
+    from sucre_tpu.pipeline import RestoreConfig, restore_image
+    from sucre_tpu.scene import Scene
+    from sucre_tpu.store import MatchesFile
+    from tests.synthetic import make_scene
+
+    sd = make_scene(tmp_path / "s", n_views=4, width=48, height=32)
+    # Rewrite the scene into a nested layout: every image under cam0/.
+    for n in sd.names:
+        (sd.image_dir / "cam0").mkdir(exist_ok=True)
+        (sd.depth_dir / "cam0").mkdir(exist_ok=True)
+        shutil.move(sd.image_dir / n, sd.image_dir / "cam0" / n)
+        dname = f"depth_{Path(n).stem}.png"
+        shutil.move(sd.depth_dir / dname, sd.depth_dir / "cam0" / dname)
+    cams, imgs, _ = cio.read_model(sd.model_dir)
+    imgs = {
+        k: dataclasses.replace(im, name=f"cam0/{im.name}")
+        for k, im in imgs.items()
+    }
+    cio.write_cameras_bin(cams, sd.model_dir / "cameras.bin")
+    cio.write_images_bin(imgs, sd.model_dir / "images.bin")
+
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    out = tmp_path / "out"
+    cfg = RestoreConfig(num_iter=3, verbose=False, keep_matches=True)
+    res = restore_image(scene, "cam0/img_001.png", out, cfg)
+    assert res.n_obs > 0
+    # artifacts land under out/cam0/, not flattened
+    assert (out / "cam0" / "img_001_rgb.png").exists()
+    assert (out / "cam0" / "img_001.npz").exists()
+    mf = MatchesFile(out / "cam0" / "img_001.h5")
+    names = mf.pair_names()
+    assert all(n.startswith("cam0/") for n in names) and len(names) >= 2
+    mf.check_integrity()
+    assert len(mf) == res.n_obs
+    # resume path: reuse the kept cache (load_dense through nested groups)
+    res2 = restore_image(scene, "cam0/img_001.png", out, cfg)
+    assert res2.n_obs == res.n_obs
+    np.testing.assert_allclose(
+        np.nan_to_num(np.asarray(res2.J)), np.nan_to_num(np.asarray(res.J)),
+        atol=1e-5,
+    )
