@@ -43,10 +43,13 @@ struct Buf {
         return reinterpret_cast<const char*>(p + start);
     }
     bool skip(size_t k) {
-        if (off + k > n) { ok = false; return false; }
+        // off <= n invariant makes n - off safe; comparing k against it
+        // (instead of testing off + k) cannot overflow
+        if (k > n - off) { ok = false; return false; }
         off += k;
         return true;
     }
+    size_t remaining() const { return n - off; }
 };
 
 int num_params_for_model(int32_t model_id) {
@@ -122,12 +125,26 @@ ColmapModel* colmap_read_model(const char* cameras_path, const char* images_path
     }
     Buf cb{cdata, cn};
     uint64_t n_cam = cb.take<uint64_t>();
+    // A camera record is >= 40 bytes; a count past file_size/24 is
+    // corrupt — reject BEFORE sizing allocations from it (a garbage
+    // count must produce an error, not a huge/overflowed malloc).
+    if (!cb.ok || n_cam > cn / 24) {
+        std::snprintf(m->error, sizeof(m->error), "corrupt cameras.bin");
+        std::free(cdata);
+        return m;
+    }
     m->n_cameras = static_cast<int64_t>(n_cam);
     m->cam_ids = static_cast<int32_t*>(std::malloc(n_cam * sizeof(int32_t)));
     m->cam_models = static_cast<int32_t*>(std::malloc(n_cam * sizeof(int32_t)));
     m->cam_widths = static_cast<int64_t*>(std::malloc(n_cam * sizeof(int64_t)));
     m->cam_heights = static_cast<int64_t*>(std::malloc(n_cam * sizeof(int64_t)));
     m->cam_params = static_cast<double*>(std::calloc(n_cam * 12, sizeof(double)));
+    if (n_cam && (!m->cam_ids || !m->cam_models || !m->cam_widths ||
+                  !m->cam_heights || !m->cam_params)) {
+        std::snprintf(m->error, sizeof(m->error), "out of memory");
+        std::free(cdata);
+        return m;
+    }
     for (uint64_t i = 0; i < n_cam && cb.ok; ++i) {
         m->cam_ids[i] = cb.take<int32_t>();
         int32_t model_id = cb.take<int32_t>();
@@ -157,6 +174,12 @@ ColmapModel* colmap_read_model(const char* cameras_path, const char* images_path
     }
     Buf ib{idata, in};
     uint64_t n_img = ib.take<uint64_t>();
+    // An image record is >= 74 bytes; same corrupt-count guard as above.
+    if (!ib.ok || n_img > in / 48) {
+        std::snprintf(m->error, sizeof(m->error), "corrupt images.bin");
+        std::free(idata);
+        return m;
+    }
     m->n_images = static_cast<int64_t>(n_img);
     m->img_ids = static_cast<int32_t*>(std::malloc(n_img * sizeof(int32_t)));
     m->img_camera_ids = static_cast<int32_t*>(std::malloc(n_img * sizeof(int32_t)));
@@ -165,6 +188,13 @@ ColmapModel* colmap_read_model(const char* cameras_path, const char* images_path
     size_t names_cap = 4096;
     char* names = static_cast<char*>(std::malloc(names_cap));
     size_t names_len = 0;
+    if (!names || (n_img && (!m->img_ids || !m->img_camera_ids ||
+                             !m->img_qvecs || !m->img_tvecs))) {
+        std::snprintf(m->error, sizeof(m->error), "out of memory");
+        std::free(idata);
+        std::free(names);
+        return m;
+    }
     for (uint64_t i = 0; i < n_img && ib.ok; ++i) {
         m->img_ids[i] = static_cast<int32_t>(ib.take<uint32_t>());
         for (int k = 0; k < 4; ++k) m->img_qvecs[i * 4 + k] = ib.take<double>();
@@ -175,11 +205,22 @@ ColmapModel* colmap_read_model(const char* cameras_path, const char* images_path
         size_t len = std::strlen(name) + 1;
         if (names_len + len > names_cap) {
             while (names_len + len > names_cap) names_cap *= 2;
-            names = static_cast<char*>(std::realloc(names, names_cap));
+            char* grown = static_cast<char*>(std::realloc(names, names_cap));
+            if (!grown) {  // keep `names` freeable, fail the parse
+                ib.ok = false;
+                break;
+            }
+            names = grown;
         }
         std::memcpy(names + names_len, name, len);
         names_len += len;
         uint64_t npts = ib.take<uint64_t>();
+        // guard the multiply: a corrupt npts*24 could wrap past the
+        // buffer and misparse silently instead of failing
+        if (npts > ib.remaining() / 24) {
+            ib.ok = false;
+            break;
+        }
         ib.skip(npts * 24);  // (f64 x, f64 y, u64 p3d) per point
     }
     bool images_ok = ib.ok;

@@ -47,9 +47,12 @@ void jpeg_error_exit_longjmp(j_common_ptr cinfo) {
     std::longjmp(reinterpret_cast<JpegErrorMgr*>(cinfo->err)->jmp, 1);
 }
 
-bool open_png(const char* path, PngReadCtx& ctx, uint32_t* w, uint32_t* h,
-              int* bit_depth, int* color_type) {
-    ctx.f = std::fopen(path, "rb");
+// Opens from an already-open stream positioned at the file start (the
+// caller sniffed the signature and rewound) — one fopen per decode, not
+// one for the sniff plus one for the parse. ctx adopts the FILE*.
+bool open_png_stream(FILE* f, PngReadCtx& ctx, uint32_t* w, uint32_t* h,
+                     int* bit_depth, int* color_type) {
+    ctx.f = f;
     if (!ctx.f) return false;
     unsigned char sig[8];
     if (std::fread(sig, 1, 8, ctx.f) != 8 || png_sig_cmp(sig, 0, 8)) return false;
@@ -68,6 +71,24 @@ bool open_png(const char* path, PngReadCtx& ctx, uint32_t* w, uint32_t* h,
     return true;
 }
 
+bool open_png(const char* path, PngReadCtx& ctx, uint32_t* w, uint32_t* h,
+              int* bit_depth, int* color_type) {
+    return open_png_stream(std::fopen(path, "rb"), ctx, w, h, bit_depth,
+                           color_type);
+}
+
+// Sniff the two-byte container signature and rewind, leaving the stream
+// ready for the real parser. Returns 1 = png, 2 = jpeg, 0 = unknown.
+int sniff_kind(FILE* f) {
+    unsigned char sig[2] = {0, 0};
+    size_t got = std::fread(sig, 1, 2, f);
+    std::rewind(f);
+    if (got != 2) return 0;
+    if (sig[0] == 0x89 && sig[1] == 'P') return 1;
+    if (sig[0] == 0xFF && sig[1] == 0xD8) return 2;
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -78,42 +99,38 @@ int image_probe(const char* path, int32_t* width, int32_t* height, int32_t* kind
     *kind = 0;
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
-    unsigned char sig[2] = {0, 0};
-    size_t got = std::fread(sig, 1, 2, f);
-    std::fclose(f);
-    if (got != 2) return -1;
-    if (sig[0] == 0x89 && sig[1] == 'P') {
-        PngReadCtx ctx;
+    int k = sniff_kind(f);
+    if (k == 1) {
+        PngReadCtx ctx;  // adopts (and closes) f
         uint32_t w, h;
         int bd, ct;
-        if (!open_png(path, ctx, &w, &h, &bd, &ct)) return -1;
+        if (!open_png_stream(f, ctx, &w, &h, &bd, &ct)) return -1;
         *width = static_cast<int32_t>(w);
         *height = static_cast<int32_t>(h);
         *kind = 1;
         return 0;
     }
-    if (sig[0] == 0xFF && sig[1] == 0xD8) {
+    if (k == 2) {
         jpeg_decompress_struct cinfo;
         JpegErrorMgr jerr;
         cinfo.err = jpeg_std_error(&jerr.pub);
         jerr.pub.error_exit = jpeg_error_exit_longjmp;
-        FILE* jf = std::fopen(path, "rb");
-        if (!jf) return -1;
         if (setjmp(jerr.jmp)) {
             jpeg_destroy_decompress(&cinfo);
-            std::fclose(jf);
+            std::fclose(f);
             return -4;
         }
         jpeg_create_decompress(&cinfo);
-        jpeg_stdio_src(&cinfo, jf);
+        jpeg_stdio_src(&cinfo, f);
         jpeg_read_header(&cinfo, TRUE);
         *width = static_cast<int32_t>(cinfo.image_width);
         *height = static_cast<int32_t>(cinfo.image_height);
         jpeg_destroy_decompress(&cinfo);
-        std::fclose(jf);
+        std::fclose(f);
         *kind = 2;
         return 0;
     }
+    std::fclose(f);
     return -1;
 }
 
@@ -195,24 +212,29 @@ int encode_png8(const char* path, const uint8_t* data, int32_t width,
 int decode_rgb8(const char* path, uint8_t* out, int32_t width, int32_t height) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
-    unsigned char sig[2] = {0, 0};
-    size_t got = std::fread(sig, 1, 2, f);
-    std::fclose(f);
-    if (got != 2) return -1;
+    int k = sniff_kind(f);
 
-    if (sig[0] == 0x89 && sig[1] == 'P') {
-        PngReadCtx ctx;
+    if (k == 1) {
+        PngReadCtx ctx;  // adopts (and closes) f
         uint32_t w, h;
         int bd, ct;
-        if (!open_png(path, ctx, &w, &h, &bd, &ct)) return -1;
+        if (!open_png_stream(f, ctx, &w, &h, &bd, &ct)) return -1;
         if (static_cast<int32_t>(w) != width || static_cast<int32_t>(h) != height) return -2;
         if (setjmp(png_jmpbuf(ctx.png))) return -4;
-        // Normalize to 8-bit RGB
+        // Normalize every PNG variant to 8-bit RGB: 16-bit strips,
+        // palettes expand (tRNS transparency becomes an alpha channel —
+        // expand it so the strip below sees it), sub-8-bit gray expands,
+        // gray promotes to RGB, and any alpha (original or
+        // tRNS-expanded) strips unconditionally.
         if (bd == 16) png_set_strip_16(ctx.png);
         if (ct == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(ctx.png);
+        if (ct == PNG_COLOR_TYPE_GRAY && bd < 8)
+            png_set_expand_gray_1_2_4_to_8(ctx.png);
+        if (png_get_valid(ctx.png, ctx.info, PNG_INFO_tRNS))
+            png_set_tRNS_to_alpha(ctx.png);
         if (ct == PNG_COLOR_TYPE_GRAY || ct == PNG_COLOR_TYPE_GRAY_ALPHA)
             png_set_gray_to_rgb(ctx.png);
-        if (ct & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(ctx.png);
+        png_set_strip_alpha(ctx.png);
         png_read_update_info(ctx.png, ctx.info);
         if (png_get_rowbytes(ctx.png, ctx.info) != static_cast<size_t>(w) * 3) return -5;
         std::vector<png_bytep> rows(h);
@@ -222,20 +244,18 @@ int decode_rgb8(const char* path, uint8_t* out, int32_t width, int32_t height) {
         return 0;
     }
 
-    if (sig[0] == 0xFF && sig[1] == 0xD8) {
+    if (k == 2) {
         jpeg_decompress_struct cinfo;
         JpegErrorMgr jerr;
         cinfo.err = jpeg_std_error(&jerr.pub);
         jerr.pub.error_exit = jpeg_error_exit_longjmp;
-        FILE* jf = std::fopen(path, "rb");
-        if (!jf) return -1;
         if (setjmp(jerr.jmp)) {
             jpeg_destroy_decompress(&cinfo);
-            std::fclose(jf);
+            std::fclose(f);
             return -4;
         }
         jpeg_create_decompress(&cinfo);
-        jpeg_stdio_src(&cinfo, jf);
+        jpeg_stdio_src(&cinfo, f);
         jpeg_read_header(&cinfo, TRUE);
         cinfo.out_color_space = JCS_RGB;
         jpeg_start_decompress(&cinfo);
@@ -244,7 +264,7 @@ int decode_rgb8(const char* path, uint8_t* out, int32_t width, int32_t height) {
             cinfo.output_components != 3) {
             jpeg_abort_decompress(&cinfo);
             jpeg_destroy_decompress(&cinfo);
-            std::fclose(jf);
+            std::fclose(f);
             return -2;
         }
         while (cinfo.output_scanline < cinfo.output_height) {
@@ -253,9 +273,10 @@ int decode_rgb8(const char* path, uint8_t* out, int32_t width, int32_t height) {
         }
         jpeg_finish_decompress(&cinfo);
         jpeg_destroy_decompress(&cinfo);
-        std::fclose(jf);
+        std::fclose(f);
         return 0;
     }
+    std::fclose(f);
     return -1;
 }
 

@@ -145,3 +145,70 @@ def test_encode_png8_roundtrip(tmp_path):
     p2 = tmp_path / "g.png"
     native.encode_png8(p2, gray)
     np.testing.assert_array_equal(np.asarray(Image.open(p2)), gray)
+
+
+class TestCorruptColmapBin:
+    def test_huge_count_is_error_not_crash(self, tmp_path):
+        """A corrupt cameras.bin whose count field decodes to a garbage
+        size must surface as a parse error (counts are bounded by the
+        file size before sizing any allocation)."""
+        from sucre_tpu.io import native
+
+        if not native.available():
+            pytest.skip("native library not built")
+        import struct
+
+        (tmp_path / "cameras.bin").write_bytes(
+            struct.pack("<Q", 0xFFFFFFFFFFFFFFFF) + b"\x00" * 64
+        )
+        (tmp_path / "images.bin").write_bytes(struct.pack("<Q", 0))
+        with pytest.raises(ValueError, match="corrupt cameras.bin"):
+            native.read_model_native(tmp_path)
+
+    def test_overflowing_point_count_is_error(self, tmp_path):
+        """A corrupt per-image point count that would wrap npts*24 past
+        the buffer must fail the parse, not silently misread."""
+        from sucre_tpu.io import native
+
+        if not native.available():
+            pytest.skip("native library not built")
+        import struct
+
+        # one valid PINHOLE camera
+        (tmp_path / "cameras.bin").write_bytes(
+            struct.pack("<Q", 1)
+            + struct.pack("<ii", 1, 1)
+            + struct.pack("<QQ", 8, 6)
+            + struct.pack("<4d", 10.0, 10.0, 4.0, 3.0)
+        )
+        (tmp_path / "images.bin").write_bytes(
+            struct.pack("<Q", 1)
+            + struct.pack("<I", 1)
+            + struct.pack("<4d", 1, 0, 0, 0)
+            + struct.pack("<3d", 0, 0, 0)
+            + struct.pack("<I", 1)
+            + b"a.png\x00"
+            + struct.pack("<Q", 0x0FFFFFFFFFFFFFFF)  # npts*24 wraps u64
+        )
+        with pytest.raises(ValueError, match="truncated images.bin"):
+            native.read_model_native(tmp_path)
+
+
+def test_decode_rgb8_palette_trns_png(tmp_path, rng):
+    """Paletted PNGs with tRNS transparency (a valid variant some tools
+    emit) decode natively instead of falling back to cv2."""
+    from PIL import Image
+
+    from sucre_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    w, h = 16, 12
+    arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+    im = Image.fromarray(arr).convert("P", palette=Image.ADAPTIVE)
+    im.info["transparency"] = 0  # adds a tRNS chunk on save
+    p = tmp_path / "pal.png"
+    im.save(p, transparency=0)
+    out = native.decode_rgb8(p, w, h)
+    expected = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(out, expected)
