@@ -162,6 +162,19 @@ def prepare_light_obs(cP: jnp.ndarray, I: jnp.ndarray):
     return cPt, It
 
 
+def prepare_light_obs_batched(cP: jnp.ndarray, I: jnp.ndarray):
+    """Batched layout: (T, V, H, W, 3) -> (T, 3, V, Hp, Wp)."""
+    T, V, H, W = cP.shape[:4]
+    Wp = -(-W // LANES) * LANES
+    th = light_row_tile(Wp)
+    Hp = -(-H // th) * th
+    Vp = -(-V // VB) * VB
+    pad = [(0, 0), (0, 0), (0, Vp - V), (0, Hp - H), (0, Wp - W)]
+    cPt = jnp.pad(jnp.moveaxis(cP, -1, 1), pad)
+    It = jnp.pad(jnp.moveaxis(I, -1, 1), pad)
+    return cPt, It
+
+
 def _sigma_quad_coeffs(sigma: jnp.ndarray) -> jnp.ndarray:
     """sigma (2, 2) -> (A, C, D): q = A px^2 + 2 C px py + D py^2 equals
     lp^T (sigma^T sigma)^{-1} lp — the EXACT arithmetic of
@@ -174,37 +187,15 @@ def _sigma_quad_coeffs(sigma: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([S11 / det, -S01 / det, S00 / det])
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def fused_light_fit_grads_prepared(
-    J: jnp.ndarray,  # (H, W, 3) f32 (unpadded)
-    B: jnp.ndarray,  # (3,)
-    beta: jnp.ndarray,
-    gamma: jnp.ndarray,
-    cam2light: jnp.ndarray,  # (6,)
-    sigma: jnp.ndarray,  # (2, 2)
-    cPt: jnp.ndarray,  # (1, 3, V, Hp, Wp) from prepare_light_obs
-    It: jnp.ndarray,  # (1, 3, V, Hp, Wp)
-    interpret: bool = False,
-):
-    """One fused pass: (cost, dJ, dB, dbeta, dgamma, dcam2light, dsigma),
-    all unnormalized sums dL/dtheta for L = sum of squared residuals
-    (multiply by the 1/(3 n_obs) loss scale outside)."""
-    (R_l, t_l), vjp_se3 = jax.vjp(se3_exp, cam2light)
-    acd, vjp_sig = jax.vjp(_sigma_quad_coeffs, sigma)
-
-    _, _, V, Hp, Wp = cPt.shape
-    H, W = J.shape[:2]
+def _light_pallas(BBG, aux, cPt, It, Jt, interpret: bool):
+    """The raw pallas_call over a (T, rows, view-blocks) grid. All inputs
+    carry a leading target axis T (the single-target path passes T=1);
+    each target's sweep re-zeroes its own dJ/partial blocks because the
+    out_specs map blocks per t."""
+    T, _, V, Hp, Wp = cPt.shape
     th = light_row_tile(Wp)
-    Jt = jnp.pad(jnp.moveaxis(J, -1, 0), [(0, 0), (0, Hp - H), (0, Wp - W)])[None]
-    BBG = jnp.concatenate(
-        [B.astype(jnp.float32), beta.astype(jnp.float32), gamma.astype(jnp.float32)]
-    )[None, None]
-    aux = jnp.concatenate(
-        [R_l.reshape(-1), t_l, acd, jnp.zeros((1,), jnp.float32)]
-    ).astype(jnp.float32)[None, None]
-
-    grid = (1, Hp // th, V // VB)
-    dJt, parts = pl.pallas_call(
+    grid = (T, Hp // th, V // VB)
+    return pl.pallas_call(
         partial(_kernel, u8=jnp.issubdtype(It.dtype, jnp.integer)),
         grid=grid,
         in_specs=[
@@ -233,11 +224,42 @@ def fused_light_fit_grads_prepared(
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, 3, Hp, Wp), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1, _NPART), jnp.float32),
+            jax.ShapeDtypeStruct((T, 3, Hp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, _NPART), jnp.float32),
         ],
         interpret=interpret,
     )(BBG, aux, cPt, It, Jt)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_light_fit_grads_prepared(
+    J: jnp.ndarray,  # (H, W, 3) f32 (unpadded)
+    B: jnp.ndarray,  # (3,)
+    beta: jnp.ndarray,
+    gamma: jnp.ndarray,
+    cam2light: jnp.ndarray,  # (6,)
+    sigma: jnp.ndarray,  # (2, 2)
+    cPt: jnp.ndarray,  # (1, 3, V, Hp, Wp) from prepare_light_obs
+    It: jnp.ndarray,  # (1, 3, V, Hp, Wp)
+    interpret: bool = False,
+):
+    """One fused pass: (cost, dJ, dB, dbeta, dgamma, dcam2light, dsigma),
+    all unnormalized sums dL/dtheta for L = sum of squared residuals
+    (multiply by the 1/(3 n_obs) loss scale outside)."""
+    (R_l, t_l), vjp_se3 = jax.vjp(se3_exp, cam2light)
+    acd, vjp_sig = jax.vjp(_sigma_quad_coeffs, sigma)
+
+    _, _, V, Hp, Wp = cPt.shape
+    H, W = J.shape[:2]
+    Jt = jnp.pad(jnp.moveaxis(J, -1, 0), [(0, 0), (0, Hp - H), (0, Wp - W)])[None]
+    BBG = jnp.concatenate(
+        [B.astype(jnp.float32), beta.astype(jnp.float32), gamma.astype(jnp.float32)]
+    )[None, None]
+    aux = jnp.concatenate(
+        [R_l.reshape(-1), t_l, acd, jnp.zeros((1,), jnp.float32)]
+    ).astype(jnp.float32)[None, None]
+
+    dJt, parts = _light_pallas(BBG, aux, cPt, It, Jt, interpret)
 
     p = parts[0, 0]
     # upstream: dL/dtheta = -2 * sum(r * dI_hat/dtheta)
@@ -251,6 +273,54 @@ def fused_light_fit_grads_prepared(
     dt = k * p[_I_T:_I_T + 3]
     (dcam2light,) = vjp_se3((dR, dt))
     (dsigma,) = vjp_sig(k * p[_I_ACD:_I_ACD + 3])
+    return cost, dJ, dB, dbeta, dgamma, dcam2light, dsigma
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_light_fit_grads_batched(
+    J: jnp.ndarray,  # (T, H, W, 3)
+    B: jnp.ndarray,  # (T, 3)
+    beta: jnp.ndarray,  # (T, 3)
+    gamma: jnp.ndarray,  # (T, 3)
+    cam2light: jnp.ndarray,  # (T, 6)
+    sigma: jnp.ndarray,  # (T, 2, 2)
+    cPt: jnp.ndarray,  # (T, 3, V, Hp, Wp) from prepare_light_obs_batched
+    It: jnp.ndarray,  # (T, 3, V, Hp, Wp)
+    interpret: bool = False,
+):
+    """Batched-target variant: each target sweeps its own grid slice
+    (same kernel, grid leading axis = T). Returns per-target leaves:
+    cost (T,), dJ (T, H, W, 3), dB/dbeta/dgamma (T, 3),
+    dcam2light (T, 6), dsigma (T, 2, 2)."""
+    (R_l, t_l), vjp_se3 = jax.vjp(jax.vmap(se3_exp), cam2light)
+    acd, vjp_sig = jax.vjp(jax.vmap(_sigma_quad_coeffs), sigma)
+
+    T, _, V, Hp, Wp = cPt.shape
+    H, W = J.shape[1:3]
+    Jt = jnp.pad(
+        jnp.moveaxis(J, -1, 1), [(0, 0), (0, 0), (0, Hp - H), (0, Wp - W)]
+    )
+    BBG = jnp.concatenate(
+        [B.astype(jnp.float32), beta.astype(jnp.float32), gamma.astype(jnp.float32)],
+        axis=-1,
+    )[:, None]
+    aux = jnp.concatenate(
+        [R_l.reshape(T, 9), t_l, acd, jnp.zeros((T, 1), jnp.float32)], axis=-1
+    ).astype(jnp.float32)[:, None]
+
+    dJt, parts = _light_pallas(BBG, aux, cPt, It, Jt, interpret)
+
+    p = parts[:, 0]  # (T, _NPART)
+    k = jnp.float32(-2.0)
+    cost = p[:, 0]
+    dJ = k * jnp.moveaxis(dJt[:, :, :H, :W], 1, -1)
+    dB = k * p[:, _I_B:_I_B + 3]
+    dbeta = k * p[:, _I_BETA:_I_BETA + 3]
+    dgamma = k * p[:, _I_GAMMA:_I_GAMMA + 3]
+    dR = k * p[:, _I_R:_I_R + 9].reshape(T, 3, 3)
+    dt = k * p[:, _I_T:_I_T + 3]
+    (dcam2light,) = vjp_se3((dR, dt))
+    (dsigma,) = vjp_sig(k * p[:, _I_ACD:_I_ACD + 3])
     return cost, dJ, dB, dbeta, dgamma, dcam2light, dsigma
 
 

@@ -138,7 +138,16 @@ def _fit_many_jit(
     opt = optax.adam(lr)
     opt_state = jax.vmap(opt.init)(params)
 
-    if pallas_mode != "off":
+    light_kernel = pallas_mode.startswith("light")
+    interpret = pallas_mode.endswith("interpret")
+    if light_kernel:
+        from sucre_tpu.ops.pallas.light_kernel import (
+            fused_light_fit_grads_batched,
+            prepare_light_obs_batched,
+        )
+
+        cPt, Ilt = prepare_light_obs_batched(obs.cP, obs.I)
+    elif pallas_mode != "off":
         from sucre_tpu.ops.pallas.fit_kernel import (
             fused_fit_grads_prepared,
             prepare_obs,
@@ -163,10 +172,21 @@ def _fit_many_jit(
 
     def step(carry, _):
         params, opt_state = carry
-        if pallas_mode != "off":
+        if light_kernel:
+            cost, dJ, dB, dbeta, dgamma, dc2l, dsig = fused_light_fit_grads_batched(
+                params.J, params.B, params.beta, params.gamma,
+                params.cam2light, params.sigma, cPt, Ilt, interpret=interpret,
+            )
+            s = (1.0 / (n_obs * 3.0))[:, None]
+            grads = SucreParams(
+                B=dB * s, beta=dbeta * s, gamma=dgamma * s,
+                J=dJ * s[..., None, None],
+                cam2light=dc2l * s, sigma=dsig * s[..., None],
+            )
+        elif pallas_mode != "off":
             cost, dJ, dB, dbeta, dgamma = fused_fit_grads_prepared(
                 params.J, params.B, params.beta, params.gamma, zt, It,
-                interpret=(pallas_mode == "interpret"),
+                interpret=interpret,
             )
             s = (1.0 / (n_obs * 3.0))[:, None]
             grads = SucreParams(
@@ -206,34 +226,47 @@ def fit_many(
     # stays alive for reuse.
     params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
     obs, n_obs, chunked, batch_put, _ = prepare_batched_obs(obs, cfg, mesh)
-    # Fused-kernel eligibility mirrors solve.fit: direct mode, no light,
-    # compact layout; the kernel is unsharded, so only without a mesh.
+    # Fused-kernel eligibility mirrors solve.fit: direct mode, unchunked,
+    # unsharded; the no-light kernel needs the compact z layout, the
+    # light kernel the full cP layout.
     from sucre_tpu.ops.pallas.fit_kernel import kernel_supported
+    from sucre_tpu.ops.pallas.light_kernel import light_kernel_supported
 
-    eligible = (
+    light = params.cam2light is not None
+    common = (
         not cfg.use_closed_form
         and params.J is not None
-        and params.cam2light is None
-        and obs.z is not None
         and not chunked
-        and kernel_supported(obs.valid.shape[-1])
         and mesh is None
     )
+    if light:
+        eligible = (
+            common
+            and obs.cP is not None
+            and light_kernel_supported(obs.valid.shape[-1])
+        )
+    else:
+        eligible = (
+            common and obs.z is not None and kernel_supported(obs.valid.shape[-1])
+        )
     cfg_pallas = getattr(cfg, "use_pallas", None)
     if cfg_pallas is None:
         want = eligible and jax.default_backend() == "tpu"
     else:
         if cfg_pallas and not eligible:
             raise ValueError(
-                "use_pallas=True but the fused kernel is not eligible for "
-                "this batched fit (needs: direct mode, no light model, "
-                "compact z-layout, unchunked views, no mesh); use "
-                "use_pallas=None for auto"
+                "use_pallas=True but no fused kernel is eligible for this "
+                "batched fit (needs: direct mode, unchunked views, no mesh; "
+                "compact z-layout without the light model, full cP layout "
+                "with it); use use_pallas=None for auto"
             )
         want = cfg_pallas and eligible
-    pallas_mode = (
-        ("tpu" if jax.default_backend() == "tpu" else "interpret") if want else "off"
-    )
+    if not want:
+        pallas_mode = "off"
+    else:
+        kind = "light-" if light else ""
+        backend = "tpu" if jax.default_backend() == "tpu" else "interpret"
+        pallas_mode = f"{kind}{backend}"
     # Per-target params place like the stack: batch-sharded on a batch
     # mesh, replicated on a (view x row) mesh (GSPMD psums the gradient
     # reductions), untouched without a mesh.

@@ -119,3 +119,51 @@ def test_fit_light_kernel_equals_xla(rng):
     np.testing.assert_allclose(
         np.asarray(got.telemetry.cost), np.asarray(ref.telemetry.cost), rtol=1e-5
     )
+
+
+def test_batched_light_grads_equal_single(rng):
+    """fused_light_fit_grads_batched == per-target single-kernel calls."""
+    from sucre_tpu.ops.pallas.light_kernel import (
+        fused_light_fit_grads,
+        fused_light_fit_grads_batched,
+        prepare_light_obs_batched,
+    )
+
+    T, V, H, W = 3, 2, 8, 16
+    valid = rng.uniform(size=(T, V, H, W)) < 0.8
+    dirs = rng.normal(size=(T, V, H, W, 3)) * 0.1 + np.array([0, 0, 1.0])
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    cP = np.where(
+        valid[..., None],
+        (dirs * rng.uniform(1.5, 4.0, size=(T, V, H, W, 1))).astype(np.float32),
+        0.0,
+    ).astype(np.float32)
+    I = rng.integers(0, 256, size=(T, V, H, W, 3), dtype=np.uint8)
+    J = rng.uniform(0, 1, size=(T, H, W, 3)).astype(np.float32)
+    B = rng.uniform(0.05, 0.2, size=(T, 3)).astype(np.float32)
+    beta = rng.uniform(0.05, 0.2, size=(T, 3)).astype(np.float32)
+    gamma = rng.uniform(0.05, 0.2, size=(T, 3)).astype(np.float32)
+    c2l = (rng.normal(size=(T, 6)) * 0.05).astype(np.float32)
+    sigma = np.tile(np.eye(2, dtype=np.float32), (T, 1, 1)) + (
+        rng.normal(size=(T, 2, 2)) * 0.02
+    ).astype(np.float32)
+
+    cPt, It = prepare_light_obs_batched(jnp.asarray(cP), jnp.asarray(I))
+    outs_b = fused_light_fit_grads_batched(
+        jnp.asarray(J), jnp.asarray(B), jnp.asarray(beta), jnp.asarray(gamma),
+        jnp.asarray(c2l), jnp.asarray(sigma), cPt, It, interpret=True,
+    )
+    for t in range(T):
+        outs_s = fused_light_fit_grads(
+            jnp.asarray(J[t]), jnp.asarray(B[t]), jnp.asarray(beta[t]),
+            jnp.asarray(gamma[t]), jnp.asarray(c2l[t]), jnp.asarray(sigma[t]),
+            jnp.asarray(cP[t]), jnp.asarray(I[t]), interpret=True,
+        )
+        for name, a, b in zip(
+            ("cost", "dJ", "dB", "dbeta", "dgamma", "dc2l", "dsigma"),
+            [o[t] for o in outs_b],
+            outs_s,
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5, err_msg=name
+            )

@@ -468,3 +468,65 @@ def test_fit_sharded_snapshot_unpadded(rng):
         assert J_shape == (6, 7, 3)
         assert o_shape == (6, 7)
         assert pJ_shape == (6, 7, 3)
+
+
+def test_fit_many_light_kernel_equals_xla(rng):
+    """The batched light-model fit through the fused kernel (interpret
+    mode off-TPU) must match the XLA autodiff path."""
+    T, V, H, W = 2, 3, 8, 16
+    obs_list = []
+    for t in range(T):
+        r = np.random.default_rng(t)
+        valid = r.uniform(size=(V, H, W)) < 0.8
+        dirs = r.normal(size=(V, H, W, 3)) * 0.1 + np.array([0, 0, 1.0])
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        cP = np.where(
+            valid[..., None],
+            (dirs * r.uniform(1.5, 4.0, size=(V, H, W, 1))).astype(np.float32),
+            0.0,
+        ).astype(np.float32)
+        I = r.integers(0, 256, size=(V, H, W, 3), dtype=np.uint8)
+        from sucre_tpu.ops.matching import DenseObs
+
+        obs_list.append(
+            DenseObs(valid=jnp.asarray(valid), cP=jnp.asarray(cP), I=jnp.asarray(I))
+        )
+    so = stack_obs(obs_list)
+    img = rng.uniform(0, 1, size=(H, W, 3)).astype(np.float32)
+    sp = stack_params(
+        [init_params(image=img, light_model=True) for _ in range(T)]
+    )
+    import dataclasses
+
+    cfg = FitConfig(num_iter=4)
+    pa, Ja, oa, ta = fit_many(sp, so, dataclasses.replace(cfg, use_pallas=True))
+    # kernel-vs-kernel: the batched run must track per-target single fits
+    # through the same fused kernel step for step
+    for t in range(2):
+        ref = fit(
+            jax.tree.map(lambda x: x[t], sp),
+            jax.tree.map(lambda x: x[t], so),
+            dataclasses.replace(cfg, use_pallas=True),
+        )
+        np.testing.assert_allclose(
+            np.asarray(Ja[t]), np.asarray(ref.J), atol=1e-5
+        )
+        # pose axes with ~1e-11 gradients are eps-dominated in Adam
+        # (update ~ lr*g/eps): any last-bit difference drifts ~1e-4/step
+        np.testing.assert_allclose(
+            np.asarray(pa.cam2light[t]), np.asarray(ref.params.cam2light),
+            atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pa.sigma[t]), np.asarray(ref.params.sigma), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(ta.cost[:, t]), np.asarray(ref.telemetry.cost), rtol=1e-5
+        )
+    # vs XLA autodiff: same costs (parameter trajectories can drift in
+    # Adam's eps-dominated near-zero-gradient directions — float noise
+    # amplified to ~1e-4 steps — so compare the physical quantities)
+    pb, Jb, ob, tb = fit_many(sp, so, dataclasses.replace(cfg, use_pallas=False))
+    np.testing.assert_allclose(np.asarray(ta.cost), np.asarray(tb.cost), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(pa.B), np.asarray(pb.B), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Ja), np.asarray(Jb), atol=1e-3)
