@@ -119,9 +119,10 @@ def fit_sharded(params, obs: DenseObs, cfg, mesh: Mesh, **kwargs):
         # the XLA fallback below would hit solve.fit's own use_pallas
         # eligibility raise (multi-device stack) with a confusing message
         raise ValueError(
-            "use_pallas=True on a sharded fit requires: direct mode, no "
-            "light model, compact z layout, no view_chunk, no snapshot/"
-            "checkpoint callbacks; use use_pallas=None for auto-selection"
+            "use_pallas=True on a sharded fit requires: direct mode, "
+            "compact z layout (full cP with the light model), no "
+            "view_chunk, no snapshot/checkpoint callbacks; use "
+            "use_pallas=None for auto-selection"
         )
 
     H = obs.valid.shape[1]
@@ -229,14 +230,13 @@ def match_survey_sharded(
 
 def _pallas_sharded_eligible(params, obs: DenseObs, cfg) -> bool:
     from sucre_tpu.ops.pallas.fit_kernel import kernel_supported
+    from sucre_tpu.ops.pallas.light_kernel import light_kernel_supported
 
-    return (
-        not cfg.use_closed_form
-        and params.J is not None
-        and params.cam2light is None
-        and obs.z is not None
-        and kernel_supported(obs.valid.shape[-1])
-    )
+    if cfg.use_closed_form or params.J is None:
+        return False
+    if params.cam2light is not None:
+        return obs.cP is not None and light_kernel_supported(obs.valid.shape[-1])
+    return obs.z is not None and kernel_supported(obs.valid.shape[-1])
 
 
 def fit_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
@@ -248,7 +248,9 @@ def fit_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
     update is communication-free along rows). Mathematically identical
     to the single-device kernel: every reduction is a sum.
 
-    Requirements: direct mode, no light model, compact z layout.
+    Requirements: direct mode; compact z layout without the light model,
+    full cP layout with it (the light variant psums the raw R/t/Sigma
+    partial sums and closes the se3/Sigma chains outside the mesh).
     """
     from jax import shard_map
 
@@ -257,9 +259,11 @@ def fit_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
 
     if not _pallas_sharded_eligible(params, obs, cfg):
         raise ValueError(
-            "fit_sharded_pallas needs direct mode, no light model and the "
-            "compact z layout"
+            "fit_sharded_pallas needs direct mode and the compact z layout "
+            "(full cP layout with the light model)"
         )
+    if params.cam2light is not None:
+        return _fit_sharded_pallas_light(params, obs, cfg, mesh)
     vs = mesh.shape["view"]
     rs = mesh.shape["row"]
     interpret = jax.default_backend() != "tpu"
@@ -330,6 +334,109 @@ def fit_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
         return params, FitTelemetry(*ys)
 
     params, tel = run(params, z, It)
+    J = params.J[:H, :W]
+    observed = jnp.any(obs.valid, axis=0)
+    return FitResult(
+        params=params._replace(J=J), J=J, observed=observed, telemetry=tel
+    )
+
+
+def _fit_sharded_pallas_light(params, obs: DenseObs, cfg, mesh: Mesh):
+    """Sharded light-model fit at fused-kernel speed. Same scheme as the
+    no-light path — per-shard kernel + psum'd reductions — except the
+    kernel emits RAW partial sums for the light pose (dR, dt) and the
+    vignetting quadratic (dA, dC, dD); those psum over the whole mesh
+    and the tiny se3_exp / Sigma-inverse chains close OUTSIDE the mesh
+    via jax.vjp, exactly as the single-device light kernel does."""
+    from jax import shard_map
+
+    from sucre_tpu.ops.pallas import light_kernel as lk
+    from sucre_tpu.ops.se3 import se3_exp
+    from sucre_tpu.solve import FitResult, FitTelemetry
+
+    vs = mesh.shape["view"]
+    rs = mesh.shape["row"]
+    interpret = jax.default_backend() != "tpu"
+
+    V, H, W = obs.valid.shape
+    Wp = -(-W // lk.LANES) * lk.LANES
+    th = lk.light_row_tile(Wp)
+    Vp = -(-V // (vs * lk.VB)) * (vs * lk.VB)
+    Hp = -(-H // (rs * th)) * (rs * th)
+
+    pad = [(0, 0), (0, Vp - V), (0, Hp - H), (0, Wp - W)]
+    cPt = jnp.pad(jnp.moveaxis(obs.cP, -1, 0), pad)
+    It = jnp.pad(jnp.moveaxis(obs.I, -1, 0), pad)
+    J0 = jnp.pad(params.J, [(0, Hp - H), (0, Wp - W), (0, 0)])
+    n_obs = jnp.float32(obs.n_obs)
+
+    cPt = jax.device_put(cPt, NamedSharding(mesh, P(None, "view", "row", None)))
+    It = jax.device_put(It, NamedSharding(mesh, P(None, "view", "row", None)))
+    J0 = jax.device_put(J0, NamedSharding(mesh, P("row", None, None)))
+    params = replicate(params._replace(J=None), mesh)._replace(J=J0)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("row", None, None),  # J rows
+            P(), P(),  # BBG, aux replicated
+            P(None, "view", "row", None),  # cP block (channels leading)
+            P(None, "view", "row", None),  # I block
+        ),
+        out_specs=(P("row", None, None), P()),
+        check_vma=False,
+    )
+    def shard_parts(Jl, BBG, aux, cPl, Il):
+        Jt = jnp.moveaxis(Jl, -1, 0)[None]  # (1, 3, Hl, Wp)
+        dJt, parts = lk._light_pallas(BBG, aux, cPl[None], Il[None], Jt, interpret)
+        parts = jax.lax.psum(parts, ("view", "row"))
+        dJt = jax.lax.psum(dJt, "view")  # complete gradient for local rows
+        return jnp.moveaxis(dJt[0], 0, -1), parts
+
+    opt = optax.adam(cfg.lr)
+
+    @jax.jit
+    def run(params, cPt, It):
+        opt_state = opt.init(params)
+
+        def step(carry, _):
+            p, s = carry
+            (R_l, t_l), vjp_se3 = jax.vjp(se3_exp, p.cam2light)
+            acd, vjp_sig = jax.vjp(lk._sigma_quad_coeffs, p.sigma)
+            BBG = jnp.concatenate(
+                [p.B, p.beta, p.gamma]
+            ).astype(jnp.float32)[None, None]
+            aux = jnp.concatenate(
+                [R_l.reshape(-1), t_l, acd, jnp.zeros((1,), jnp.float32)]
+            ).astype(jnp.float32)[None, None]
+            dJ_raw, parts = shard_parts(p.J, BBG, aux, cPt, It)
+            pv = parts[0, 0]
+            k = jnp.float32(-2.0)  # upstream dL/dtheta = -2 sum(r dIhat/dtheta)
+            cost = pv[0]
+            dR = k * pv[lk._I_R:lk._I_R + 9].reshape(3, 3)
+            dt = k * pv[lk._I_T:lk._I_T + 3]
+            (dc2l,) = vjp_se3((dR, dt))
+            (dsig,) = vjp_sig(k * pv[lk._I_ACD:lk._I_ACD + 3])
+            kk = 1.0 / (n_obs * 3.0)
+            grads = p._replace(
+                J=k * dJ_raw * kk,
+                B=k * pv[lk._I_B:lk._I_B + 3] * kk,
+                beta=k * pv[lk._I_BETA:lk._I_BETA + 3] * kk,
+                gamma=k * pv[lk._I_GAMMA:lk._I_GAMMA + 3] * kk,
+                cam2light=dc2l * kk,
+                sigma=dsig * kk,
+            )
+            updates, s = opt.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), (cost, p.B, p.beta, p.gamma)
+
+        (params, _), ys = jax.lax.scan(
+            step, (params, opt_state), None, length=cfg.num_iter
+        )
+        return params, FitTelemetry(*ys)
+
+    params, tel = run(params, cPt, It)
     J = params.J[:H, :W]
     observed = jnp.any(obs.valid, axis=0)
     return FitResult(

@@ -530,3 +530,51 @@ def test_fit_many_light_kernel_equals_xla(rng):
     np.testing.assert_allclose(np.asarray(ta.cost), np.asarray(tb.cost), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(pa.B), np.asarray(pb.B), atol=1e-4)
     np.testing.assert_allclose(np.asarray(Ja), np.asarray(Jb), atol=1e-3)
+
+
+def test_fit_sharded_pallas_light_equals_fit(rng):
+    """The shard_map'd LIGHT-model kernel fit (raw R/t/Sigma partial
+    sums psum'd, chains closed outside the mesh) must match the
+    single-device light-kernel fit."""
+    from sucre_tpu.parallel.mesh import fit_sharded_pallas
+
+    V, H, W = 4, 8, 16
+    valid = rng.uniform(size=(V, H, W)) < 0.8
+    dirs = rng.normal(size=(V, H, W, 3)) * 0.1 + np.array([0, 0, 1.0])
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    cP = np.where(
+        valid[..., None],
+        (dirs * rng.uniform(1.5, 4.0, size=(V, H, W, 1))).astype(np.float32),
+        0.0,
+    ).astype(np.float32)
+    I = rng.integers(0, 256, size=(V, H, W, 3), dtype=np.uint8)
+    from sucre_tpu.ops.matching import DenseObs
+
+    obs = DenseObs(valid=jnp.asarray(valid), cP=jnp.asarray(cP), I=jnp.asarray(I))
+    img = rng.uniform(0, 1, size=(H, W, 3)).astype(np.float32)
+    params = init_params(image=img, light_model=True)
+    import dataclasses
+
+    cfg = FitConfig(num_iter=4, use_pallas=True)
+    ref = fit(params, obs, cfg)
+    mesh = make_mesh(2, 4)
+    out = fit_sharded_pallas(params, obs, cfg, mesh)
+    np.testing.assert_allclose(
+        np.asarray(out.params.B), np.asarray(ref.params.B), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(out.J), np.asarray(ref.J), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.params.cam2light), np.asarray(ref.params.cam2light),
+        atol=2e-3,  # eps-dominated pose axes drift (see light fit_many test)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.params.sigma), np.asarray(ref.params.sigma), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.telemetry.cost), np.asarray(ref.telemetry.cost), rtol=1e-5
+    )
+    # the whole-path router reaches the light kernel too
+    res = fit_sharded(params, obs, dataclasses.replace(cfg, use_pallas=True), mesh)
+    np.testing.assert_allclose(
+        np.asarray(res.telemetry.cost), np.asarray(ref.telemetry.cost), rtol=1e-5
+    )
