@@ -75,7 +75,7 @@ def init_joint_params(
 
 @partial(
     jax.jit,
-    static_argnames=("num_iter", "use_closed_form", "lr", "chunked"),
+    static_argnames=("num_iter", "use_closed_form", "lr", "chunked", "pallas_mode"),
     donate_argnums=(0,),
 )
 def _fit_joint_jit(
@@ -86,11 +86,63 @@ def _fit_joint_jit(
     use_closed_form: bool,
     lr: float,
     chunked: bool = False,
+    pallas_mode: str = "off",
 ):
     from sucre_tpu.solve import _closed_form, _loss
 
     opt = optax.adam(lr)
     opt_state = opt.init(params)
+
+    T = obs.valid.shape[0]
+    light_kernel = pallas_mode.startswith("light")
+    interpret = pallas_mode.endswith("interpret")
+    if light_kernel:
+        from sucre_tpu.ops.pallas.light_kernel import (
+            fused_light_fit_grads_batched,
+            prepare_light_obs_batched,
+        )
+
+        cPt, Ilt = prepare_light_obs_batched(obs.cP, obs.I)
+    elif pallas_mode != "off":
+        from sucre_tpu.ops.pallas.fit_kernel import (
+            fused_fit_grads_prepared,
+            prepare_obs,
+        )
+
+        zt, It = prepare_obs(obs.z, obs.I)
+
+    def kernel_grads(p: JointParams):
+        """Per-target kernel passes with the SHARED globals broadcast to
+        every target; shared-parameter gradients are the sum of the
+        per-target normalized gradients (L = sum_t cost_t/(3 n_t))."""
+        s = (1.0 / (n_obs * 3.0))[:, None]
+        bB = jnp.broadcast_to(p.B, (T, 3))
+        bbe = jnp.broadcast_to(p.beta, (T, 3))
+        bga = jnp.broadcast_to(p.gamma, (T, 3))
+        if light_kernel:
+            bc2l = jnp.broadcast_to(p.cam2light, (T, 6))
+            bsig = jnp.broadcast_to(p.sigma, (T, 2, 2))
+            cost, dJ, dB, dbeta, dgamma, dc2l, dsig = fused_light_fit_grads_batched(
+                p.J, bB, bbe, bga, bc2l, bsig, cPt, Ilt, interpret=interpret
+            )
+            extra = dict(
+                cam2light=jnp.sum(dc2l * s, axis=0),
+                sigma=jnp.sum(dsig * s[..., None], axis=0),
+            )
+        else:
+            cost, dJ, dB, dbeta, dgamma = fused_fit_grads_prepared(
+                p.J, bB, bbe, bga, zt, It, interpret=interpret
+            )
+            extra = {}
+        grads = JointParams(
+            B=jnp.sum(dB * s, axis=0),
+            beta=jnp.sum(dbeta * s, axis=0),
+            gamma=jnp.sum(dgamma * s, axis=0),
+            J=dJ * s[..., None, None],
+            cam2light=extra.get("cam2light"),
+            sigma=extra.get("sigma"),
+        )
+        return cost, grads
 
     def total_loss(p: JointParams):
         def one(t_obs, t_n, t_J):
@@ -112,7 +164,10 @@ def _fit_joint_jit(
 
     def step(carry, _):
         params, opt_state = carry
-        (_, cost), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+        if pallas_mode != "off":
+            cost, grads = kernel_grads(params)
+        else:
+            (_, cost), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), (cost, params.B, params.beta, params.gamma)
@@ -167,6 +222,45 @@ def fit_joint(params: JointParams, obs: DenseObs, cfg: FitConfig, mesh=None):
 
     params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
     obs, n_obs, chunked, batch_put, repl_put = prepare_batched_obs(obs, cfg, mesh)
+    # Fused-kernel routing (same eligibility as fit_many: direct mode,
+    # unchunked, unsharded; z layout without light, cP layout with it).
+    # The kernels run per target; the shared-global gradients are the
+    # sums of the per-target normalized gradients.
+    from sucre_tpu.ops.pallas.fit_kernel import kernel_supported
+    from sucre_tpu.ops.pallas.light_kernel import light_kernel_supported
+
+    light = params.cam2light is not None
+    common = (
+        not cfg.use_closed_form and params.J is not None
+        and not chunked and mesh is None
+    )
+    if light:
+        eligible = (
+            common and obs.cP is not None
+            and light_kernel_supported(obs.valid.shape[-1])
+        )
+    else:
+        eligible = (
+            common and obs.z is not None and kernel_supported(obs.valid.shape[-1])
+        )
+    cfg_pallas = getattr(cfg, "use_pallas", None)
+    if cfg_pallas is None:
+        want = eligible and jax.default_backend() == "tpu"
+    else:
+        if cfg_pallas and not eligible:
+            raise ValueError(
+                "use_pallas=True but no fused kernel is eligible for this "
+                "joint fit (needs: direct mode, unchunked views, no mesh; "
+                "compact z-layout without the light model, full cP layout "
+                "with it); use use_pallas=None for auto"
+            )
+        want = cfg_pallas and eligible
+    if not want:
+        pallas_mode = "off"
+    else:
+        kind = "light-" if light else ""
+        backend = "tpu" if jax.default_backend() == "tpu" else "interpret"
+        pallas_mode = f"{kind}{backend}"
     # Shared globals replicate (GSPMD psums their gradient reductions);
     # the per-target J places like the stack (batch-sharded on a batch
     # mesh, replicated on a (view x row) mesh).
@@ -180,5 +274,5 @@ def fit_joint(params: JointParams, obs: DenseObs, cfg: FitConfig, mesh=None):
     )
     return _fit_joint_jit(
         params, obs, n_obs, cfg.num_iter, cfg.use_closed_form, cfg.lr,
-        chunked=chunked,
+        chunked=chunked, pallas_mode=pallas_mode,
     )

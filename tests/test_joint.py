@@ -57,3 +57,49 @@ def test_joint_light_model(rng):
     )
     assert np.all(np.isfinite(np.asarray(params.cam2light)))
     assert np.all(np.isfinite(np.asarray(tel.cost)))
+
+
+def test_joint_kernel_equals_xla(rng):
+    """Joint fits routed through the fused kernels (per-target passes,
+    shared-global gradients summed) must match the autodiff path — both
+    without and with the light model."""
+    import dataclasses
+
+    from sucre_tpu.ops.matching import DenseObs
+
+    T, V, H, W = 2, 3, 8, 16
+
+    def mk(seed, with_cP):
+        r = np.random.default_rng(seed)
+        valid = r.uniform(size=(V, H, W)) < 0.8
+        dirs = r.normal(size=(V, H, W, 3)) * 0.1 + np.array([0, 0, 1.0])
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        cP = np.where(
+            valid[..., None],
+            (dirs * r.uniform(1.5, 4.0, size=(V, H, W, 1))).astype(np.float32),
+            0.0,
+        ).astype(np.float32)
+        I = r.integers(0, 256, size=(V, H, W, 3), dtype=np.uint8)
+        obs = DenseObs(valid=jnp.asarray(valid), cP=jnp.asarray(cP), I=jnp.asarray(I))
+        return obs if with_cP else obs.compact()
+
+    for light in (False, True):
+        so = stack_obs([mk(t, with_cP=light) for t in range(T)])
+        imgs = [
+            np.random.default_rng(9).uniform(0, 1, size=(H, W, 3)).astype(np.float32)
+            for _ in range(T)
+        ]
+        jp = init_joint_params(images=imgs, T=T, light_model=light)
+        cfg = FitConfig(num_iter=4)
+        pa, Ja, oa, ta = fit_joint(jp, so, dataclasses.replace(cfg, use_pallas=True))
+        pb, Jb, ob, tb = fit_joint(jp, so, dataclasses.replace(cfg, use_pallas=False))
+        np.testing.assert_allclose(
+            np.asarray(ta.cost), np.asarray(tb.cost), rtol=1e-4, err_msg=f"light={light}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(pa.B), np.asarray(pb.B), atol=1e-4, err_msg=f"light={light}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(pa.beta), np.asarray(pb.beta), atol=1e-4
+        )
+        np.testing.assert_allclose(np.asarray(Ja), np.asarray(Jb), atol=1e-3)
