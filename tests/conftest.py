@@ -11,9 +11,17 @@ import os
 # tunnel platform) and a sitecustomize may import jax before this file
 # runs, so set both the env var and the live jax config.
 os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "--xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# Force the device count to exactly 8 — REPLACING any pre-existing
+# value (a leftover =2 from another project would fail every mesh test).
+import re as _re
+
+_flags = _re.sub(
+    r"--xla_force_host_platform_device_count=\d+", "",
+    os.environ.get("XLA_FLAGS", ""),
+).strip()
+os.environ["XLA_FLAGS"] = (
+    _flags + " --xla_force_host_platform_device_count=8"
+).strip()
 
 import jax  # noqa: E402
 

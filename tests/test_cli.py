@@ -128,6 +128,11 @@ def test_profile_dir_and_compile_cache(scene_dir, tmp_path):
     ])
     assert rc == 0
     assert prof.exists() and any(prof.rglob("*"))  # trace artifacts written
+    import jax
+
+    # the flag reached jax's config (cache entries only appear for
+    # compiles above the min-time threshold, so assert the wiring)
+    assert jax.config.jax_compilation_cache_dir == str(cache)
 
 
 def test_bilinear_colors_flag(scene_dir, tmp_path):

@@ -244,8 +244,6 @@ def test_bilinear_observation():
     """Bilinear color sampling: equals nearest on constant images, and
     recovers fractional-position values exactly on a linear ramp (where
     bilinear interpolation is exact); matches/geometry are unchanged."""
-    from sucre_tpu.ops.matching import bilinear_observation, match_and_observe_chunk_jit
-
     rng = np.random.default_rng(5)
     H = W = 32
     V = 2

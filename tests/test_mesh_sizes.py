@@ -83,7 +83,7 @@ def _run(n, vs, rs):
     }
     out = subprocess.run(
         [sys.executable, "-c", _WORKER, str(n), str(vs), str(rs)],
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=600, env=env,
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert f"mesh-{vs}x{rs}-on-{n}: ok" in out.stdout

@@ -141,30 +141,40 @@ def test_shard_targets():
     assert shard_targets(targets, process_id=0, num_processes=1) == targets
 
 
-def test_match_survey_sharded_equals_unsharded():
+def _scene_view_stack(scene_dir, n_views, width, height):
+    """Build a synthetic scene and its stacked device view arrays
+    (v_depths, v_rgbs, v_intrs, v_Rs, v_ts) — shared by the
+    sharded-matching tests."""
+    from sucre_tpu.io.images import load_view_arrays
+    from sucre_tpu.scene import Scene
+    from tests.synthetic import make_scene
+
+    sd = make_scene(scene_dir, n_views=n_views, width=width, height=height)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    views = scene.view_list()
+    arrays = [load_view_arrays(v, raw=True) for v in views]
+    stack = (
+        jnp.asarray(np.stack([a[1] for a in arrays])),
+        jnp.asarray(np.stack([a[0] for a in arrays])),
+        jnp.asarray(np.stack([v.intrinsics for v in views]).astype(np.float32)),
+        jnp.asarray(np.stack([v.R for v in views]).astype(np.float32)),
+        jnp.asarray(np.stack([v.t for v in views]).astype(np.float32)),
+    )
+    return scene, stack
+
+
+def test_match_survey_sharded_equals_unsharded(tmp_path):
     """Sharded survey matching (views over 'view', target rows over
     'row') must equal the single-device program, and its output must
     feed fit_sharded directly (end-to-end multi-chip pipeline)."""
     from sucre_tpu.ops.matching import match_survey
     from sucre_tpu.parallel import match_survey_sharded
-    from tests.synthetic import make_scene
-    from sucre_tpu.scene import Scene
-    from sucre_tpu.io.images import load_view_arrays
-    import tempfile
-    from pathlib import Path
 
     # height 50 is NOT divisible by the 4 row shards: exercises target-row
     # padding, including the min-cover area correction (true H*W, not padded)
-    sd = make_scene(Path(tempfile.mkdtemp()), n_views=5, width=64, height=50)
-    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
-    views = scene.view_list()
-    arrays = [load_view_arrays(v, raw=True) for v in views]
-    v_depths = jnp.asarray(np.stack([a[1] for a in arrays]))
-    v_rgbs = jnp.asarray(np.stack([a[0] for a in arrays]))
-    v_intrs = jnp.asarray(np.stack([v.intrinsics for v in views]).astype(np.float32))
-    v_Rs = jnp.asarray(np.stack([v.R for v in views]).astype(np.float32))
-    v_ts = jnp.asarray(np.stack([v.t for v in views]).astype(np.float32))
-    targets = [scene["img_001.png"], scene["img_002.png"]]
+    scene, (v_depths, v_rgbs, v_intrs, v_Rs, v_ts) = _scene_view_stack(
+        tmp_path, n_views=5, width=64, height=50
+    )
     tidx = [1, 2]
     t_depths = v_depths[jnp.asarray(tidx)]
     t_intrs, t_Rs, t_ts = v_intrs[jnp.asarray(tidx)], v_Rs[jnp.asarray(tidx)], v_ts[jnp.asarray(tidx)]
@@ -234,28 +244,16 @@ def test_restore_survey_with_batch_mesh(tmp_path):
         np.testing.assert_allclose(np.nan_to_num(ra.J), np.nan_to_num(rb.J), atol=1e-4)
 
 
-def test_match_survey_sharded_bilinear():
+def test_match_survey_sharded_bilinear(tmp_path):
     """--bilinear-colors composes with the sharded survey matching: the
     four-neighbor color gathers stay chip-local and equal the
     single-device bilinear program."""
-    import tempfile
-    from pathlib import Path
-
-    from sucre_tpu.io.images import load_view_arrays
     from sucre_tpu.ops.matching import match_survey
     from sucre_tpu.parallel import match_survey_sharded
-    from sucre_tpu.scene import Scene
-    from tests.synthetic import make_scene
 
-    sd = make_scene(Path(tempfile.mkdtemp()), n_views=4, width=64, height=48)
-    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
-    views = scene.view_list()
-    arrays = [load_view_arrays(v, raw=True) for v in views]
-    v_depths = jnp.asarray(np.stack([a[1] for a in arrays]))
-    v_rgbs = jnp.asarray(np.stack([a[0] for a in arrays]))
-    v_intrs = jnp.asarray(np.stack([v.intrinsics for v in views]).astype(np.float32))
-    v_Rs = jnp.asarray(np.stack([v.R for v in views]).astype(np.float32))
-    v_ts = jnp.asarray(np.stack([v.t for v in views]).astype(np.float32))
+    _, (v_depths, v_rgbs, v_intrs, v_Rs, v_ts) = _scene_view_stack(
+        tmp_path, n_views=4, width=64, height=48
+    )
     tidx = jnp.asarray([1, 2])
     ref = match_survey(
         v_depths[tidx], v_intrs[tidx], v_Rs[tidx], v_ts[tidx],
@@ -316,30 +314,18 @@ def test_fit_joint_view_chunk_equals_full(rng, closed_form):
     np.testing.assert_allclose(np.asarray(ta.cost), np.asarray(tb.cost), rtol=1e-5)
 
 
-def test_match_survey_sharded_100_views_bounded_blocks():
+def test_match_survey_sharded_100_views_bounded_blocks(tmp_path):
     """The views-axis HBM scaling story (SURVEY §5): a 100+ view survey
     matches as ONE sharded program on the 8-device mesh — view tables
     V/vs per chip, observation stack sharded over (view, row) — with
     results identical to the single-device program."""
-    import tempfile
-    from pathlib import Path
-
-    from sucre_tpu.io.images import load_view_arrays
     from sucre_tpu.ops.matching import match_survey
     from sucre_tpu.parallel import match_survey_sharded
-    from sucre_tpu.scene import Scene
-    from tests.synthetic import make_scene
 
     V = 104
-    sd = make_scene(Path(tempfile.mkdtemp()), n_views=V, width=48, height=32)
-    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
-    views = scene.view_list()
-    arrays = [load_view_arrays(v, raw=True) for v in views]
-    v_depths = jnp.asarray(np.stack([a[1] for a in arrays]))
-    v_rgbs = jnp.asarray(np.stack([a[0] for a in arrays]))
-    v_intrs = jnp.asarray(np.stack([v.intrinsics for v in views]).astype(np.float32))
-    v_Rs = jnp.asarray(np.stack([v.R for v in views]).astype(np.float32))
-    v_ts = jnp.asarray(np.stack([v.t for v in views]).astype(np.float32))
+    _, (v_depths, v_rgbs, v_intrs, v_Rs, v_ts) = _scene_view_stack(
+        tmp_path, n_views=V, width=48, height=32
+    )
     tidx = jnp.asarray([10, 60])
     ref = match_survey(
         v_depths[tidx], v_intrs[tidx], v_Rs[tidx], v_ts[tidx],

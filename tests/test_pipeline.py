@@ -182,9 +182,9 @@ class TestRestoreMany:
             np.testing.assert_allclose(
                 np.asarray(res_m.params.B), np.asarray(res_1.params.B), atol=1e-5
             )
-            # restore_many fetches J as f16 (export_dtype) — 5e-4 max error
+            # export_dtype defaults to f32 — both paths fetch full precision
             np.testing.assert_allclose(
-                np.nan_to_num(res_m.J), np.nan_to_num(res_1.J), atol=7e-4
+                np.nan_to_num(res_m.J), np.nan_to_num(res_1.J), atol=1e-5
             )
             np.testing.assert_allclose(
                 res_m.telemetry.cost, np.asarray(res_1.telemetry.cost), rtol=1e-4

@@ -65,7 +65,7 @@ def test_one_step_torch_parity(rng):
     np.testing.assert_allclose(np.asarray(res.params.beta), beta.detach().numpy().ravel(), atol=2e-6)
     np.testing.assert_allclose(np.asarray(res.params.gamma), gamma.detach().numpy().ravel(), atol=2e-6)
     np.testing.assert_allclose(np.asarray(res.params.J), J.detach().numpy(), atol=2e-5)
-    np.testing.assert_allclose(float(res.telemetry.cost[0]), float(loss), rtol=1e-5)
+    np.testing.assert_allclose(float(res.telemetry.cost[0]), float(loss.detach()), rtol=1e-5)
 
 
 def test_chunked_equals_unchunked(rng):
