@@ -328,11 +328,18 @@ def main(argv: list[str] | None = None) -> int:
                                   image_list=image_list, mesh=rmesh, cache=cache)
                 )
     if args.report is not None:
-        path = (
-            args.output_dir / "report.json"
-            if str(args.report) == "-"
-            else args.report
-        )
+        if str(args.report) == "-":
+            # per-process name under multihost: every process restores a
+            # disjoint slice into the SHARED output dir — one file each
+            # instead of silently clobbering one partial report
+            name = (
+                f"report.p{jax.process_index()}.json"
+                if multihost and jax.process_count() > 1
+                else "report.json"
+            )
+            path = args.output_dir / name
+        else:
+            path = args.report
         _write_report(path, args, results, mode, time.perf_counter() - run_t0)
         print(f"Report: {path}")
     return 0
@@ -348,10 +355,12 @@ def _write_report(path, args, results, shard_mode: str, wall_s: float) -> None:
     import numpy as np
 
     def target_entry(r):
+        cost = np.asarray(r.telemetry.cost)
         e = {
             "image": r.image_name,
             "n_obs": int(r.n_obs),
-            "final_cost": float(np.asarray(r.telemetry.cost)[-1].sum()),
+            # None when no iterations ran (--num-iter 0 / exhausted resume)
+            "final_cost": float(cost[-1].sum()) if cost.shape[0] else None,
             "B": np.asarray(r.params.B).ravel().tolist(),
             "beta": np.asarray(r.params.beta).ravel().tolist(),
             "gamma": np.asarray(r.params.gamma).ravel().tolist(),

@@ -70,9 +70,10 @@ def main(argv: list[str] | None = None) -> int:
     J_true = sd.J_views[t_idx]
     valid = np.asarray(res.valid, bool)
     q = psnr(np.nan_to_num(np.asarray(res.J)), J_true, mask=valid)
+    cost = np.asarray(res.telemetry.cost)
+    final = f"{float(cost[-1]):.4e}" if cost.shape[0] else "n/a (0 iterations)"
     print()
-    print(f"Restored {target}: {res.n_obs} observations, "
-          f"final cost {float(np.asarray(res.telemetry.cost[-1])):.4e}")
+    print(f"Restored {target}: {res.n_obs} observations, final cost {final}")
     print(f"Recovered beta = {np.asarray(res.params.beta).ravel().round(4)} "
           f"(true {sd.beta})")
     print(f"PSNR of restored J vs analytic ground truth: {q:.2f} dB")

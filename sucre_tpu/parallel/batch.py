@@ -226,47 +226,12 @@ def fit_many(
     # stays alive for reuse.
     params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
     obs, n_obs, chunked, batch_put, _ = prepare_batched_obs(obs, cfg, mesh)
-    # Fused-kernel eligibility mirrors solve.fit: direct mode, unchunked,
-    # unsharded; the no-light kernel needs the compact z layout, the
-    # light kernel the full cP layout.
-    from sucre_tpu.ops.pallas.fit_kernel import kernel_supported
-    from sucre_tpu.ops.pallas.light_kernel import light_kernel_supported
+    from sucre_tpu.ops.pallas import select_fit_kernel
 
-    light = params.cam2light is not None
-    common = (
-        not cfg.use_closed_form
-        and params.J is not None
-        and not chunked
-        and mesh is None
+    pallas_mode = select_fit_kernel(
+        params, obs, cfg, chunked=chunked, unsharded=mesh is None,
+        what="batched fit",
     )
-    if light:
-        eligible = (
-            common
-            and obs.cP is not None
-            and light_kernel_supported(obs.valid.shape[-1])
-        )
-    else:
-        eligible = (
-            common and obs.z is not None and kernel_supported(obs.valid.shape[-1])
-        )
-    cfg_pallas = getattr(cfg, "use_pallas", None)
-    if cfg_pallas is None:
-        want = eligible and jax.default_backend() == "tpu"
-    else:
-        if cfg_pallas and not eligible:
-            raise ValueError(
-                "use_pallas=True but no fused kernel is eligible for this "
-                "batched fit (needs: direct mode, unchunked views, no mesh; "
-                "compact z-layout without the light model, full cP layout "
-                "with it); use use_pallas=None for auto"
-            )
-        want = cfg_pallas and eligible
-    if not want:
-        pallas_mode = "off"
-    else:
-        kind = "light-" if light else ""
-        backend = "tpu" if jax.default_backend() == "tpu" else "interpret"
-        pallas_mode = f"{kind}{backend}"
     # Per-target params place like the stack: batch-sharded on a batch
     # mesh, replicated on a (view x row) mesh (GSPMD psums the gradient
     # reductions), untouched without a mesh.

@@ -222,45 +222,15 @@ def fit_joint(params: JointParams, obs: DenseObs, cfg: FitConfig, mesh=None):
 
     params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
     obs, n_obs, chunked, batch_put, repl_put = prepare_batched_obs(obs, cfg, mesh)
-    # Fused-kernel routing (same eligibility as fit_many: direct mode,
-    # unchunked, unsharded; z layout without light, cP layout with it).
-    # The kernels run per target; the shared-global gradients are the
-    # sums of the per-target normalized gradients.
-    from sucre_tpu.ops.pallas.fit_kernel import kernel_supported
-    from sucre_tpu.ops.pallas.light_kernel import light_kernel_supported
+    # Fused-kernel routing (same eligibility as fit_many). The kernels
+    # run per target; the shared-global gradients are the sums of the
+    # per-target normalized gradients.
+    from sucre_tpu.ops.pallas import select_fit_kernel
 
-    light = params.cam2light is not None
-    common = (
-        not cfg.use_closed_form and params.J is not None
-        and not chunked and mesh is None
+    pallas_mode = select_fit_kernel(
+        params, obs, cfg, chunked=chunked, unsharded=mesh is None,
+        what="joint fit",
     )
-    if light:
-        eligible = (
-            common and obs.cP is not None
-            and light_kernel_supported(obs.valid.shape[-1])
-        )
-    else:
-        eligible = (
-            common and obs.z is not None and kernel_supported(obs.valid.shape[-1])
-        )
-    cfg_pallas = getattr(cfg, "use_pallas", None)
-    if cfg_pallas is None:
-        want = eligible and jax.default_backend() == "tpu"
-    else:
-        if cfg_pallas and not eligible:
-            raise ValueError(
-                "use_pallas=True but no fused kernel is eligible for this "
-                "joint fit (needs: direct mode, unchunked views, no mesh; "
-                "compact z-layout without the light model, full cP layout "
-                "with it); use use_pallas=None for auto"
-            )
-        want = cfg_pallas and eligible
-    if not want:
-        pallas_mode = "off"
-    else:
-        kind = "light-" if light else ""
-        backend = "tpu" if jax.default_backend() == "tpu" else "interpret"
-        pallas_mode = f"{kind}{backend}"
     # Shared globals replicate (GSPMD psums their gradient reductions);
     # the per-target J places like the stack (batch-sharded on a batch
     # mesh, replicated on a (view x row) mesh).

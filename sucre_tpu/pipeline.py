@@ -565,12 +565,17 @@ def restore_image(
             else:
                 # keep the decoded depths for the matching stage below —
                 # the prepass and the matcher otherwise decode every
-                # depth map twice (consumed/popped as matching streams)
-                primed_depths = {}
+                # depth map twice (consumed/popped as matching streams).
+                # Retention is CAPPED: on huge surveys, views past the
+                # budget just re-decode (host memory stays bounded).
+                budget = 1 << 30  # ~1 GiB of u16 depth maps
+                held = 0
                 v_aabbs = []
                 for v in image_list:
                     d = load_depth_raw(v.depth_path, v.width, v.height)
-                    primed_depths[v.name] = d
+                    if held + d.nbytes <= budget:
+                        primed_depths[v.name] = d
+                        held += d.nbytes
                     v_aabbs.append(surface_aabb(d, v.intrinsics, v.R, v.t))
             keep_mask = cull_views([t_aabb], v_aabbs)
             if not all(keep_mask):

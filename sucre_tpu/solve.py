@@ -278,47 +278,16 @@ def fit(
         segments.append(c - prev)
         prev = c
 
-    # Fused-kernel eligibility (direct mode, unchunked, single-device —
-    # the kernels are not partitioned): the no-light kernel needs the
-    # compact z layout; the light kernel needs the full cP layout.
-    from sucre_tpu.ops.pallas.fit_kernel import kernel_supported
-    from sucre_tpu.ops.pallas.light_kernel import light_kernel_supported
+    # Fused-kernel routing (shared with fit_many/fit_joint): the kernels
+    # are not partitioned, so the stack must be single-device here.
+    from sucre_tpu.ops.pallas import select_fit_kernel
 
     single_device = len(getattr(obs.valid, "devices", lambda: [None])()) <= 1
-    light = params.cam2light is not None
-    if light:
-        eligible = (
-            not use_closed_form
-            and params.J is not None
-            and obs.cP is not None
-            and not chunked
-            and light_kernel_supported(obs.valid.shape[-1])
-            and single_device
-        )
-    else:
-        eligible = (
-            not use_closed_form
-            and params.J is not None
-            and obs.z is not None
-            and not chunked
-            and kernel_supported(obs.valid.shape[-1])
-            and single_device
-        )
-    if cfg.use_pallas is None:
-        want = eligible and jax.default_backend() == "tpu"
-    else:
-        if cfg.use_pallas and not eligible:
-            raise ValueError(
-                "use_pallas=True but no fused kernel is eligible here "
-                "(needs: direct mode, unchunked views, single-device stack, "
-                "and the compact z layout without the light model / the "
-                "full cP layout with it); use use_pallas=None for auto"
-            )
-        want = cfg.use_pallas and eligible
-    if want:
-        pallas_mode = "tpu" if jax.default_backend() == "tpu" else "interpret"
-    else:
-        pallas_mode = "off"
+    mode = select_fit_kernel(
+        params, obs, cfg, chunked=chunked, unsharded=single_device, what="fit"
+    )
+    light = mode.startswith("light")
+    pallas_mode = mode.replace("light-", "")
 
     tel_parts = []
     it = start
