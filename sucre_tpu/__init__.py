@@ -36,3 +36,27 @@ passes, and which shards trivially over (views, rows) meshes.
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level conveniences (import jax only when first used):
+#   from sucre_tpu import Scene, RestoreConfig, restore_image, restore_survey
+_API = {
+    "Scene": ("sucre_tpu.scene", "Scene"),
+    "RestoreConfig": ("sucre_tpu.pipeline", "RestoreConfig"),
+    "RestoreResult": ("sucre_tpu.pipeline", "RestoreResult"),
+    "restore_image": ("sucre_tpu.pipeline", "restore_image"),
+    "restore_many": ("sucre_tpu.pipeline", "restore_many"),
+    "restore_survey": ("sucre_tpu.pipeline", "restore_survey"),
+    "FitConfig": ("sucre_tpu.solve", "FitConfig"),
+    "fit": ("sucre_tpu.solve", "fit"),
+}
+__all__ = ["__version__", *_API]
+
+
+def __getattr__(name: str):
+    try:
+        module, attr = _API[name]
+    except KeyError:
+        raise AttributeError(f"module 'sucre_tpu' has no attribute {name!r}") from None
+    import importlib
+
+    return getattr(importlib.import_module(module), attr)
