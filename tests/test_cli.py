@@ -379,3 +379,13 @@ def test_compile_cache_empty_disables(tmp_path):
         "--output-dir", "x", "--image-name", "x", "--compile-cache", "",
     ])
     assert not args.compile_cache
+
+
+def test_top_level_api_exports():
+    """The documented `from sucre_tpu import ...` surface resolves."""
+    import sucre_tpu
+
+    for name in sucre_tpu.__all__:
+        assert getattr(sucre_tpu, name) is not None
+    with pytest.raises(AttributeError):
+        sucre_tpu.not_a_symbol
