@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--force-compute-matches", action="store_true",
                         help="if matches file already exists, erase it and recompute "
                              "matches.")
+    parser.add_argument("--skip-existing", action="store_true",
+                        help="skip targets whose parameter checkpoint already "
+                             "exists in the output directory — resume an "
+                             "interrupted survey at target granularity (the "
+                             "matches cache already resumes at file granularity "
+                             "within a target).")
     parser.add_argument("--keep-matches", action="store_true",
                         help="keep matches file (can take a lot of space).")
     parser.add_argument("--num-workers", type=int, default=0,
@@ -199,6 +205,22 @@ def main(argv: list[str] | None = None) -> int:
     image_list = [v for v in scene.view_list() if v.name not in filter_names]
 
     args.output_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.skip_existing:
+        ext = "." + args.params_format
+        remaining = [
+            n for n in targets
+            if not (args.output_dir / n).with_suffix(ext).exists()
+        ]
+        if len(remaining) < len(targets):
+            print(
+                f"Skip {len(targets) - len(remaining)} already-restored "
+                f"targets (--skip-existing)."
+            )
+        targets = remaining
+        if not targets:
+            print("Nothing to do: all targets already restored.")
+            return 0
 
     if args.store == "memory" and args.keep_matches:
         raise SystemExit("--keep-matches requires the hdf5 store "

@@ -389,3 +389,32 @@ def test_top_level_api_exports():
         assert getattr(sucre_tpu, name) is not None
     with pytest.raises(AttributeError):
         sucre_tpu.not_a_symbol
+
+
+def test_skip_existing_resumes_survey(scene_dir, tmp_path, capsys):
+    """--skip-existing resumes an interrupted survey at target
+    granularity: already-checkpointed targets are not re-restored."""
+    out = tmp_path / "o"
+    lst2 = tmp_path / "two.txt"
+    lst2.write_text("img_000.png\nimg_001.png\n")
+    assert main(_base_args(scene_dir, out) + ["--image-list", str(lst2)]) == 0
+    mtimes = {n: (out / f"img_{n:03d}.npz").stat().st_mtime_ns for n in (0, 1)}
+
+    lst4 = tmp_path / "four.txt"
+    lst4.write_text("".join(f"img_{i:03d}.png\n" for i in range(4)))
+    rc = main(_base_args(scene_dir, out) + [
+        "--image-list", str(lst4), "--skip-existing",
+    ])
+    assert rc == 0
+    assert "Skip 2 already-restored targets" in capsys.readouterr().out
+    for n in (0, 1):  # untouched
+        assert (out / f"img_{n:03d}.npz").stat().st_mtime_ns == mtimes[n]
+    for n in (2, 3):  # newly restored
+        assert (out / f"img_{n:03d}.npz").exists()
+
+    # everything done -> clean no-op exit
+    rc = main(_base_args(scene_dir, out) + [
+        "--image-list", str(lst4), "--skip-existing",
+    ])
+    assert rc == 0
+    assert "Nothing to do" in capsys.readouterr().out
