@@ -606,3 +606,19 @@ def test_nested_image_names_end_to_end(tmp_path):
         np.nan_to_num(np.asarray(res2.J)), np.nan_to_num(np.asarray(res.J)),
         atol=1e-5,
     )
+
+    # the pipelined batched survey path with nested names (device export
+    # + threaded artifact writer + checkpoint parents)
+    from sucre_tpu.pipeline import restore_survey
+
+    out2 = tmp_path / "out2"
+    names = [f"cam0/{n}" for n in sd.names]
+    results = restore_survey(
+        scene, names, out2,
+        RestoreConfig(num_iter=2, verbose=False, store="memory"),
+        batch_targets=2,
+    )
+    assert len(results) == len(names)
+    for n in sd.names:
+        assert (out2 / "cam0" / f"{Path(n).stem}_rgb.png").exists()
+        assert (out2 / "cam0" / f"{Path(n).stem}.npz").exists()
