@@ -222,6 +222,21 @@ def fit_many(
     Returns (params, J (T,H,W,3), observed (T,H,W), telemetry with
     leading iteration axis and (num_iter, T, ...) shapes).
     """
+    # (view x row) mesh: route eligible fits through the per-shard
+    # BATCHED kernels (the oversized-survey path at fused-kernel speed);
+    # ineligible/forced-off fits fall through to the GSPMD XLA path.
+    if mesh is not None and "view" in mesh.axis_names:
+        from sucre_tpu.parallel.mesh import (
+            _pallas_sharded_eligible,
+            fit_many_sharded_pallas,
+        )
+
+        up = getattr(cfg, "use_pallas", None)
+        if _pallas_sharded_eligible(params, obs, cfg) and (
+            up is True or (up is None and jax.default_backend() == "tpu")
+        ):
+            return fit_many_sharded_pallas(params, obs, cfg, mesh)
+
     # The jit donates the params buffers; copy so the caller's pytree
     # stays alive for reuse.
     params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)

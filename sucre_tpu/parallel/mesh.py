@@ -341,6 +341,164 @@ def fit_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
     )
 
 
+def fit_many_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
+    """Batched T-target fit on a (view x row) mesh at fused-kernel speed —
+    the oversized-survey route (`fit_many(mesh=view-row)`) without
+    falling back to XLA autodiff. Each shard runs the BATCHED kernel
+    (grid leading axis = targets) on its local (T, view-slice,
+    row-slice) block; cost and the per-target global-parameter gradients
+    psum over the whole mesh, dJ psums over 'view' and stays row-sharded
+    like J. Covers both the no-light and light-model kernels (the light
+    variant closes the se3/Sigma chains outside the mesh via vmapped
+    vjps, as the single-target sharded path does).
+
+    Returns fit_many's (params, J (T,H,W,3), observed (T,H,W),
+    telemetry) tuple.
+    """
+    from jax import shard_map
+
+    from sucre_tpu.ops.pallas import fit_kernel as fk
+    from sucre_tpu.ops.pallas import light_kernel as lk
+    from sucre_tpu.ops.se3 import se3_exp
+    from sucre_tpu.solve import FitTelemetry
+
+    if not _pallas_sharded_eligible(params, obs, cfg):
+        raise ValueError(
+            "fit_many_sharded_pallas needs direct mode and the compact z "
+            "layout (full cP layout with the light model)"
+        )
+    light = params.cam2light is not None
+    vs = mesh.shape["view"]
+    rs = mesh.shape["row"]
+    interpret = jax.default_backend() != "tpu"
+
+    T, V, H, W = obs.valid.shape
+    mod = lk if light else fk
+    Wp = -(-W // mod.LANES) * mod.LANES
+    th = lk.light_row_tile(Wp) if light else fk.row_tile(Wp)
+    Vp = -(-V // (vs * mod.VB)) * (vs * mod.VB)
+    Hp = -(-H // (rs * th)) * (rs * th)
+    pad = [(0, Vp - V), (0, Hp - H), (0, Wp - W)]
+
+    if light:
+        X = jnp.pad(jnp.moveaxis(obs.cP, -1, 1), [(0, 0), (0, 0)] + pad)
+        x_spec = P(None, None, "view", "row", None)
+    else:
+        X = jnp.pad(obs.z, [(0, 0)] + pad)
+        x_spec = P(None, "view", "row", None)
+    It = jnp.pad(jnp.moveaxis(obs.I, -1, 1), [(0, 0), (0, 0)] + pad)
+    J0 = jnp.pad(params.J, [(0, 0), (0, Hp - H), (0, Wp - W), (0, 0)])
+    n_obs = jnp.sum(obs.valid, axis=(1, 2, 3)).astype(jnp.float32)
+
+    X = jax.device_put(X, NamedSharding(mesh, x_spec))
+    It = jax.device_put(It, NamedSharding(mesh, P(None, None, "view", "row", None)))
+    J0 = jax.device_put(J0, NamedSharding(mesh, P(None, "row", None, None)))
+    params = replicate(params._replace(J=None), mesh)._replace(J=J0)
+    n_obs = jax.device_put(n_obs, NamedSharding(mesh, P()))
+
+    if light:
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(None, "row", None, None),  # J rows (T leading)
+                P(), P(),  # BBG, aux replicated
+                P(None, None, "view", "row", None),  # cP block
+                P(None, None, "view", "row", None),  # I block
+            ),
+            out_specs=(P(None, "row", None, None), P()),
+            check_vma=False,
+        )
+        def shard_grads_light(Jl, BBG, aux, cPl, Il):
+            Jt = jnp.moveaxis(Jl, -1, 1)  # (T, 3, Hl, Wp)
+            dJt, parts = lk._light_pallas(BBG, aux, cPl, Il, Jt, interpret)
+            parts = jax.lax.psum(parts, ("view", "row"))
+            dJt = jax.lax.psum(dJt, "view")
+            return jnp.moveaxis(dJt, 1, -1), parts
+    else:
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(None, "row", None, None),  # J rows (T leading)
+                P(), P(), P(),  # B, beta, gamma (T, 3) replicated
+                P(None, "view", "row", None),  # z block
+                P(None, None, "view", "row", None),  # I block
+            ),
+            out_specs=(P(), P(None, "row", None, None), P(), P(), P()),
+            check_vma=False,
+        )
+        def shard_grads(Jl, B, beta, gamma, zl, Il):
+            cost, dJ, dB, dbeta, dgamma = fk.fused_fit_grads_prepared(
+                Jl, B, beta, gamma, zl, Il, interpret=interpret
+            )
+            cost = jax.lax.psum(cost, ("view", "row"))
+            dB = jax.lax.psum(dB, ("view", "row"))
+            dbeta = jax.lax.psum(dbeta, ("view", "row"))
+            dgamma = jax.lax.psum(dgamma, ("view", "row"))
+            dJ = jax.lax.psum(dJ, "view")
+            return cost, dJ, dB, dbeta, dgamma
+
+    opt = optax.adam(cfg.lr)
+
+    @jax.jit
+    def run(params, X, It):
+        opt_state = jax.vmap(opt.init)(params)
+
+        def step(carry, _):
+            p, s = carry
+            k = (1.0 / (n_obs * 3.0))[:, None]
+            if light:
+                (R_l, t_l), vjp_se3 = jax.vjp(jax.vmap(se3_exp), p.cam2light)
+                acd, vjp_sig = jax.vjp(
+                    jax.vmap(lk._sigma_quad_coeffs), p.sigma
+                )
+                BBG = jnp.concatenate(
+                    [p.B, p.beta, p.gamma], axis=-1
+                ).astype(jnp.float32)[:, None]
+                aux = jnp.concatenate(
+                    [R_l.reshape(T, 9), t_l, acd, jnp.zeros((T, 1), jnp.float32)],
+                    axis=-1,
+                ).astype(jnp.float32)[:, None]
+                dJ_raw, parts = shard_grads_light(p.J, BBG, aux, X, It)
+                pv = parts[:, 0]  # (T, _NPART)
+                m2 = jnp.float32(-2.0)
+                cost = pv[:, 0]
+                dR = m2 * pv[:, lk._I_R:lk._I_R + 9].reshape(T, 3, 3)
+                dt = m2 * pv[:, lk._I_T:lk._I_T + 3]
+                (dc2l,) = vjp_se3((dR, dt))
+                (dsig,) = vjp_sig(m2 * pv[:, lk._I_ACD:lk._I_ACD + 3])
+                grads = p._replace(
+                    J=m2 * dJ_raw * k[..., None, None],
+                    B=m2 * pv[:, lk._I_B:lk._I_B + 3] * k,
+                    beta=m2 * pv[:, lk._I_BETA:lk._I_BETA + 3] * k,
+                    gamma=m2 * pv[:, lk._I_GAMMA:lk._I_GAMMA + 3] * k,
+                    cam2light=dc2l * k,
+                    sigma=dsig * k[..., None],
+                )
+            else:
+                cost, dJ, dB, dbeta, dgamma = shard_grads(
+                    p.J, p.B, p.beta, p.gamma, X, It
+                )
+                grads = p._replace(
+                    J=dJ * k[..., None, None], B=dB * k, beta=dbeta * k,
+                    gamma=dgamma * k,
+                )
+            updates, s = jax.vmap(opt.update)(grads, s, p)
+            p = jax.vmap(optax.apply_updates)(p, updates)
+            return (p, s), (cost, p.B, p.beta, p.gamma)
+
+        (params, _), ys = jax.lax.scan(
+            step, (params, opt_state), None, length=cfg.num_iter
+        )
+        return params, FitTelemetry(*ys)
+
+    params, tel = run(params, X, It)
+    J = params.J[:, :H, :W]
+    observed = jnp.any(obs.valid, axis=1)
+    return params._replace(J=J), J, observed, tel
+
+
 def _fit_sharded_pallas_light(params, obs: DenseObs, cfg, mesh: Mesh):
     """Sharded light-model fit at fused-kernel speed. Same scheme as the
     no-light path — per-shard kernel + psum'd reductions — except the

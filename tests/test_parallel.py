@@ -564,3 +564,48 @@ def test_fit_sharded_pallas_light_equals_fit(rng):
     np.testing.assert_allclose(
         np.asarray(res.telemetry.cost), np.asarray(ref.telemetry.cost), rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("light", [False, True])
+def test_fit_many_sharded_pallas_equals_unsharded(rng, light):
+    """The batched (view x row)-sharded kernel fit — the oversized-survey
+    route at fused-kernel speed — must match the meshless batched fit,
+    in both the no-light and light-model variants."""
+    from sucre_tpu.ops.matching import DenseObs
+
+    T, V, H, W = 2, 4, 8, 16
+    obs_list = []
+    for t in range(T):
+        r = np.random.default_rng(t)
+        valid = r.uniform(size=(V, H, W)) < 0.8
+        dirs = r.normal(size=(V, H, W, 3)) * 0.1 + np.array([0, 0, 1.0])
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        cP = np.where(
+            valid[..., None],
+            (dirs * r.uniform(1.5, 4.0, size=(V, H, W, 1))).astype(np.float32),
+            0.0,
+        ).astype(np.float32)
+        I = r.integers(0, 256, size=(V, H, W, 3), dtype=np.uint8)
+        obs = DenseObs(valid=jnp.asarray(valid), cP=jnp.asarray(cP), I=jnp.asarray(I))
+        obs_list.append(obs if light else obs.compact())
+    so = stack_obs(obs_list)
+    img = rng.uniform(0, 1, size=(H, W, 3)).astype(np.float32)
+    sp = stack_params([init_params(image=img, light_model=light) for _ in range(T)])
+    import dataclasses
+
+    cfg = FitConfig(num_iter=4, use_pallas=True)
+    mesh = make_mesh(2, 4)
+    pa, Ja, oa, ta = fit_many(sp, so, cfg, mesh=mesh)  # kernel, sharded
+    pb, Jb, ob, tb = fit_many(sp, so, cfg)  # kernel, meshless
+    np.testing.assert_allclose(np.asarray(ta.cost), np.asarray(tb.cost), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pa.B), np.asarray(pb.B), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Ja), np.asarray(Jb), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+    if light:
+        # eps-dominated pose axes drift; physical quantities above are tight
+        np.testing.assert_allclose(
+            np.asarray(pa.cam2light), np.asarray(pb.cam2light), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(pa.sigma), np.asarray(pb.sigma), atol=2e-3
+        )
