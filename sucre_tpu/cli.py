@@ -206,6 +206,20 @@ def main(argv: list[str] | None = None) -> int:
 
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
+    # Flag validation BEFORE the skip-existing filter so a fully-restored
+    # rerun with contradictory flags still errors instead of no-op'ing.
+    if args.store == "memory" and args.keep_matches:
+        raise SystemExit("--keep-matches requires the hdf5 store "
+                         "(--store memory writes no matches cache)")
+    if args.skip_existing and args.joint_params:
+        # the joint fit's semantics are ONE shared water model across ALL
+        # targets; refitting only the unrestored subset would silently
+        # produce two halves restored under different models
+        raise SystemExit("--skip-existing cannot combine with "
+                         "--joint-params (a partial rerun would fit the "
+                         "shared water model on only the remaining "
+                         "targets); rerun the full list instead")
+
     if args.skip_existing:
         ext = "." + args.params_format
         remaining = [
@@ -221,10 +235,6 @@ def main(argv: list[str] | None = None) -> int:
         if not targets:
             print("Nothing to do: all targets already restored.")
             return 0
-
-    if args.store == "memory" and args.keep_matches:
-        raise SystemExit("--keep-matches requires the hdf5 store "
-                         "(--store memory writes no matches cache)")
     cfg = RestoreConfig(
         store=args.store,
         light_model=args.light_model,

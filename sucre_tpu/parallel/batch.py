@@ -232,10 +232,18 @@ def fit_many(
         )
 
         up = getattr(cfg, "use_pallas", None)
-        if _pallas_sharded_eligible(params, obs, cfg) and (
+        eligible = _pallas_sharded_eligible(params, obs, cfg)
+        if eligible and (
             up is True or (up is None and jax.default_backend() == "tpu")
         ):
             return fit_many_sharded_pallas(params, obs, cfg, mesh)
+        if up is True:
+            # don't fall through to select_fit_kernel's meshless wording
+            raise ValueError(
+                "use_pallas=True on a (view x row)-mesh batched fit "
+                "requires direct mode and the compact z layout (full cP "
+                "with the light model); use use_pallas=None for auto"
+            )
 
     # The jit donates the params buffers; copy so the caller's pytree
     # stays alive for reuse.

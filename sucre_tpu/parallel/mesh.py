@@ -239,106 +239,148 @@ def _pallas_sharded_eligible(params, obs: DenseObs, cfg) -> bool:
     return obs.z is not None and kernel_supported(obs.valid.shape[-1])
 
 
+
 def fit_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
-    """The sharded fit at fused-kernel speed: each (view, row) shard runs
-    the Pallas forward+backward kernel on its LOCAL observation block
-    (shard_map), then GSPMD collectives assemble the gradients — cost and
-    the global-parameter gradients psum over the whole mesh, dJ psums
-    over 'view' only and stays row-sharded (as does J itself, so the
-    update is communication-free along rows). Mathematically identical
-    to the single-device kernel: every reduction is a sum.
+    """The single-target sharded fit at fused-kernel speed: a T=1
+    wrapper over ``fit_many_sharded_pallas`` (one implementation of the
+    per-shard kernel + psum'd gradient scheme for both fit modes).
+    Mathematically identical to the single-device kernel: every
+    reduction is a sum.
 
     Requirements: direct mode; compact z layout without the light model,
-    full cP layout with it (the light variant psums the raw R/t/Sigma
-    partial sums and closes the se3/Sigma chains outside the mesh).
+    full cP layout with it.
     """
-    from jax import shard_map
-
-    from sucre_tpu.ops.pallas import fit_kernel as fk
-    from sucre_tpu.solve import FitResult, FitTelemetry
+    from sucre_tpu.solve import FitResult
 
     if not _pallas_sharded_eligible(params, obs, cfg):
         raise ValueError(
             "fit_sharded_pallas needs direct mode and the compact z layout "
             "(full cP layout with the light model)"
         )
-    if params.cam2light is not None:
-        return _fit_sharded_pallas_light(params, obs, cfg, mesh)
-    vs = mesh.shape["view"]
-    rs = mesh.shape["row"]
-    interpret = jax.default_backend() != "tpu"
-
-    V, H, W = obs.valid.shape
-    # Global pads such that every LOCAL block satisfies the kernel tiling
-    # (rows multiple of the row tile, views of VB, lanes of 128).
-    Wp = -(-W // fk.LANES) * fk.LANES
-    th = fk.row_tile(Wp)
-    Vp = -(-V // (vs * fk.VB)) * (vs * fk.VB)
-    Hp = -(-H // (rs * th)) * (rs * th)
-
-    z = jnp.pad(obs.z, [(0, Vp - V), (0, Hp - H), (0, Wp - W)])
-    It = jnp.pad(
-        jnp.moveaxis(obs.I, -1, 0), [(0, 0), (0, Vp - V), (0, Hp - H), (0, Wp - W)]
-    )
-    J0 = jnp.pad(params.J, [(0, Hp - H), (0, Wp - W), (0, 0)])
-    n_obs = jnp.float32(obs.n_obs)
-
-    z = jax.device_put(z, NamedSharding(mesh, P("view", "row", None)))
-    It = jax.device_put(It, NamedSharding(mesh, P(None, "view", "row", None)))
-    J0 = jax.device_put(J0, NamedSharding(mesh, P("row", None, None)))
-    params = replicate(params._replace(J=None), mesh)._replace(J=J0)
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(
-            P("row", None, None),  # J rows
-            P(), P(), P(),  # B, beta, gamma replicated
-            P("view", "row", None),  # z block
-            P(None, "view", "row", None),  # I block (channels leading)
-        ),
-        out_specs=(P(), P("row", None, None), P(), P(), P()),
-        # pallas_call outputs carry no varying-across-mesh annotation;
-        # replication of the psum'd outputs is guaranteed by construction
-        check_vma=False,
-    )
-    def shard_grads(Jl, B, beta, gamma, zl, Il):
-        cost, dJ, dB, dbeta, dgamma = fk.fused_fit_grads_prepared(
-            Jl, B, beta, gamma, zl[None], Il[None, :], interpret=interpret
-        )
-        cost = jax.lax.psum(cost, ("view", "row"))
-        dB = jax.lax.psum(dB, ("view", "row"))
-        dbeta = jax.lax.psum(dbeta, ("view", "row"))
-        dgamma = jax.lax.psum(dgamma, ("view", "row"))
-        dJ = jax.lax.psum(dJ, "view")  # complete gradient for local rows
-        return cost, dJ, dB, dbeta, dgamma
-
-    opt = optax.adam(cfg.lr)
-
-    @jax.jit
-    def run(params, z, It):
-        opt_state = opt.init(params)
-
-        def step(carry, _):
-            p, s = carry
-            cost, dJ, dB, dbeta, dgamma = shard_grads(
-                p.J, p.B, p.beta, p.gamma, z, It
-            )
-            k = 1.0 / (n_obs * 3.0)
-            grads = p._replace(J=dJ * k, B=dB * k, beta=dbeta * k, gamma=dgamma * k)
-            updates, s = opt.update(grads, s, p)
-            p = optax.apply_updates(p, updates)
-            return (p, s), (cost, p.B, p.beta, p.gamma)
-
-        (params, _), ys = jax.lax.scan(step, (params, opt_state), None, length=cfg.num_iter)
-        return params, FitTelemetry(*ys)
-
-    params, tel = run(params, z, It)
-    J = params.J[:H, :W]
-    observed = jnp.any(obs.valid, axis=0)
+    paramsT = jax.tree.map(lambda x: x[None], params)
+    obsT = jax.tree.map(lambda x: x[None], obs)
+    pT, J, observed, tel = fit_many_sharded_pallas(paramsT, obsT, cfg, mesh)
     return FitResult(
-        params=params._replace(J=J), J=J, observed=observed, telemetry=tel
+        params=jax.tree.map(lambda x: x[0], pT),
+        J=J[0],
+        observed=observed[0],
+        telemetry=jax.tree.map(lambda x: x[:, 0], tel),
     )
+
+
+@partial(jax.jit, static_argnames=("mesh", "light", "lr", "num_iter", "interpret"))
+def _run_sharded_kernel(params, X, It, n_obs, *, mesh, light, lr, num_iter,
+                        interpret):
+    """The batched per-shard-kernel Adam program, jitted ONCE per
+    (mesh, mode, lr, num_iter, platform, shapes) — repeated survey
+    batches reuse the compiled program instead of retracing per call.
+
+    Inputs are already padded to the kernel tiling and placed on the
+    mesh (see ``fit_many_sharded_pallas``): X is the z stack
+    (T, Vp, Hp, Wp) or the cP stack (T, 3, Vp, Hp, Wp) with the light
+    model; params.J is (T, Hp, Wp, 3) row-sharded, everything else
+    replicated.
+    """
+    from jax import shard_map
+
+    from sucre_tpu.ops.pallas import fit_kernel as fk
+    from sucre_tpu.ops.pallas import light_kernel as lk
+    from sucre_tpu.ops.se3 import se3_exp
+    from sucre_tpu.solve import FitTelemetry
+
+    T = n_obs.shape[0]
+
+    if light:
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(None, "row", None, None),  # J rows (T leading)
+                P(), P(),  # BBG, aux replicated
+                P(None, None, "view", "row", None),  # cP block
+                P(None, None, "view", "row", None),  # I block
+            ),
+            out_specs=(P(None, "row", None, None), P()),
+            check_vma=False,
+        )
+        def shard_grads_light(Jl, BBG, aux, cPl, Il):
+            Jt = jnp.moveaxis(Jl, -1, 1)  # (T, 3, Hl, Wp)
+            dJt, parts = lk._light_pallas(BBG, aux, cPl, Il, Jt, interpret)
+            parts = jax.lax.psum(parts, ("view", "row"))
+            dJt = jax.lax.psum(dJt, "view")  # complete grad for local rows
+            return jnp.moveaxis(dJt, 1, -1), parts
+    else:
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(None, "row", None, None),  # J rows (T leading)
+                P(), P(), P(),  # B, beta, gamma (T, 3) replicated
+                P(None, "view", "row", None),  # z block
+                P(None, None, "view", "row", None),  # I block
+            ),
+            out_specs=(P(), P(None, "row", None, None), P(), P(), P()),
+            check_vma=False,
+        )
+        def shard_grads(Jl, B, beta, gamma, zl, Il):
+            cost, dJ, dB, dbeta, dgamma = fk.fused_fit_grads_prepared(
+                Jl, B, beta, gamma, zl, Il, interpret=interpret
+            )
+            cost = jax.lax.psum(cost, ("view", "row"))
+            dB = jax.lax.psum(dB, ("view", "row"))
+            dbeta = jax.lax.psum(dbeta, ("view", "row"))
+            dgamma = jax.lax.psum(dgamma, ("view", "row"))
+            dJ = jax.lax.psum(dJ, "view")
+            return cost, dJ, dB, dbeta, dgamma
+
+    opt = optax.adam(lr)
+    opt_state = jax.vmap(opt.init)(params)
+
+    def step(carry, _):
+        p, s = carry
+        k = (1.0 / (n_obs * 3.0))[:, None]
+        if light:
+            (R_l, t_l), vjp_se3 = jax.vjp(jax.vmap(se3_exp), p.cam2light)
+            acd, vjp_sig = jax.vjp(jax.vmap(lk._sigma_quad_coeffs), p.sigma)
+            BBG = jnp.concatenate(
+                [p.B, p.beta, p.gamma], axis=-1
+            ).astype(jnp.float32)[:, None]
+            aux = jnp.concatenate(
+                [R_l.reshape(T, 9), t_l, acd, jnp.zeros((T, 1), jnp.float32)],
+                axis=-1,
+            ).astype(jnp.float32)[:, None]
+            dJ_raw, parts = shard_grads_light(p.J, BBG, aux, X, It)
+            pv = parts[:, 0]  # (T, _NPART)
+            m2 = jnp.float32(-2.0)  # upstream dL/dtheta = -2 sum(r dIhat)
+            cost = pv[:, 0]
+            dR = m2 * pv[:, lk._I_R:lk._I_R + 9].reshape(T, 3, 3)
+            dt = m2 * pv[:, lk._I_T:lk._I_T + 3]
+            (dc2l,) = vjp_se3((dR, dt))
+            (dsig,) = vjp_sig(m2 * pv[:, lk._I_ACD:lk._I_ACD + 3])
+            grads = p._replace(
+                J=m2 * dJ_raw * k[..., None, None],
+                B=m2 * pv[:, lk._I_B:lk._I_B + 3] * k,
+                beta=m2 * pv[:, lk._I_BETA:lk._I_BETA + 3] * k,
+                gamma=m2 * pv[:, lk._I_GAMMA:lk._I_GAMMA + 3] * k,
+                cam2light=dc2l * k,
+                sigma=dsig * k[..., None],
+            )
+        else:
+            cost, dJ, dB, dbeta, dgamma = shard_grads(
+                p.J, p.B, p.beta, p.gamma, X, It
+            )
+            grads = p._replace(
+                J=dJ * k[..., None, None], B=dB * k, beta=dbeta * k,
+                gamma=dgamma * k,
+            )
+        updates, s = jax.vmap(opt.update)(grads, s, p)
+        p = jax.vmap(optax.apply_updates)(p, updates)
+        return (p, s), (cost, p.B, p.beta, p.gamma)
+
+    (params, _), ys = jax.lax.scan(
+        step, (params, opt_state), None, length=num_iter
+    )
+    return params, FitTelemetry(*ys)
 
 
 def fit_many_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
@@ -350,17 +392,13 @@ def fit_many_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
     psum over the whole mesh, dJ psums over 'view' and stays row-sharded
     like J. Covers both the no-light and light-model kernels (the light
     variant closes the se3/Sigma chains outside the mesh via vmapped
-    vjps, as the single-target sharded path does).
+    vjps).
 
     Returns fit_many's (params, J (T,H,W,3), observed (T,H,W),
     telemetry) tuple.
     """
-    from jax import shard_map
-
     from sucre_tpu.ops.pallas import fit_kernel as fk
     from sucre_tpu.ops.pallas import light_kernel as lk
-    from sucre_tpu.ops.se3 import se3_exp
-    from sucre_tpu.solve import FitTelemetry
 
     if not _pallas_sharded_eligible(params, obs, cfg):
         raise ValueError(
@@ -396,207 +434,11 @@ def fit_many_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
     params = replicate(params._replace(J=None), mesh)._replace(J=J0)
     n_obs = jax.device_put(n_obs, NamedSharding(mesh, P()))
 
-    if light:
-        @partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=(
-                P(None, "row", None, None),  # J rows (T leading)
-                P(), P(),  # BBG, aux replicated
-                P(None, None, "view", "row", None),  # cP block
-                P(None, None, "view", "row", None),  # I block
-            ),
-            out_specs=(P(None, "row", None, None), P()),
-            check_vma=False,
-        )
-        def shard_grads_light(Jl, BBG, aux, cPl, Il):
-            Jt = jnp.moveaxis(Jl, -1, 1)  # (T, 3, Hl, Wp)
-            dJt, parts = lk._light_pallas(BBG, aux, cPl, Il, Jt, interpret)
-            parts = jax.lax.psum(parts, ("view", "row"))
-            dJt = jax.lax.psum(dJt, "view")
-            return jnp.moveaxis(dJt, 1, -1), parts
-    else:
-        @partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=(
-                P(None, "row", None, None),  # J rows (T leading)
-                P(), P(), P(),  # B, beta, gamma (T, 3) replicated
-                P(None, "view", "row", None),  # z block
-                P(None, None, "view", "row", None),  # I block
-            ),
-            out_specs=(P(), P(None, "row", None, None), P(), P(), P()),
-            check_vma=False,
-        )
-        def shard_grads(Jl, B, beta, gamma, zl, Il):
-            cost, dJ, dB, dbeta, dgamma = fk.fused_fit_grads_prepared(
-                Jl, B, beta, gamma, zl, Il, interpret=interpret
-            )
-            cost = jax.lax.psum(cost, ("view", "row"))
-            dB = jax.lax.psum(dB, ("view", "row"))
-            dbeta = jax.lax.psum(dbeta, ("view", "row"))
-            dgamma = jax.lax.psum(dgamma, ("view", "row"))
-            dJ = jax.lax.psum(dJ, "view")
-            return cost, dJ, dB, dbeta, dgamma
-
-    opt = optax.adam(cfg.lr)
-
-    @jax.jit
-    def run(params, X, It):
-        opt_state = jax.vmap(opt.init)(params)
-
-        def step(carry, _):
-            p, s = carry
-            k = (1.0 / (n_obs * 3.0))[:, None]
-            if light:
-                (R_l, t_l), vjp_se3 = jax.vjp(jax.vmap(se3_exp), p.cam2light)
-                acd, vjp_sig = jax.vjp(
-                    jax.vmap(lk._sigma_quad_coeffs), p.sigma
-                )
-                BBG = jnp.concatenate(
-                    [p.B, p.beta, p.gamma], axis=-1
-                ).astype(jnp.float32)[:, None]
-                aux = jnp.concatenate(
-                    [R_l.reshape(T, 9), t_l, acd, jnp.zeros((T, 1), jnp.float32)],
-                    axis=-1,
-                ).astype(jnp.float32)[:, None]
-                dJ_raw, parts = shard_grads_light(p.J, BBG, aux, X, It)
-                pv = parts[:, 0]  # (T, _NPART)
-                m2 = jnp.float32(-2.0)
-                cost = pv[:, 0]
-                dR = m2 * pv[:, lk._I_R:lk._I_R + 9].reshape(T, 3, 3)
-                dt = m2 * pv[:, lk._I_T:lk._I_T + 3]
-                (dc2l,) = vjp_se3((dR, dt))
-                (dsig,) = vjp_sig(m2 * pv[:, lk._I_ACD:lk._I_ACD + 3])
-                grads = p._replace(
-                    J=m2 * dJ_raw * k[..., None, None],
-                    B=m2 * pv[:, lk._I_B:lk._I_B + 3] * k,
-                    beta=m2 * pv[:, lk._I_BETA:lk._I_BETA + 3] * k,
-                    gamma=m2 * pv[:, lk._I_GAMMA:lk._I_GAMMA + 3] * k,
-                    cam2light=dc2l * k,
-                    sigma=dsig * k[..., None],
-                )
-            else:
-                cost, dJ, dB, dbeta, dgamma = shard_grads(
-                    p.J, p.B, p.beta, p.gamma, X, It
-                )
-                grads = p._replace(
-                    J=dJ * k[..., None, None], B=dB * k, beta=dbeta * k,
-                    gamma=dgamma * k,
-                )
-            updates, s = jax.vmap(opt.update)(grads, s, p)
-            p = jax.vmap(optax.apply_updates)(p, updates)
-            return (p, s), (cost, p.B, p.beta, p.gamma)
-
-        (params, _), ys = jax.lax.scan(
-            step, (params, opt_state), None, length=cfg.num_iter
-        )
-        return params, FitTelemetry(*ys)
-
-    params, tel = run(params, X, It)
+    params, tel = _run_sharded_kernel(
+        params, X, It, n_obs,
+        mesh=mesh, light=light, lr=cfg.lr, num_iter=cfg.num_iter,
+        interpret=interpret,
+    )
     J = params.J[:, :H, :W]
     observed = jnp.any(obs.valid, axis=1)
     return params._replace(J=J), J, observed, tel
-
-
-def _fit_sharded_pallas_light(params, obs: DenseObs, cfg, mesh: Mesh):
-    """Sharded light-model fit at fused-kernel speed. Same scheme as the
-    no-light path — per-shard kernel + psum'd reductions — except the
-    kernel emits RAW partial sums for the light pose (dR, dt) and the
-    vignetting quadratic (dA, dC, dD); those psum over the whole mesh
-    and the tiny se3_exp / Sigma-inverse chains close OUTSIDE the mesh
-    via jax.vjp, exactly as the single-device light kernel does."""
-    from jax import shard_map
-
-    from sucre_tpu.ops.pallas import light_kernel as lk
-    from sucre_tpu.ops.se3 import se3_exp
-    from sucre_tpu.solve import FitResult, FitTelemetry
-
-    vs = mesh.shape["view"]
-    rs = mesh.shape["row"]
-    interpret = jax.default_backend() != "tpu"
-
-    V, H, W = obs.valid.shape
-    Wp = -(-W // lk.LANES) * lk.LANES
-    th = lk.light_row_tile(Wp)
-    Vp = -(-V // (vs * lk.VB)) * (vs * lk.VB)
-    Hp = -(-H // (rs * th)) * (rs * th)
-
-    pad = [(0, 0), (0, Vp - V), (0, Hp - H), (0, Wp - W)]
-    cPt = jnp.pad(jnp.moveaxis(obs.cP, -1, 0), pad)
-    It = jnp.pad(jnp.moveaxis(obs.I, -1, 0), pad)
-    J0 = jnp.pad(params.J, [(0, Hp - H), (0, Wp - W), (0, 0)])
-    n_obs = jnp.float32(obs.n_obs)
-
-    cPt = jax.device_put(cPt, NamedSharding(mesh, P(None, "view", "row", None)))
-    It = jax.device_put(It, NamedSharding(mesh, P(None, "view", "row", None)))
-    J0 = jax.device_put(J0, NamedSharding(mesh, P("row", None, None)))
-    params = replicate(params._replace(J=None), mesh)._replace(J=J0)
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(
-            P("row", None, None),  # J rows
-            P(), P(),  # BBG, aux replicated
-            P(None, "view", "row", None),  # cP block (channels leading)
-            P(None, "view", "row", None),  # I block
-        ),
-        out_specs=(P("row", None, None), P()),
-        check_vma=False,
-    )
-    def shard_parts(Jl, BBG, aux, cPl, Il):
-        Jt = jnp.moveaxis(Jl, -1, 0)[None]  # (1, 3, Hl, Wp)
-        dJt, parts = lk._light_pallas(BBG, aux, cPl[None], Il[None], Jt, interpret)
-        parts = jax.lax.psum(parts, ("view", "row"))
-        dJt = jax.lax.psum(dJt, "view")  # complete gradient for local rows
-        return jnp.moveaxis(dJt[0], 0, -1), parts
-
-    opt = optax.adam(cfg.lr)
-
-    @jax.jit
-    def run(params, cPt, It):
-        opt_state = opt.init(params)
-
-        def step(carry, _):
-            p, s = carry
-            (R_l, t_l), vjp_se3 = jax.vjp(se3_exp, p.cam2light)
-            acd, vjp_sig = jax.vjp(lk._sigma_quad_coeffs, p.sigma)
-            BBG = jnp.concatenate(
-                [p.B, p.beta, p.gamma]
-            ).astype(jnp.float32)[None, None]
-            aux = jnp.concatenate(
-                [R_l.reshape(-1), t_l, acd, jnp.zeros((1,), jnp.float32)]
-            ).astype(jnp.float32)[None, None]
-            dJ_raw, parts = shard_parts(p.J, BBG, aux, cPt, It)
-            pv = parts[0, 0]
-            k = jnp.float32(-2.0)  # upstream dL/dtheta = -2 sum(r dIhat/dtheta)
-            cost = pv[0]
-            dR = k * pv[lk._I_R:lk._I_R + 9].reshape(3, 3)
-            dt = k * pv[lk._I_T:lk._I_T + 3]
-            (dc2l,) = vjp_se3((dR, dt))
-            (dsig,) = vjp_sig(k * pv[lk._I_ACD:lk._I_ACD + 3])
-            kk = 1.0 / (n_obs * 3.0)
-            grads = p._replace(
-                J=k * dJ_raw * kk,
-                B=k * pv[lk._I_B:lk._I_B + 3] * kk,
-                beta=k * pv[lk._I_BETA:lk._I_BETA + 3] * kk,
-                gamma=k * pv[lk._I_GAMMA:lk._I_GAMMA + 3] * kk,
-                cam2light=dc2l * kk,
-                sigma=dsig * kk,
-            )
-            updates, s = opt.update(grads, s, p)
-            p = optax.apply_updates(p, updates)
-            return (p, s), (cost, p.B, p.beta, p.gamma)
-
-        (params, _), ys = jax.lax.scan(
-            step, (params, opt_state), None, length=cfg.num_iter
-        )
-        return params, FitTelemetry(*ys)
-
-    params, tel = run(params, cPt, It)
-    J = params.J[:H, :W]
-    observed = jnp.any(obs.valid, axis=0)
-    return FitResult(
-        params=params._replace(J=J), J=J, observed=observed, telemetry=tel
-    )

@@ -60,6 +60,12 @@ def save_params(
     if params.sigma is not None:
         arrays["sigma"] = np.asarray(params.sigma, np.float32)
 
+    # Atomic write (temp + replace): a kill mid-write must not leave a
+    # truncated checkpoint at the final path — resume features
+    # (--skip-existing, warm starts) treat existence as completeness.
+    import os
+
+    tmp = path.with_name(path.name + ".tmp")
     if path.suffix == ".pt":
         import torch
 
@@ -69,9 +75,11 @@ def save_params(
             if k in ("B", "beta", "gamma"):
                 t = t.reshape(3, 1)  # reference parameter shape (sucre.py:41-43)
             out[k] = t
-        torch.save(out, path)
+        torch.save(out, tmp)
     else:
-        np.savez(path, **arrays)
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+    os.replace(tmp, path)
 
 
 def load_params(path: Path | str, params: SucreParams) -> SucreParams:

@@ -591,8 +591,6 @@ def test_fit_many_sharded_pallas_equals_unsharded(rng, light):
     so = stack_obs(obs_list)
     img = rng.uniform(0, 1, size=(H, W, 3)).astype(np.float32)
     sp = stack_params([init_params(image=img, light_model=light) for _ in range(T)])
-    import dataclasses
-
     cfg = FitConfig(num_iter=4, use_pallas=True)
     mesh = make_mesh(2, 4)
     pa, Ja, oa, ta = fit_many(sp, so, cfg, mesh=mesh)  # kernel, sharded
