@@ -1293,8 +1293,15 @@ def restore_survey(
         device_views = DeviceViews(image_list, cache, cfg.match_chunk)
 
     groups: dict[tuple[int, int], list[str]] = {}
+    # Order-preserving dedup: a name listed twice restores once (identical
+    # artifacts either way; duplicates in one batch would collide on the
+    # shared .h5 cache) — the result list below still mirrors the input.
+    seen: set[str] = set()
     for name in image_names:
         v = scene[name]
+        if v.name in seen:
+            continue
+        seen.add(v.name)
         groups.setdefault((v.width, v.height), []).append(name)
     batches: list[list[str]] = []
     for names in groups.values():

@@ -622,3 +622,23 @@ def test_nested_image_names_end_to_end(tmp_path):
     for n in sd.names:
         assert (out2 / "cam0" / f"{Path(n).stem}_rgb.png").exists()
         assert (out2 / "cam0" / f"{Path(n).stem}.npz").exists()
+
+
+def test_restore_survey_duplicate_names(tmp_path):
+    """A name listed twice restores once (the reference's sequential loop
+    restores it twice to the same artifacts; a batched run must not
+    collide on the shared matches cache). Results mirror the input."""
+    from sucre_tpu.pipeline import RestoreConfig, restore_survey
+    from sucre_tpu.scene import Scene
+    from tests.synthetic import make_scene
+
+    sd = make_scene(tmp_path / "s", n_views=3, width=48, height=32)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    names = ["img_001.png", "img_001.png", "img_002.png"]
+    results = restore_survey(
+        scene, names, tmp_path / "o",
+        RestoreConfig(num_iter=2, verbose=False), batch_targets=4,
+    )
+    assert [r.image_name for r in results] == names
+    assert results[0] is results[1]
+    assert (tmp_path / "o" / "img_001_rgb.png").exists()
