@@ -234,6 +234,12 @@ def main(argv: list[str] | None = None) -> int:
         targets = remaining
         if not targets:
             print("Nothing to do: all targets already restored.")
+            if args.report is not None:
+                # still overwrite the report: a stale report.json from the
+                # prior run would misrepresent the run that just exited 0
+                path = _report_path(args, multihost)
+                _write_report(path, args, [], "none", 0.0)
+                print(f"Report: {path}")
             return 0
     cfg = RestoreConfig(
         store=args.store,
@@ -360,21 +366,27 @@ def main(argv: list[str] | None = None) -> int:
                                   image_list=image_list, mesh=rmesh, cache=cache)
                 )
     if args.report is not None:
-        if str(args.report) == "-":
-            # per-process name under multihost: every process restores a
-            # disjoint slice into the SHARED output dir — one file each
-            # instead of silently clobbering one partial report
-            name = (
-                f"report.p{jax.process_index()}.json"
-                if multihost and jax.process_count() > 1
-                else "report.json"
-            )
-            path = args.output_dir / name
-        else:
-            path = args.report
+        path = _report_path(args, multihost)
         _write_report(path, args, results, mode, time.perf_counter() - run_t0)
         print(f"Report: {path}")
     return 0
+
+
+def _report_path(args, multihost: bool) -> Path:
+    """Resolve --report '-' to <output>/report.json (per-process name under
+    multihost: every process restores a disjoint slice into the SHARED
+    output dir — one file each instead of silently clobbering one
+    partial report)."""
+    import jax
+
+    if str(args.report) != "-":
+        return args.report
+    name = (
+        f"report.p{jax.process_index()}.json"
+        if multihost and jax.process_count() > 1
+        else "report.json"
+    )
+    return args.output_dir / name
 
 
 def _write_report(path, args, results, shard_mode: str, wall_s: float) -> None:

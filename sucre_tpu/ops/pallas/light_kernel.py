@@ -276,6 +276,46 @@ def fused_light_fit_grads_prepared(
     return cost, dJ, dB, dbeta, dgamma, dcam2light, dsigma
 
 
+def assemble_light_inputs_batched(B, beta, gamma, cam2light, sigma):
+    """Pre-kernel assembly for the batched kernel's packed scalar operands:
+    (BBG (T,1,9), aux (T,1,_NAUX), vjp_se3, vjp_sig). The vjps close the
+    se3_exp / Sigma^-1 chains outside the kernel; feed the (-2-scaled)
+    dR/dt/dacd partial sums back through them (decode_light_partials_batched
+    does). Shared by fused_light_fit_grads_batched and the (view x row)
+    sharded fit (parallel/mesh.py) so the packed layout lives here only."""
+    T = cam2light.shape[0]
+    (R_l, t_l), vjp_se3 = jax.vjp(jax.vmap(se3_exp), cam2light)
+    acd, vjp_sig = jax.vjp(jax.vmap(_sigma_quad_coeffs), sigma)
+    BBG = jnp.concatenate(
+        [B.astype(jnp.float32), beta.astype(jnp.float32), gamma.astype(jnp.float32)],
+        axis=-1,
+    )[:, None]
+    aux = jnp.concatenate(
+        [R_l.reshape(T, 9), t_l, acd, jnp.zeros((T, 1), jnp.float32)], axis=-1
+    ).astype(jnp.float32)[:, None]
+    return BBG, aux, vjp_se3, vjp_sig
+
+
+def decode_light_partials_batched(parts, vjp_se3, vjp_sig):
+    """Post-kernel decode of the packed (T, 1, _NPART) partial sums into
+    (cost (T,), dB, dbeta, dgamma (T,3), dcam2light (T,6), dsigma (T,2,2)),
+    applying the upstream dL/dtheta = -2 sum(r dIhat) factor and closing
+    the se3/Sigma chains. dJ is NOT handled here: callers scale their
+    (possibly psum'd) dJt by the same -2 themselves."""
+    T = parts.shape[0]
+    p = parts[:, 0]  # (T, _NPART)
+    k = jnp.float32(-2.0)
+    cost = p[:, 0]
+    dB = k * p[:, _I_B:_I_B + 3]
+    dbeta = k * p[:, _I_BETA:_I_BETA + 3]
+    dgamma = k * p[:, _I_GAMMA:_I_GAMMA + 3]
+    dR = k * p[:, _I_R:_I_R + 9].reshape(T, 3, 3)
+    dt = k * p[:, _I_T:_I_T + 3]
+    (dcam2light,) = vjp_se3((dR, dt))
+    (dsigma,) = vjp_sig(k * p[:, _I_ACD:_I_ACD + 3])
+    return cost, dB, dbeta, dgamma, dcam2light, dsigma
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def fused_light_fit_grads_batched(
     J: jnp.ndarray,  # (T, H, W, 3)
@@ -292,35 +332,22 @@ def fused_light_fit_grads_batched(
     (same kernel, grid leading axis = T). Returns per-target leaves:
     cost (T,), dJ (T, H, W, 3), dB/dbeta/dgamma (T, 3),
     dcam2light (T, 6), dsigma (T, 2, 2)."""
-    (R_l, t_l), vjp_se3 = jax.vjp(jax.vmap(se3_exp), cam2light)
-    acd, vjp_sig = jax.vjp(jax.vmap(_sigma_quad_coeffs), sigma)
+    BBG, aux, vjp_se3, vjp_sig = assemble_light_inputs_batched(
+        B, beta, gamma, cam2light, sigma
+    )
 
-    T, _, V, Hp, Wp = cPt.shape
+    _, _, V, Hp, Wp = cPt.shape
     H, W = J.shape[1:3]
     Jt = jnp.pad(
         jnp.moveaxis(J, -1, 1), [(0, 0), (0, 0), (0, Hp - H), (0, Wp - W)]
     )
-    BBG = jnp.concatenate(
-        [B.astype(jnp.float32), beta.astype(jnp.float32), gamma.astype(jnp.float32)],
-        axis=-1,
-    )[:, None]
-    aux = jnp.concatenate(
-        [R_l.reshape(T, 9), t_l, acd, jnp.zeros((T, 1), jnp.float32)], axis=-1
-    ).astype(jnp.float32)[:, None]
 
     dJt, parts = _light_pallas(BBG, aux, cPt, It, Jt, interpret)
 
-    p = parts[:, 0]  # (T, _NPART)
-    k = jnp.float32(-2.0)
-    cost = p[:, 0]
-    dJ = k * jnp.moveaxis(dJt[:, :, :H, :W], 1, -1)
-    dB = k * p[:, _I_B:_I_B + 3]
-    dbeta = k * p[:, _I_BETA:_I_BETA + 3]
-    dgamma = k * p[:, _I_GAMMA:_I_GAMMA + 3]
-    dR = k * p[:, _I_R:_I_R + 9].reshape(T, 3, 3)
-    dt = k * p[:, _I_T:_I_T + 3]
-    (dcam2light,) = vjp_se3((dR, dt))
-    (dsigma,) = vjp_sig(k * p[:, _I_ACD:_I_ACD + 3])
+    cost, dB, dbeta, dgamma, dcam2light, dsigma = decode_light_partials_batched(
+        parts, vjp_se3, vjp_sig
+    )
+    dJ = jnp.float32(-2.0) * jnp.moveaxis(dJt[:, :, :H, :W], 1, -1)
     return cost, dJ, dB, dbeta, dgamma, dcam2light, dsigma
 
 

@@ -285,10 +285,7 @@ def _run_sharded_kernel(params, X, It, n_obs, *, mesh, light, lr, num_iter,
 
     from sucre_tpu.ops.pallas import fit_kernel as fk
     from sucre_tpu.ops.pallas import light_kernel as lk
-    from sucre_tpu.ops.se3 import se3_exp
     from sucre_tpu.solve import FitTelemetry
-
-    T = n_obs.shape[0]
 
     if light:
         @partial(
@@ -340,28 +337,21 @@ def _run_sharded_kernel(params, X, It, n_obs, *, mesh, light, lr, num_iter,
         p, s = carry
         k = (1.0 / (n_obs * 3.0))[:, None]
         if light:
-            (R_l, t_l), vjp_se3 = jax.vjp(jax.vmap(se3_exp), p.cam2light)
-            acd, vjp_sig = jax.vjp(jax.vmap(lk._sigma_quad_coeffs), p.sigma)
-            BBG = jnp.concatenate(
-                [p.B, p.beta, p.gamma], axis=-1
-            ).astype(jnp.float32)[:, None]
-            aux = jnp.concatenate(
-                [R_l.reshape(T, 9), t_l, acd, jnp.zeros((T, 1), jnp.float32)],
-                axis=-1,
-            ).astype(jnp.float32)[:, None]
+            # packed-operand assembly + partials decode live in
+            # light_kernel.py (shared with the unsharded batched fit);
+            # the only sharded-path difference is the psum'd kernel call
+            BBG, aux, vjp_se3, vjp_sig = lk.assemble_light_inputs_batched(
+                p.B, p.beta, p.gamma, p.cam2light, p.sigma
+            )
             dJ_raw, parts = shard_grads_light(p.J, BBG, aux, X, It)
-            pv = parts[:, 0]  # (T, _NPART)
-            m2 = jnp.float32(-2.0)  # upstream dL/dtheta = -2 sum(r dIhat)
-            cost = pv[:, 0]
-            dR = m2 * pv[:, lk._I_R:lk._I_R + 9].reshape(T, 3, 3)
-            dt = m2 * pv[:, lk._I_T:lk._I_T + 3]
-            (dc2l,) = vjp_se3((dR, dt))
-            (dsig,) = vjp_sig(m2 * pv[:, lk._I_ACD:lk._I_ACD + 3])
+            cost, dB, dbeta, dgamma, dc2l, dsig = (
+                lk.decode_light_partials_batched(parts, vjp_se3, vjp_sig)
+            )
             grads = p._replace(
-                J=m2 * dJ_raw * k[..., None, None],
-                B=m2 * pv[:, lk._I_B:lk._I_B + 3] * k,
-                beta=m2 * pv[:, lk._I_BETA:lk._I_BETA + 3] * k,
-                gamma=m2 * pv[:, lk._I_GAMMA:lk._I_GAMMA + 3] * k,
+                J=jnp.float32(-2.0) * dJ_raw * k[..., None, None],
+                B=dB * k,
+                beta=dbeta * k,
+                gamma=dgamma * k,
                 cam2light=dc2l * k,
                 sigma=dsig * k[..., None],
             )

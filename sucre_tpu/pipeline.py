@@ -1237,6 +1237,19 @@ def restore_many(
         cache = ViewCache()
         cache.prefill(image_list, num_workers=cfg.num_workers)
 
+    # Order-preserving dedup (same rule as restore_survey): duplicates in
+    # one batch would collide on the shared .h5 cache. The returned list
+    # still mirrors the input (duplicates share one result).
+    requested = list(image_names)
+    seen: set[str] = set()
+    image_names = []
+    for name in requested:
+        v = scene[name]
+        if v.name in seen:
+            continue
+        seen.add(v.name)
+        image_names.append(name)
+
     b = _dispatch_batch(
         scene, image_names, output_dir, cfg, image_list, cache, device_views,
         mesh, log,
@@ -1250,7 +1263,8 @@ def restore_many(
     t0 = time.perf_counter()
     results = _export_batch(b, fetched)
     b.timings["export"] = time.perf_counter() - t0
-    return [r._replace(timings=dict(b.timings)) for r in results]
+    by_name = {r.image_name: r._replace(timings=dict(b.timings)) for r in results}
+    return [by_name[scene[n].name] for n in requested]
 
 
 def restore_survey(

@@ -412,9 +412,15 @@ def test_skip_existing_resumes_survey(scene_dir, tmp_path, capsys):
     for n in (2, 3):  # newly restored
         assert (out / f"img_{n:03d}.npz").exists()
 
-    # everything done -> clean no-op exit
+    # everything done -> clean no-op exit; --report still overwrites any
+    # stale report instead of leaving the previous run's file in place
+    import json
+
+    (out / "report.json").write_text('{"n_targets": 99}')
     rc = main(_base_args(scene_dir, out) + [
-        "--image-list", str(lst4), "--skip-existing",
+        "--image-list", str(lst4), "--skip-existing", "--report",
     ])
     assert rc == 0
     assert "Nothing to do" in capsys.readouterr().out
+    rep = json.loads((out / "report.json").read_text())
+    assert rep["n_targets"] == 0 and rep["targets"] == []

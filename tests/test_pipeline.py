@@ -642,3 +642,15 @@ def test_restore_survey_duplicate_names(tmp_path):
     assert [r.image_name for r in results] == names
     assert results[0] is results[1]
     assert (tmp_path / "o" / "img_001_rgb.png").exists()
+
+    # restore_many shares the contract (it dispatches one batch directly,
+    # skipping restore_survey's grouping — its own dedup must hold)
+    from sucre_tpu.pipeline import restore_many
+
+    results = restore_many(
+        scene, names, tmp_path / "o2",
+        RestoreConfig(num_iter=2, verbose=False),
+    )
+    assert [r.image_name for r in results] == names
+    assert results[0] is results[1]
+    assert (tmp_path / "o2" / "img_001_rgb.png").exists()
