@@ -1,5 +1,7 @@
 """CLI surface tests: the reference's flag set drives the full pipeline."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -424,3 +426,37 @@ def test_skip_existing_resumes_survey(scene_dir, tmp_path, capsys):
     assert "Nothing to do" in capsys.readouterr().out
     rep = json.loads((out / "report.json").read_text())
     assert rep["n_targets"] == 0 and rep["targets"] == []
+
+
+def test_skip_existing_nested_names(tmp_path, capsys):
+    """--skip-existing probes the checkpoint path of NESTED image names
+    ('cam0/img.png' -> out/cam0/img.npz), not a flattened basename."""
+    import dataclasses
+    import shutil
+
+    from sucre_tpu.io import colmap as cio
+
+    sd = make_scene(tmp_path / "s", n_views=3, width=48, height=32)
+    for n in sd.names:
+        (sd.image_dir / "cam0").mkdir(exist_ok=True)
+        (sd.depth_dir / "cam0").mkdir(exist_ok=True)
+        shutil.move(sd.image_dir / n, sd.image_dir / "cam0" / n)
+        dname = f"depth_{Path(n).stem}.png"
+        shutil.move(sd.depth_dir / dname, sd.depth_dir / "cam0" / dname)
+    cams, imgs, _ = cio.read_model(sd.model_dir)
+    imgs = {
+        k: dataclasses.replace(im, name=f"cam0/{im.name}")
+        for k, im in imgs.items()
+    }
+    cio.write_cameras_bin(cams, sd.model_dir / "cameras.bin")
+    cio.write_images_bin(imgs, sd.model_dir / "images.bin")
+
+    out = tmp_path / "o"
+    lst = tmp_path / "list.txt"
+    lst.write_text("cam0/img_001.png\ncam0/img_002.png\n")
+    assert main(_base_args(sd, out) + ["--image-list", str(lst)]) == 0
+    assert (out / "cam0" / "img_001.npz").exists()
+
+    rc = main(_base_args(sd, out) + ["--image-list", str(lst), "--skip-existing"])
+    assert rc == 0
+    assert "Nothing to do" in capsys.readouterr().out
