@@ -128,17 +128,25 @@ class Scene:
 
         scaled: dict[int, tuple[int, int, float, float, float, float]] = {}
         for cam in cameras.values():
-            if cam.model != "PINHOLE":
+            if cam.model == "PINHOLE":
+                fx, fy, u0, v0 = cam.params
+            elif cam.model == "SIMPLE_PINHOLE":
+                # Losslessly PINHOLE with fx = fy = f (additive over the
+                # reference, which asserts PINHOLE only, sfm.py:192 —
+                # SIMPLE_PINHOLE is equally distortion-free).
+                f, u0, v0 = cam.params
+                fx = fy = f
+            else:
                 raise ValueError(
-                    f"Camera {cam.camera_id} uses model {cam.model}; only PINHOLE "
-                    f"(undistorted) models are supported — run COLMAP's image "
-                    f"undistorter first (parity: sfm.py:192)."
+                    f"Camera {cam.camera_id} uses model {cam.model}; only "
+                    f"undistorted models (PINHOLE, SIMPLE_PINHOLE) are "
+                    f"supported — run COLMAP's image undistorter first "
+                    f"(parity: sfm.py:192)."
                 )
             width = int(cam.width * image_scale)
             height = int(cam.height * image_scale)
             scale_w = width / cam.width
             scale_h = height / cam.height
-            fx, fy, u0, v0 = cam.params
             scaled[cam.camera_id] = (
                 width,
                 height,

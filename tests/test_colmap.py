@@ -90,6 +90,29 @@ def test_non_pinhole_rejected(tmp_path):
         Scene.from_colmap(tmp_path, tmp_path, tmp_path)
 
 
+def test_simple_pinhole_accepted(tmp_path):
+    """SIMPLE_PINHOLE (f, cx, cy) ingests as PINHOLE with fx = fy = f —
+    losslessly undistorted, so there's no reason to force users through
+    a model conversion (additive over the reference's PINHOLE assert)."""
+    cameras = {
+        1: cio.ColmapCamera(1, "SIMPLE_PINHOLE", 640, 480,
+                            np.array([500.0, 320.0, 240.0])),
+    }
+    images = {
+        1: cio.ColmapImage(1, np.array([1.0, 0, 0, 0]), np.zeros(3), 1,
+                           "a.png", np.zeros((0, 2)), np.zeros(0, np.int64)),
+    }
+    cio.write_cameras_txt(cameras, tmp_path / "cameras.txt")
+    cio.write_images_txt(images, tmp_path / "images.txt")
+    scene = Scene.from_colmap(tmp_path, tmp_path, tmp_path)
+    v = scene["a.png"]
+    assert (v.fx, v.fy, v.cx, v.cy) == (500.0, 500.0, 320.0, 240.0)
+    # image_scale rescales f per-axis exactly like PINHOLE
+    s = Scene.from_colmap(tmp_path, tmp_path, tmp_path, image_scale=0.5)["a.png"]
+    assert (s.width, s.height) == (320, 240)
+    assert (s.fx, s.fy) == (250.0, 250.0)
+
+
 def test_qvec_rotmat_roundtrip(rng):
     for _ in range(10):
         q = rng.normal(size=4)
