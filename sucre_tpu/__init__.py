@@ -48,6 +48,7 @@ _API = {
     "restore_survey": ("sucre_tpu.pipeline", "restore_survey"),
     "FitConfig": ("sucre_tpu.solve", "FitConfig"),
     "fit": ("sucre_tpu.solve", "fit"),
+    "validate_dataset": ("sucre_tpu.validate", "validate"),
 }
 __all__ = ["__version__", *_API]
 

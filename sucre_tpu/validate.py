@@ -1,0 +1,278 @@
+"""Dataset pre-flight validation: find problems BEFORE a long survey run.
+
+The reference discovers dataset problems one crash at a time, mid-run
+(missing depth map -> FileNotFoundError at sfm.py:111's first touch,
+wrong camera model -> assert at sfm.py:192, half-written matches ->
+integrity assert). On a 200-image survey that means hours of restarts.
+This validator walks the whole dataset up front and reports every
+problem at once:
+
+  python -m sucre_tpu.validate --image-dir I --depth-dir D --model-dir M
+      [--image-scale S] [--deep] [--num-workers N] [--json out.json]
+
+Checks (fast mode reads file headers only; ``--deep`` fully decodes):
+  - COLMAP model parses; camera models are undistorted
+    (PINHOLE/SIMPLE_PINHOLE); intrinsics/poses are finite.
+  - Duplicate image names (name-keyed lookups would silently collide).
+  - Every registered image has an existing, decodable RGB file and
+    ``depth_<stem>.png`` depth map.
+  - Depth maps are 16-bit PNGs (8-bit depth is almost certainly a unit
+    mistake: max 255 mm) with dimensions matching the camera.
+  - RGB dimensions match the camera (mismatch is legal — the pipeline
+    resizes, reference loader.py:158-162 — but disqualifies the raw
+    uint8 fast path, so it is surfaced as a warning).
+  - ``--deep``: depth maps decode and contain positive depths (a view
+    with none contributes zero observations).
+
+Exit code 0 when runnable (warnings allowed), 1 when any ERROR was
+found, 2 when the model itself cannot be ingested.
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures as cf
+import dataclasses
+import json
+import struct
+import sys
+from pathlib import Path
+
+
+@dataclasses.dataclass
+class Finding:
+    level: str  # "ERROR" | "WARN"
+    code: str
+    image: str  # image name, or "" for model-level findings
+    message: str
+
+    def format(self) -> str:
+        where = f" [{self.image}]" if self.image else ""
+        return f"{self.level:5s} {self.code}{where}: {self.message}"
+
+
+def probe_headers(path: Path):
+    """(width, height, bit_depth, kind) from PNG/JPEG file headers, or
+    None when the format is neither (the deep pass / pipeline decode
+    will still try cv2). Reads at most a few KB."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(32)
+            if head[:8] == b"\x89PNG\r\n\x1a\n" and head[12:16] == b"IHDR":
+                w, h = struct.unpack(">II", head[16:24])
+                bit_depth = head[24]
+                return int(w), int(h), int(bit_depth), "png"
+            if head[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF
+                f.seek(2)
+                while True:
+                    seg = f.read(4)
+                    if len(seg) < 4:
+                        return None
+                    if seg[0] != 0xFF:
+                        return None
+                    marker = seg[1]
+                    if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                        sof = f.read(5)
+                        precision = sof[0]
+                        h, w = struct.unpack(">HH", sof[1:5])
+                        return int(w), int(h), int(precision), "jpeg"
+                    (seg_len,) = struct.unpack(">H", seg[2:4])
+                    f.seek(seg_len - 2, 1)
+    except OSError:
+        return None
+    return None
+
+
+def _check_view(view, deep: bool, scaled: bool) -> list[Finding]:
+    """Per-view checks. ``scaled`` = image_scale != 1: file dims are then
+    EXPECTED to differ from the (scaled) camera dims, so dim warnings
+    are suppressed."""
+    import numpy as np
+
+    findings: list[Finding] = []
+    name = view.name
+
+    if not view.rgb_path.is_file():
+        findings.append(Finding("ERROR", "rgb-missing", name,
+                                f"image file not found: {view.rgb_path}"))
+    else:
+        probe = probe_headers(view.rgb_path)
+        if probe is not None:
+            w, h, _, _ = probe
+            if (w, h) != (view.width, view.height) and not scaled:
+                findings.append(Finding(
+                    "WARN", "rgb-dims", name,
+                    f"RGB is {w}x{h}, camera is {view.width}x{view.height}; "
+                    f"it will be resized (reference parity) but the raw "
+                    f"uint8 fast path is disqualified"))
+        if deep:
+            from sucre_tpu.io.images import load_rgb
+
+            try:
+                rgb = load_rgb(view.rgb_path, view.width, view.height)
+                if not np.isfinite(rgb).all():
+                    findings.append(Finding("ERROR", "rgb-nonfinite", name,
+                                            "decoded RGB contains non-finite values"))
+            except Exception as e:
+                findings.append(Finding("ERROR", "rgb-decode", name,
+                                        f"cannot decode {view.rgb_path}: {e}"))
+
+    if not view.depth_path.is_file():
+        findings.append(Finding("ERROR", "depth-missing", name,
+                                f"depth map not found: {view.depth_path} "
+                                f"(expected depth_<stem>.png next to the "
+                                f"image's relative path)"))
+        return findings
+
+    probe = probe_headers(view.depth_path)
+    if probe is not None:
+        w, h, bit_depth, kind = probe
+        if kind != "png":
+            findings.append(Finding("WARN", "depth-format", name,
+                                    f"depth map is {kind}, expected 16-bit PNG"))
+        elif bit_depth != 16:
+            findings.append(Finding(
+                "WARN", "depth-bitdepth", name,
+                f"depth PNG is {bit_depth}-bit, expected 16-bit millimeters "
+                f"(8-bit caps at 0.255 m — almost certainly a unit mistake)"))
+        if (w, h) != (view.width, view.height) and not scaled:
+            findings.append(Finding(
+                "WARN", "depth-dims", name,
+                f"depth is {w}x{h}, camera is {view.width}x{view.height}; "
+                f"INTER_NEAREST resize applies (reference parity) but a "
+                f"mismatch usually means the map came from another model"))
+    if deep:
+        from sucre_tpu.io.images import load_depth_map
+
+        try:
+            depth = load_depth_map(view.depth_path, view.width, view.height)
+            if not np.isfinite(depth).all():
+                findings.append(Finding("ERROR", "depth-nonfinite", name,
+                                        "decoded depth contains non-finite values"))
+            else:
+                pos = float((depth > 0).mean())
+                if pos == 0.0:
+                    findings.append(Finding(
+                        "WARN", "depth-empty", name,
+                        "no positive depths — this view contributes zero "
+                        "observations (and is unrestorable as a target)"))
+        except Exception as e:
+            findings.append(Finding("ERROR", "depth-decode", name,
+                                    f"cannot decode {view.depth_path}: {e}"))
+    return findings
+
+
+def validate(
+    model_dir: Path,
+    image_dir: Path,
+    depth_dir: Path,
+    image_scale: float = 1.0,
+    deep: bool = False,
+    num_workers: int = 8,
+):
+    """Run all checks. Returns (findings, summary dict). Raises
+    ValueError when the model itself cannot be ingested."""
+    import numpy as np
+
+    from sucre_tpu.io import colmap as colmap_io
+    from sucre_tpu.scene import Scene
+
+    findings: list[Finding] = []
+
+    # Duplicate names are checked on the raw model: Scene keys views by
+    # name, so a collision silently shadows one image.
+    try:
+        _, raw_images, _ = colmap_io.read_model(model_dir)
+    except Exception as e:
+        raise ValueError(f"COLMAP model at {model_dir} failed to parse: {e}")
+    names_seen: dict[str, int] = {}
+    for im in raw_images.values():
+        if im.name in names_seen:
+            findings.append(Finding(
+                "ERROR", "duplicate-name", im.name,
+                f"image ids {names_seen[im.name]} and {im.image_id} share "
+                f"one name; name-keyed target selection cannot tell them "
+                f"apart"))
+        else:
+            names_seen[im.name] = im.image_id
+
+    scene = Scene.from_colmap(model_dir, image_dir, depth_dir, image_scale)
+
+    for v in scene.view_list():
+        bad = [x for x in (v.fx, v.fy, v.cx, v.cy) if not np.isfinite(x)]
+        if bad or v.fx <= 0 or v.fy <= 0:
+            findings.append(Finding("ERROR", "intrinsics", v.name,
+                                    f"non-finite or non-positive focal: "
+                                    f"fx={v.fx} fy={v.fy} cx={v.cx} cy={v.cy}"))
+        if not (np.isfinite(v.R).all() and np.isfinite(v.t).all()):
+            findings.append(Finding("ERROR", "pose", v.name,
+                                    "non-finite pose"))
+
+    scaled = image_scale != 1.0
+    with cf.ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+        for sub in pool.map(lambda v: _check_view(v, deep, scaled),
+                            scene.view_list()):
+            findings.extend(sub)
+
+    dims: dict[tuple[int, int], int] = {}
+    for v in scene.view_list():
+        dims[(v.width, v.height)] = dims.get((v.width, v.height), 0) + 1
+    n_err = sum(1 for f in findings if f.level == "ERROR")
+    n_warn = len(findings) - n_err
+    summary = {
+        "n_views": len(scene),
+        "dims": {f"{w}x{h}": c for (w, h), c in sorted(dims.items())},
+        "image_scale": image_scale,
+        "deep": deep,
+        "n_errors": n_err,
+        "n_warnings": n_warn,
+        "findings": [dataclasses.asdict(f) for f in findings],
+    }
+    return findings, summary
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Validate a SUCRe dataset (COLMAP model + images + "
+                    "depth maps) before running restorations.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--image-dir", required=True, type=Path)
+    p.add_argument("--depth-dir", required=True, type=Path)
+    p.add_argument("--model-dir", required=True, type=Path)
+    p.add_argument("--image-scale", type=float, default=1.0)
+    p.add_argument("--deep", action="store_true",
+                   help="fully decode every image and depth map (slower; "
+                        "also checks decodability and positive depths)")
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--json", type=Path, default=None,
+                   help="also write the machine-readable report here")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        findings, summary = validate(
+            args.model_dir, args.image_dir, args.depth_dir,
+            image_scale=args.image_scale, deep=args.deep,
+            num_workers=args.num_workers,
+        )
+    except ValueError as e:
+        print(f"FATAL: {e}")
+        return 2
+    for f in findings:
+        print(f.format())
+    dims = ", ".join(f"{k} x{v}" for k, v in summary["dims"].items())
+    print(f"{summary['n_views']} views ({dims}); "
+          f"{summary['n_errors']} errors, {summary['n_warnings']} warnings"
+          + ("" if args.deep else " (header checks only; --deep decodes)"))
+    if args.json is not None:
+        args.json.parent.mkdir(parents=True, exist_ok=True)
+        args.json.write_text(json.dumps(summary, indent=1))
+        print(f"Report: {args.json}")
+    return 1 if summary["n_errors"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

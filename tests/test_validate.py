@@ -1,0 +1,103 @@
+"""Dataset pre-flight validator (`python -m sucre_tpu.validate`)."""
+
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from sucre_tpu.validate import main, probe_headers, validate
+from tests.synthetic import make_scene
+
+
+@pytest.fixture()
+def sd(tmp_path):
+    return make_scene(tmp_path / "s", n_views=4, width=48, height=32)
+
+
+def _args(sd, extra=()):
+    return [
+        "--image-dir", str(sd.image_dir),
+        "--depth-dir", str(sd.depth_dir),
+        "--model-dir", str(sd.model_dir),
+        *extra,
+    ]
+
+
+def test_probe_headers_png_and_jpeg(tmp_path):
+    import cv2
+
+    depth = (np.arange(48 * 32, dtype=np.uint16)).reshape(32, 48)
+    cv2.imwrite(str(tmp_path / "d.png"), depth)
+    assert probe_headers(tmp_path / "d.png") == (48, 32, 16, "png")
+
+    rgb = np.zeros((32, 48, 3), np.uint8)
+    cv2.imwrite(str(tmp_path / "i.png"), rgb)
+    assert probe_headers(tmp_path / "i.png") == (48, 32, 8, "png")
+    cv2.imwrite(str(tmp_path / "i.jpg"), rgb)
+    assert probe_headers(tmp_path / "i.jpg") == (48, 32, 8, "jpeg")
+
+    (tmp_path / "x.bin").write_bytes(b"not an image")
+    assert probe_headers(tmp_path / "x.bin") is None
+
+
+def test_clean_scene_passes(sd, capsys):
+    assert main(_args(sd, ["--deep"])) == 0
+    out = capsys.readouterr().out
+    assert "0 errors, 0 warnings" in out
+
+
+def test_findings(sd, tmp_path, capsys):
+    import cv2
+
+    # break one depth map: 8-bit (unit-mistake warning)
+    bad8 = np.full((32, 48), 100, np.uint8)
+    cv2.imwrite(str(sd.depth_dir / "depth_img_001.png"), bad8)
+    # delete another depth map entirely
+    (sd.depth_dir / "depth_img_002.png").unlink()
+    # corrupt an RGB file (decode fails only under --deep)
+    (sd.image_dir / "img_003.png").write_bytes(b"\x89PNG\r\n\x1a\nIHDRgarbage")
+
+    findings, summary = validate(sd.model_dir, sd.image_dir, sd.depth_dir,
+                                 deep=True)
+    codes = {(f.code, f.image) for f in findings}
+    assert ("depth-bitdepth", "img_001.png") in codes
+    assert ("depth-missing", "img_002.png") in codes
+    assert ("rgb-decode", "img_003.png") in codes
+    assert summary["n_errors"] >= 2  # missing depth + corrupt rgb
+
+    rc = main(_args(sd, ["--deep", "--json", str(tmp_path / "v.json")]))
+    assert rc == 1
+    rep = json.loads((tmp_path / "v.json").read_text())
+    assert rep["n_errors"] == summary["n_errors"]
+    assert any(f["code"] == "depth-missing" for f in rep["findings"])
+
+
+def test_duplicate_names_flagged(sd):
+    from sucre_tpu.io import colmap as cio
+
+    cams, imgs, _ = cio.read_model(sd.model_dir)
+    first = min(imgs)
+    imgs[first] = dataclasses.replace(imgs[first], name=imgs[max(imgs)].name)
+    cio.write_images_bin(imgs, sd.model_dir / "images.bin")
+    findings, _ = validate(sd.model_dir, sd.image_dir, sd.depth_dir)
+    assert any(f.code == "duplicate-name" and f.level == "ERROR"
+               for f in findings)
+
+
+def test_image_scale_suppresses_dim_warnings(sd):
+    """At image_scale != 1 every file's dims legitimately differ from the
+    scaled camera dims — no warning spam."""
+    findings, _ = validate(sd.model_dir, sd.image_dir, sd.depth_dir,
+                           image_scale=0.5)
+    assert not [f for f in findings if f.code in ("rgb-dims", "depth-dims")]
+
+
+def test_unparseable_model_is_fatal(tmp_path, capsys):
+    (tmp_path / "cameras.bin").write_bytes(b"garbage")
+    (tmp_path / "images.bin").write_bytes(b"garbage")
+    rc = main(["--image-dir", str(tmp_path), "--depth-dir", str(tmp_path),
+               "--model-dir", str(tmp_path)])
+    assert rc == 2
+    assert "FATAL" in capsys.readouterr().out
