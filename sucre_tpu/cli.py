@@ -400,6 +400,10 @@ def _write_report(path, args, results, shard_mode: str, wall_s: float) -> None:
 
     def target_entry(r):
         cost = np.asarray(r.telemetry.cost)
+        # perfect/empty-mask fits give inf/nan PSNR — not valid JSON
+        rp = r.metrics.get("recon_psnr")
+        if rp is not None and not np.isfinite(rp):
+            rp = None
         e = {
             "image": r.image_name,
             "n_obs": int(r.n_obs),
@@ -409,6 +413,11 @@ def _write_report(path, args, results, shard_mode: str, wall_s: float) -> None:
             "beta": np.asarray(r.params.beta).ravel().tolist(),
             "gamma": np.asarray(r.params.gamma).ravel().tolist(),
             "observed_fraction": float(np.asarray(r.valid, bool).mean()),
+            # per-channel RMS residual over all observations + PSNR of
+            # the reconstruction render vs the raw image (dB): low
+            # recon_psnr flags targets whose fit diverged
+            "obs_rmse": r.metrics.get("obs_rmse"),
+            "recon_psnr": rp,
             "timings_s": {k: round(v, 4) for k, v in r.timings.items()},
             "artifacts": [str(a) for a in r.artifacts],
         }

@@ -110,6 +110,9 @@ class RestoreResult(NamedTuple):
     n_obs: int
     artifacts: list[Path]
     timings: dict[str, float]
+    # fit-quality summary (final_cost, obs_rmse, recon_psnr) — see
+    # _fit_metrics
+    metrics: dict = {}
 
 
 class ViewCache:
@@ -722,11 +725,13 @@ def restore_image(
     rec_dev = jnp.where(valid_dev[..., None], rec_dev, 0)
     rgb_dev = viz.plot_J_batch_device(res.J[None], valid_dev[None])[0]
     observed_fetch = res.observed if cfg.use_closed_form else None
-    params_noJ, J, observed, rec_u8, rgb_u8 = jax.device_get(
-        (res.params._replace(J=None), res.J, observed_fetch, rec_dev, rgb_dev)
+    params_noJ, J, observed, rec_u8, rgb_u8, tel = jax.device_get(
+        (res.params._replace(J=None), res.J, observed_fetch, rec_dev, rgb_dev,
+         res.telemetry)
     )
     res = res._replace(
-        params=params_noJ._replace(J=J if res.params.J is not None else None)
+        params=params_noJ._replace(J=J if res.params.J is not None else None),
+        telemetry=tel,
     )
     valid = _export_mask(
         cfg, target_depth, None if observed is None else np.asarray(observed)
@@ -746,6 +751,15 @@ def restore_image(
         log(f"Erase {matches_path}.")
         matches_path.unlink(missing_ok=True)
 
+    raw_rgb = image  # f32, already decoded for the J init in direct mode
+    if raw_rgb is None:  # closed-form mode skips the J init decode
+        if cache is not None:
+            raw_rgb = cache.get(target)[0]
+        else:
+            from sucre_tpu.io.images import load_rgb_raw
+
+            raw_rgb = load_rgb_raw(target.rgb_path, target.width, target.height)
+
     return RestoreResult(
         image_name=target.name,
         params=res.params,
@@ -755,6 +769,7 @@ def restore_image(
         n_obs=n_obs,
         artifacts=artifacts,
         timings=timings,
+        metrics=_fit_metrics(res.telemetry, n_obs, rec_u8, raw_rgb, valid),
     )
 
 
@@ -779,6 +794,7 @@ class _BatchInFlight(NamedTuple):
     recs_dev: jnp.ndarray  # (T, H, W, 3) u8 reconstruction renders
     rgbs_dev: jnp.ndarray  # (T, H, W, 3) u8 normalized restored images
     n_obs_dev: jnp.ndarray  # (T,) per-target observation counts
+    target_rgbs: list  # host raw target RGBs (cache refs; recon_psnr)
     timings: dict
 
 
@@ -1128,6 +1144,7 @@ def _dispatch_batch(
         recs_dev=recs_dev,
         rgbs_dev=rgbs_dev,
         n_obs_dev=n_obs_dev,
+        target_rgbs=[cache.get(t)[0] for t in targets],
         timings=timings,
     )
 
@@ -1193,6 +1210,8 @@ def _export_batch(b: _BatchInFlight, fetched) -> list[RestoreResult]:
             image_name=target.name, params=p_t, J=J_t, valid=valid,
             telemetry=tel_t, n_obs=n_obs_list[t],
             artifacts=artifacts, timings=dict(b.timings),
+            metrics=_fit_metrics(tel_t, n_obs_list[t], rec_t,
+                                 b.target_rgbs[t], valid),
         )
 
     # Export targets concurrently: PNG/npz encode is host-bound.
@@ -1375,6 +1394,34 @@ def restore_survey(
     by_name = {r.image_name: r for r in results}
     order = [scene[n].name for n in image_names]
     return [by_name[n] for n in order if n in by_name]
+
+
+def _fit_metrics(telemetry, n_obs: int, rec_u8, raw_rgb, valid) -> dict:
+    """Quantitative fit-quality summary for one restored target.
+
+    - ``final_cost``: last-iteration sum of squared residuals (what the
+      reference prints each iteration, sucre.py:149-152).
+    - ``obs_rmse``: sqrt(final_cost / (n_obs * 3)) — per-channel RMS
+      residual in [0, 1] color units across ALL observations.
+    - ``recon_psnr``: PSNR (dB) of the reconstruction render against the
+      raw target image over export-valid pixels — the quantitative form
+      of the reference's eyeball-the-reconstruction check
+      (sucre.py:106-113). Low values flag targets whose fit diverged.
+    """
+    m: dict = {}
+    cost = np.asarray(telemetry.cost)
+    if cost.shape[0] and n_obs:
+        final = float(np.asarray(cost[-1]).sum())
+        m["final_cost"] = final
+        m["obs_rmse"] = float(np.sqrt(max(final, 0.0) / (n_obs * 3)))
+    if rec_u8 is not None and raw_rgb is not None:
+        from sucre_tpu.utils.metrics import psnr
+
+        m["recon_psnr"] = psnr(
+            np.asarray(rec_u8, np.float32) / 255.0, rgb_to_f32(raw_rgb),
+            mask=valid,
+        )
+    return m
 
 
 def _export_mask(cfg: RestoreConfig, target_depth: np.ndarray, observed: np.ndarray):

@@ -294,6 +294,7 @@ def test_report_flag(scene_dir, tmp_path):
     assert t["image"] == "img_001.png" and t["n_obs"] > 0
     assert len(t["beta"]) == 3 and t["artifacts"]
     assert rep["total_obs"] == sum(x["n_obs"] for x in rep["targets"])
+    assert t["obs_rmse"] > 0 and t["recon_psnr"] is not None
 
     # sequential path + explicit report path
     rc = main(_base_args(scene_dir, tmp_path / "out2") + [

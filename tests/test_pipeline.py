@@ -654,3 +654,36 @@ def test_restore_survey_duplicate_names(tmp_path):
     assert [r.image_name for r in results] == names
     assert results[0] is results[1]
     assert (tmp_path / "o2" / "img_001_rgb.png").exists()
+
+
+def test_fit_quality_metrics(tmp_path):
+    """Every result carries the fit-quality summary: final_cost/obs_rmse
+    (observation-space residual) and recon_psnr (reconstruction render vs
+    the raw image — the quantitative plot_reconstruction check), on both
+    the single-target and batched paths, both J modes."""
+    from sucre_tpu.pipeline import RestoreConfig, restore_image, restore_survey
+    from sucre_tpu.scene import Scene
+    from tests.synthetic import make_scene
+
+    sd = make_scene(tmp_path / "s", n_views=3, width=48, height=32)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+
+    res = restore_image(scene, "img_001.png", tmp_path / "o1",
+                        RestoreConfig(num_iter=40, verbose=False))
+    m = res.metrics
+    assert m["final_cost"] > 0
+    assert 0 < m["obs_rmse"] < 0.5
+    assert np.isclose(m["obs_rmse"],
+                      np.sqrt(m["final_cost"] / (res.n_obs * 3)))
+    # after 40 iterations the reconstruction should resemble the input
+    assert m["recon_psnr"] > 15.0
+
+    for cf in (False, True):
+        results = restore_survey(
+            scene, [f"img_{i:03d}.png" for i in (1, 2)], tmp_path / f"o2{cf}",
+            RestoreConfig(num_iter=40, verbose=False, use_closed_form=cf),
+            batch_targets=2,
+        )
+        for r in results:
+            assert r.metrics["recon_psnr"] > 15.0
+            assert r.metrics["obs_rmse"] < 0.5
