@@ -398,17 +398,19 @@ def _write_report(path, args, results, shard_mode: str, wall_s: float) -> None:
     import jax
     import numpy as np
 
+    def finite(x):
+        # diverged fits give inf/nan, which json.dumps would emit as the
+        # non-standard Infinity/NaN tokens strict parsers reject
+        return float(x) if x is not None and np.isfinite(x) else None
+
     def target_entry(r):
         cost = np.asarray(r.telemetry.cost)
-        # perfect/empty-mask fits give inf/nan PSNR — not valid JSON
-        rp = r.metrics.get("recon_psnr")
-        if rp is not None and not np.isfinite(rp):
-            rp = None
+        m = r.metrics or {}
         e = {
             "image": r.image_name,
             "n_obs": int(r.n_obs),
             # None when no iterations ran (--num-iter 0 / exhausted resume)
-            "final_cost": float(cost[-1].sum()) if cost.shape[0] else None,
+            "final_cost": finite(cost[-1].sum()) if cost.shape[0] else None,
             "B": np.asarray(r.params.B).ravel().tolist(),
             "beta": np.asarray(r.params.beta).ravel().tolist(),
             "gamma": np.asarray(r.params.gamma).ravel().tolist(),
@@ -416,8 +418,8 @@ def _write_report(path, args, results, shard_mode: str, wall_s: float) -> None:
             # per-channel RMS residual over all observations + PSNR of
             # the reconstruction render vs the raw image (dB): low
             # recon_psnr flags targets whose fit diverged
-            "obs_rmse": r.metrics.get("obs_rmse"),
-            "recon_psnr": rp,
+            "obs_rmse": finite(m.get("obs_rmse")),
+            "recon_psnr": finite(m.get("recon_psnr")),
             "timings_s": {k: round(v, 4) for k, v in r.timings.items()},
             "artifacts": [str(a) for a in r.artifacts],
         }

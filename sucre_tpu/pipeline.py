@@ -111,8 +111,9 @@ class RestoreResult(NamedTuple):
     artifacts: list[Path]
     timings: dict[str, float]
     # fit-quality summary (final_cost, obs_rmse, recon_psnr) — see
-    # _fit_metrics
-    metrics: dict = {}
+    # _fit_metrics. None only for externally constructed results (a
+    # mutable {} default would be shared across instances).
+    metrics: dict | None = None
 
 
 class ViewCache:
@@ -752,7 +753,9 @@ def restore_image(
         matches_path.unlink(missing_ok=True)
 
     raw_rgb = image  # f32, already decoded for the J init in direct mode
-    if raw_rgb is None:  # closed-form mode skips the J init decode
+    # closed-form mode skips the J init decode; the one extra decode here
+    # (~ms) is noise against the fit it summarizes
+    if raw_rgb is None:
         if cache is not None:
             raw_rgb = cache.get(target)[0]
         else:

@@ -123,6 +123,22 @@ class Scene:
                 cameras = None
         if cameras is None:
             cameras, images, _ = colmap_io.read_model(model_dir)
+        return cls.from_model_dicts(
+            cameras, images, image_dir, depth_dir, image_scale
+        )
+
+    @classmethod
+    def from_model_dicts(
+        cls,
+        cameras: dict,
+        images: dict,
+        image_dir: Path | str,
+        depth_dir: Path | str,
+        image_scale: float = 1.0,
+    ) -> "Scene":
+        """Build a Scene from already-parsed COLMAP dicts (the
+        ``io.colmap`` dataclasses) — the ingest tail of ``from_colmap``
+        for callers that parsed (or filtered) the model themselves."""
         image_dir = Path(image_dir)
         depth_dir = Path(depth_dir)
 

@@ -55,10 +55,15 @@ def probe_headers(path: Path):
     """(width, height, bit_depth, kind) from PNG/JPEG file headers, or
     None when the format is neither (the deep pass / pipeline decode
     will still try cv2). Reads at most a few KB."""
+    # A truncated header (interrupted copy) must degrade to None — the
+    # deep pass / pipeline decode reports it properly — hence the broad
+    # short-read guards and struct.error/IndexError in the catch.
     try:
         with open(path, "rb") as f:
             head = f.read(32)
             if head[:8] == b"\x89PNG\r\n\x1a\n" and head[12:16] == b"IHDR":
+                if len(head) < 25:
+                    return None
                 w, h = struct.unpack(">II", head[16:24])
                 bit_depth = head[24]
                 return int(w), int(h), int(bit_depth), "png"
@@ -73,12 +78,16 @@ def probe_headers(path: Path):
                     marker = seg[1]
                     if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                         sof = f.read(5)
+                        if len(sof) < 5:
+                            return None
                         precision = sof[0]
                         h, w = struct.unpack(">HH", sof[1:5])
                         return int(w), int(h), int(precision), "jpeg"
                     (seg_len,) = struct.unpack(">H", seg[2:4])
+                    if seg_len < 2:
+                        return None
                     f.seek(seg_len - 2, 1)
-    except OSError:
+    except (OSError, struct.error, IndexError):
         return None
     return None
 
@@ -179,12 +188,14 @@ def validate(
 
     findings: list[Finding] = []
 
-    # Duplicate names are checked on the raw model: Scene keys views by
-    # name, so a collision silently shadows one image.
     try:
-        _, raw_images, _ = colmap_io.read_model(model_dir)
+        raw_cameras, raw_images, _ = colmap_io.read_model(model_dir)
     except Exception as e:
         raise ValueError(f"COLMAP model at {model_dir} failed to parse: {e}")
+
+    # Duplicate names: views are id-keyed, but every name-keyed lookup
+    # (CLI target selection, scene[name]) silently resolves to ONE of the
+    # colliding images.
     names_seen: dict[str, int] = {}
     for im in raw_images.values():
         if im.name in names_seen:
@@ -196,7 +207,32 @@ def validate(
         else:
             names_seen[im.name] = im.image_id
 
-    scene = Scene.from_colmap(model_dir, image_dir, depth_dir, image_scale)
+    # Camera-model / dangling-camera checks run here (not via the Scene
+    # ingest's raise) so ONE bad camera reports itself and the rest of
+    # the dataset still gets validated — the whole point of pre-flight.
+    ok_cams = {}
+    for cid, cam in raw_cameras.items():
+        if cam.model in ("PINHOLE", "SIMPLE_PINHOLE"):
+            ok_cams[cid] = cam
+        else:
+            findings.append(Finding(
+                "ERROR", "camera-model", "",
+                f"camera {cid} uses model {cam.model}; only undistorted "
+                f"models (PINHOLE, SIMPLE_PINHOLE) are supported — run "
+                f"COLMAP's image undistorter first"))
+    ok_images = {}
+    for iid, im in raw_images.items():
+        if im.camera_id in raw_cameras:
+            if im.camera_id in ok_cams:
+                ok_images[iid] = im
+        else:
+            findings.append(Finding(
+                "ERROR", "dangling-camera", im.name,
+                f"image {iid} references camera {im.camera_id}, which is "
+                f"not in cameras.bin/.txt"))
+
+    scene = Scene.from_model_dicts(ok_cams, ok_images, image_dir,
+                                   depth_dir, image_scale)
 
     for v in scene.view_list():
         bad = [x for x in (v.fx, v.fy, v.cx, v.cy) if not np.isfinite(x)]
@@ -258,7 +294,8 @@ def main(argv=None) -> int:
             image_scale=args.image_scale, deep=args.deep,
             num_workers=args.num_workers,
         )
-    except ValueError as e:
+    except Exception as e:
+        # a validator must never traceback on a broken dataset
         print(f"FATAL: {e}")
         return 2
     for f in findings:

@@ -41,6 +41,14 @@ def test_probe_headers_png_and_jpeg(tmp_path):
     (tmp_path / "x.bin").write_bytes(b"not an image")
     assert probe_headers(tmp_path / "x.bin") is None
 
+    # truncated headers (interrupted copy) degrade to None, never raise
+    (tmp_path / "t.png").write_bytes(b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR\x00\x01")
+    assert probe_headers(tmp_path / "t.png") is None
+    (tmp_path / "t.jpg").write_bytes(b"\xff\xd8\xff\xc0\x00\x11")
+    assert probe_headers(tmp_path / "t.jpg") is None
+    (tmp_path / "t2.jpg").write_bytes(b"\xff\xd8\xff\xe0\x00\x00")
+    assert probe_headers(tmp_path / "t2.jpg") is None
+
 
 def test_clean_scene_passes(sd, capsys):
     assert main(_args(sd, ["--deep"])) == 0
@@ -92,6 +100,32 @@ def test_image_scale_suppresses_dim_warnings(sd):
     findings, _ = validate(sd.model_dir, sd.image_dir, sd.depth_dir,
                            image_scale=0.5)
     assert not [f for f in findings if f.code in ("rgb-dims", "depth-dims")]
+
+
+def test_bad_camera_does_not_abort(sd):
+    """One unsupported camera (or an image referencing a missing one) is
+    a reported finding — the REST of the dataset still gets validated
+    (the whole point of pre-flight vs the ingest's raise)."""
+    import numpy as np
+
+    from sucre_tpu.io import colmap as cio
+
+    cams, imgs, _ = cio.read_model(sd.model_dir)
+    cams[99] = cio.ColmapCamera(99, "SIMPLE_RADIAL", 64, 48,
+                                np.array([50.0, 32.0, 24.0, 0.1]))
+    first = min(imgs)
+    imgs[first] = dataclasses.replace(imgs[first], camera_id=99)
+    second = sorted(imgs)[1]
+    imgs[second] = dataclasses.replace(imgs[second], camera_id=7)  # dangling
+    cio.write_cameras_bin(cams, sd.model_dir / "cameras.bin")
+    cio.write_images_bin(imgs, sd.model_dir / "images.bin")
+    # also break a depth map of a GOOD image: still reported
+    (sd.depth_dir / "depth_img_003.png").unlink()
+
+    findings, summary = validate(sd.model_dir, sd.image_dir, sd.depth_dir)
+    codes = {f.code for f in findings}
+    assert {"camera-model", "dangling-camera", "depth-missing"} <= codes
+    assert summary["n_errors"] >= 3
 
 
 def test_unparseable_model_is_fatal(tmp_path, capsys):
