@@ -361,15 +361,28 @@ def main(argv: list[str] | None = None) -> int:
                 cache = ViewCache()
                 cache.prefill(image_list, num_workers=args.num_workers)
             for name in targets:
-                results.append(
-                    restore_image(scene, name, args.output_dir, cfg,
-                                  image_list=image_list, mesh=rmesh, cache=cache)
-                )
+                try:
+                    results.append(
+                        restore_image(scene, name, args.output_dir, cfg,
+                                      image_list=image_list, mesh=rmesh,
+                                      cache=cache)
+                    )
+                except RuntimeError as e:
+                    # one bad target (empty depth map, min_cover filtered
+                    # everything) must not kill the rest of the list; the
+                    # failure is reported below and in the exit code
+                    print(f"ERROR: {e}")
+    restored = {r.image_name for r in results}
+    failed = [n for n in targets if scene[n].name not in restored]
+    if failed:
+        print(f"FAILED ({len(failed)}/{len(targets)} targets not restored): "
+              + ", ".join(failed))
     if args.report is not None:
         path = _report_path(args, multihost)
-        _write_report(path, args, results, mode, time.perf_counter() - run_t0)
+        _write_report(path, args, results, mode, time.perf_counter() - run_t0,
+                      failed=failed)
         print(f"Report: {path}")
-    return 0
+    return 1 if failed else 0
 
 
 def _report_path(args, multihost: bool) -> Path:
@@ -389,7 +402,8 @@ def _report_path(args, multihost: bool) -> Path:
     return args.output_dir / name
 
 
-def _write_report(path, args, results, shard_mode: str, wall_s: float) -> None:
+def _write_report(path, args, results, shard_mode: str, wall_s: float,
+                  failed: list[str] = ()) -> None:
     """One JSON document summarizing the run: per-target fit outcomes and
     stage timings plus run-level config/platform (the observability
     counterpart of the reference's per-iteration prints)."""
@@ -440,6 +454,9 @@ def _write_report(path, args, results, shard_mode: str, wall_s: float) -> None:
         "joint_params": args.joint_params,
         "wall_s": round(wall_s, 3),
         "n_targets": len(results),
+        # targets requested but not restored (zero observations): the
+        # run continues past them and exits 1
+        "failed_targets": list(failed),
         "total_obs": int(sum(int(r.n_obs) for r in results)),
         "targets": [target_entry(r) for r in results],
     }

@@ -801,6 +801,21 @@ class _BatchInFlight(NamedTuple):
     timings: dict
 
 
+def _empty_obs(height: int, width: int, light: bool) -> DenseObs:
+    """An all-invalid single-view observation stack in the batch's layout
+    (compact z without the light model, full cP with it) — the uniform
+    placeholder for targets the matcher found nothing for."""
+    valid = jnp.zeros((1, height, width), bool)
+    I = jnp.zeros((1, height, width, 3), jnp.uint8)
+    if light:
+        return DenseObs(
+            valid=valid, cP=jnp.zeros((1, height, width, 3), jnp.float32), I=I
+        )
+    return DenseObs(
+        valid=valid, cP=None, I=I, z=jnp.zeros((1, height, width), jnp.float32)
+    )
+
+
 def _device_target_arrays(device_views, targets):
     """Slice the targets' raw depth/RGB stacks from the device-resident
     survey stack (targets are themselves survey views): zero host->device
@@ -896,6 +911,12 @@ def _dispatch_batch(
         t_aabbs = [cache.aabb(targets[ti]) for ti in to_match]
         keep_mask = cull_views(t_aabbs, [cache.aabb(v) for v in image_list])
         culled_list = [v for v, k in zip(image_list, keep_mask) if k]
+        if not culled_list:
+            # every target has an empty observed surface (e.g. all-zero
+            # depth maps): keep one view so the matching machinery runs
+            # with valid shapes — it produces zero observations and the
+            # targets are skipped at export with a logged error
+            culled_list = image_list[:1]
         if len(culled_list) < len(image_list):
             log(f"Surface cull: {len(culled_list)}/{len(image_list)} views kept.")
 
@@ -1042,7 +1063,13 @@ def _dispatch_batch(
     depths, params_list = [], []
     for ti, target in enumerate(targets):
         if stacked_obs is None and obs_list[ti] is None:
-            raise RuntimeError(f"No observations for {target.name}; cannot restore.")
+            # the chunked matcher returns None for observationless /
+            # below-min-cover targets: keep the batch uniform with an
+            # empty stack — the zero count skips (and logs) the target
+            # at export without killing the rest of the survey
+            obs_list[ti] = _empty_obs(
+                target.height, target.width, cfg.light_model
+            )
         depths.append(depth_to_f32(cache.get(target)[1]))
         image = None
         if not cfg.use_closed_form:
@@ -1161,11 +1188,6 @@ def _fetch_batch(b: _BatchInFlight):
         )
     )
     n_obs_list = [int(x) for x in np.asarray(n_obs_arr)]
-    for ti, n in enumerate(n_obs_list):
-        if n == 0:
-            raise RuntimeError(
-                f"No observations for {b.targets[ti].name}; cannot restore."
-            )
     J = np.asarray(J, np.float32)
     params = params_noJ._replace(J=J if b.params_dev.J is not None else None)
     if recs is not None:
@@ -1174,9 +1196,26 @@ def _fetch_batch(b: _BatchInFlight):
 
 
 def _export_batch(b: _BatchInFlight, fetched) -> list[RestoreResult]:
-    """Write one batch's artifact set (host-only; threads over targets)."""
+    """Write one batch's artifact set (host-only; threads over targets).
+
+    Zero-observation targets (empty/bad depth map, or min_cover filtered
+    everything) are SKIPPED with a logged error instead of killing the
+    whole survey — the result list simply lacks them (the single-target
+    ``restore_image`` path still raises, reference parity). Their .h5
+    caches, if any, are left in place for inspection.
+    """
     params, J, observed, tel, recs, rgb_plots, n_obs_list = fetched
     cfg, targets, output_dir = b.cfg, b.targets, b.output_dir
+
+    keep = [t for t in range(len(targets)) if n_obs_list[t] > 0]
+    if len(keep) < len(targets):
+        logger = get_logger()
+        for t in range(len(targets)):
+            if n_obs_list[t] == 0:
+                logger.error(
+                    "No observations for %s; target skipped (not restored).",
+                    targets[t].name,
+                )
 
     def export_one(t: int) -> RestoreResult:
         target = targets[t]
@@ -1220,10 +1259,10 @@ def _export_batch(b: _BatchInFlight, fetched) -> list[RestoreResult]:
     # Export targets concurrently: PNG/npz encode is host-bound.
     import concurrent.futures as cf
 
-    if len(targets) > 1:
-        with cf.ThreadPoolExecutor(max_workers=min(4, len(targets))) as pool:
-            return list(pool.map(export_one, range(len(targets))))
-    return [export_one(0)]
+    if len(keep) > 1:
+        with cf.ThreadPoolExecutor(max_workers=min(4, len(keep))) as pool:
+            return list(pool.map(export_one, keep))
+    return [export_one(t) for t in keep]
 
 
 def restore_many(
@@ -1286,7 +1325,9 @@ def restore_many(
     results = _export_batch(b, fetched)
     b.timings["export"] = time.perf_counter() - t0
     by_name = {r.image_name: r._replace(timings=dict(b.timings)) for r in results}
-    return [by_name[scene[n].name] for n in requested]
+    # zero-observation targets were skipped with a logged error — the
+    # result list simply lacks them (same contract as restore_survey)
+    return [by_name[scene[n].name] for n in requested if scene[n].name in by_name]
 
 
 def restore_survey(

@@ -429,6 +429,40 @@ def test_skip_existing_resumes_survey(scene_dir, tmp_path, capsys):
     assert rep["n_targets"] == 0 and rep["targets"] == []
 
 
+def test_failed_target_exit_code_and_report(tmp_path, capsys):
+    """A zero-observation target doesn't kill the run: the others
+    restore, the failure lands in the report + FAILED summary, and the
+    CLI exits 1 — on BOTH the batched and sequential paths."""
+    import json
+
+    import cv2
+
+    sd = make_scene(tmp_path / "s", n_views=4, width=48, height=32)
+    cv2.imwrite(str(sd.depth_dir / "depth_img_001.png"),
+                np.zeros((32, 48), np.uint16))
+    lst = tmp_path / "list.txt"
+    lst.write_text("".join(f"img_{i:03d}.png\n" for i in range(4)))
+
+    out = tmp_path / "o"
+    rc = main(_base_args(sd, out) + ["--image-list", str(lst), "--report"])
+    assert rc == 1
+    assert "FAILED (1/4" in capsys.readouterr().out
+    rep = json.loads((out / "report.json").read_text())
+    assert rep["failed_targets"] == ["img_001.png"]
+    assert rep["n_targets"] == 3
+    assert (out / "img_002.npz").exists() and not (out / "img_001.npz").exists()
+
+    # sequential path (batch-targets 1): per-target error, run continues
+    out2 = tmp_path / "o2"
+    rc = main(_base_args(sd, out2) + ["--image-list", str(lst),
+                                      "--batch-targets", "1", "--report"])
+    assert rc == 1
+    assert "No observations" in capsys.readouterr().out
+    rep = json.loads((out2 / "report.json").read_text())
+    assert rep["failed_targets"] == ["img_001.png"]
+    assert (out2 / "img_003.npz").exists()
+
+
 def test_skip_existing_nested_names(tmp_path, capsys):
     """--skip-existing probes the checkpoint path of NESTED image names
     ('cam0/img.png' -> out/cam0/img.npz), not a flattened basename."""

@@ -656,6 +656,52 @@ def test_restore_survey_duplicate_names(tmp_path):
     assert (tmp_path / "o2" / "img_001_rgb.png").exists()
 
 
+def test_survey_skips_zero_obs_target(tmp_path):
+    """One observationless target (empty depth map) must not kill the
+    survey: the other targets restore, the failure is logged, and the
+    result list simply lacks the bad target. restore_image keeps the
+    reference's raise."""
+    import io
+    import logging
+
+    import cv2
+
+    from sucre_tpu.pipeline import RestoreConfig, restore_image, restore_many, restore_survey
+    from sucre_tpu.scene import Scene
+    from tests.synthetic import make_scene
+
+    sd = make_scene(tmp_path / "s", n_views=4, width=48, height=32)
+    cv2.imwrite(str(sd.depth_dir / "depth_img_001.png"),
+                np.zeros((32, 48), np.uint16))
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    names = [f"img_{i:03d}.png" for i in range(4)]
+    cfg = RestoreConfig(num_iter=2, verbose=False)
+
+    # capture the framework logger directly (its stdout handler binds the
+    # stream at first creation, which races with capsys across the suite)
+    stream = io.StringIO()
+    handler = logging.StreamHandler(stream)
+    logger = logging.getLogger("sucre_tpu")
+    logger.addHandler(handler)
+    try:
+        results = restore_survey(scene, names, tmp_path / "o", cfg,
+                                 batch_targets=4)
+    finally:
+        logger.removeHandler(handler)
+    assert [r.image_name for r in results] == [n for n in names if n != "img_001.png"]
+    assert "No observations for img_001.png" in stream.getvalue()
+    assert (tmp_path / "o" / "img_002_rgb.png").exists()
+    assert not (tmp_path / "o" / "img_001_rgb.png").exists()
+
+    # restore_many shares the skip contract
+    results = restore_many(scene, names, tmp_path / "o2", cfg)
+    assert len(results) == 3
+
+    # the single-target path raises (reference parity)
+    with pytest.raises(RuntimeError, match="No observations"):
+        restore_image(scene, "img_001.png", tmp_path / "o3", cfg)
+
+
 def test_fit_quality_metrics(tmp_path):
     """Every result carries the fit-quality summary: final_cost/obs_rmse
     (observation-space residual) and recon_psnr (reconstruction render vs
