@@ -697,6 +697,14 @@ def test_survey_skips_zero_obs_target(tmp_path):
     results = restore_many(scene, names, tmp_path / "o2", cfg)
     assert len(results) == 3
 
+    # the light model's full-cP layout takes the same empty placeholder
+    results = restore_survey(
+        scene, names, tmp_path / "ol",
+        RestoreConfig(num_iter=2, verbose=False, light_model=True),
+        batch_targets=4,
+    )
+    assert len(results) == 3
+
     # the single-target path raises (reference parity)
     with pytest.raises(RuntimeError, match="No observations"):
         restore_image(scene, "img_001.png", tmp_path / "o3", cfg)
