@@ -14,7 +14,7 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
-from sucre_tpu.pipeline import RestoreConfig, restore_image
+from sucre_tpu.pipeline import NoObservationsError, RestoreConfig, restore_image
 from sucre_tpu.scene import Scene
 
 
@@ -367,13 +367,19 @@ def main(argv: list[str] | None = None) -> int:
                                       image_list=image_list, mesh=rmesh,
                                       cache=cache)
                     )
-                except RuntimeError as e:
+                except NoObservationsError as e:
                     # one bad target (empty depth map, min_cover filtered
                     # everything) must not kill the rest of the list; the
-                    # failure is reported below and in the exit code
+                    # failure is reported below and in the exit code.
+                    # (Specifically NOT any RuntimeError: jaxlib device /
+                    # compile errors subclass it and must propagate.)
                     print(f"ERROR: {e}")
     restored = {r.image_name for r in results}
-    failed = [n for n in targets if scene[n].name not in restored]
+    # dict.fromkeys: order-preserving dedup (the restore paths dedup the
+    # target list; a duplicated failing name must not count twice)
+    failed = list(dict.fromkeys(
+        n for n in targets if scene[n].name not in restored
+    ))
     if failed:
         print(f"FAILED ({len(failed)}/{len(targets)} targets not restored): "
               + ", ".join(failed))

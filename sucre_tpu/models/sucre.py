@@ -169,7 +169,10 @@ def residual_loss(
     I_hat = formation_from_lz(params, J, l, z)
     sq = jnp.square(to_f32_rgb(obs.I) - I_hat)
     cost = jnp.sum(jnp.where(obs.valid[..., None], sq, 0.0))
-    return cost / n_obs / 3.0, cost
+    # max(n_obs, 1): an all-invalid stack (a skipped batched target) has
+    # cost exactly 0 — 0/0 would NaN the loss and, through autodiff, the
+    # gradients (fatal for joint fits, where grads sum across targets)
+    return cost / jnp.maximum(n_obs, 1) / 3.0, cost
 
 
 def closed_form_terms(

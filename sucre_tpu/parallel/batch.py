@@ -177,7 +177,7 @@ def _fit_many_jit(
                 params.J, params.B, params.beta, params.gamma,
                 params.cam2light, params.sigma, cPt, Ilt, interpret=interpret,
             )
-            s = (1.0 / (n_obs * 3.0))[:, None]
+            s = (1.0 / (jnp.maximum(n_obs, 1) * 3.0))[:, None]
             grads = SucreParams(
                 B=dB * s, beta=dbeta * s, gamma=dgamma * s,
                 J=dJ * s[..., None, None],
@@ -188,7 +188,7 @@ def _fit_many_jit(
                 params.J, params.B, params.beta, params.gamma, zt, It,
                 interpret=interpret,
             )
-            s = (1.0 / (n_obs * 3.0))[:, None]
+            s = (1.0 / (jnp.maximum(n_obs, 1) * 3.0))[:, None]
             grads = SucreParams(
                 B=dB * s, beta=dbeta * s, gamma=dgamma * s,
                 J=dJ * s[..., None, None],

@@ -115,7 +115,10 @@ def _fit_joint_jit(
         """Per-target kernel passes with the SHARED globals broadcast to
         every target; shared-parameter gradients are the sum of the
         per-target normalized gradients (L = sum_t cost_t/(3 n_t))."""
-        s = (1.0 / (n_obs * 3.0))[:, None]
+        # max(n_obs, 1): an empty target's masked grads/cost are exactly 0,
+        # so a finite scale zeroes its contribution — 1/(0*3) would NaN the
+        # SHARED parameter sums below and poison every target
+        s = (1.0 / (jnp.maximum(n_obs, 1) * 3.0))[:, None]
         bB = jnp.broadcast_to(p.B, (T, 3))
         bbe = jnp.broadcast_to(p.beta, (T, 3))
         bga = jnp.broadcast_to(p.gamma, (T, 3))

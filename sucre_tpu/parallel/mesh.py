@@ -335,7 +335,7 @@ def _run_sharded_kernel(params, X, It, n_obs, *, mesh, light, lr, num_iter,
 
     def step(carry, _):
         p, s = carry
-        k = (1.0 / (n_obs * 3.0))[:, None]
+        k = (1.0 / (jnp.maximum(n_obs, 1) * 3.0))[:, None]
         if light:
             # packed-operand assembly + partials decode live in
             # light_kernel.py (shared with the unsharded batched fit);

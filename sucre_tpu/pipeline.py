@@ -101,6 +101,14 @@ class RestoreConfig:
     verbose: bool = True
 
 
+class NoObservationsError(RuntimeError):
+    """A target has no observations (empty/invalid depth map, or
+    min_cover filtered every pair). RuntimeError subclass so existing
+    callers' handlers keep working; the CLI catches THIS type per target
+    (a broader catch would swallow device/compile errors, e.g. jaxlib's
+    XlaRuntimeError, which also subclasses RuntimeError)."""
+
+
 class RestoreResult(NamedTuple):
     image_name: str
     params: SucreParams
@@ -611,7 +619,7 @@ def restore_image(
 
     if use_h5:
         if not matches_file.exists():
-            raise RuntimeError(
+            raise NoObservationsError(
                 f"No observations for {target.name}: no view pair exceeded "
                 f"min_cover={cfg.min_cover}; cannot restore."
             )
@@ -638,7 +646,9 @@ def restore_image(
         n_obs = int(jax.device_get(obs.valid.sum()))
     log(f"Total of {n_obs} observations.")
     if obs is None or n_obs == 0:
-        raise RuntimeError(f"No observations for {target.name}; cannot restore.")
+        raise NoObservationsError(
+            f"No observations for {target.name}; cannot restore."
+        )
     timings["load"] = time.perf_counter() - t0
 
     image = None

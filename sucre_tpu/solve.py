@@ -175,7 +175,7 @@ def _run_segment(
                 params.cam2light, params.sigma, cPt, Itl,
                 interpret=(pallas_mode == "interpret"),
             )
-            s = 1.0 / (n_obs * 3.0)
+            s = 1.0 / (jnp.maximum(n_obs, 1) * 3.0)
             grads = SucreParams(
                 B=dB * s, beta=dbeta * s, gamma=dgamma * s, J=dJ * s,
                 cam2light=dc2l * s, sigma=dsig * s,
@@ -186,7 +186,7 @@ def _run_segment(
                 params.J, params.B, params.beta, params.gamma, zt, It,
                 interpret=(pallas_mode == "interpret"),
             )
-            s = 1.0 / (n_obs * 3.0)
+            s = 1.0 / (jnp.maximum(n_obs, 1) * 3.0)
             grads = SucreParams(B=dB * s, beta=dbeta * s, gamma=dgamma * s, J=dJ * s)
             return cost, grads
         if use_closed_form:

@@ -705,6 +705,20 @@ def test_survey_skips_zero_obs_target(tmp_path):
     )
     assert len(results) == 3
 
+    # joint mode: the empty target must contribute NOTHING to the SHARED
+    # water model (1/(0*3) would NaN the shared gradient sums and poison
+    # every target — the max(n_obs,1) guards)
+    for cf in (False, True):
+        results = restore_many(
+            scene, names, tmp_path / f"oj{cf}",
+            RestoreConfig(num_iter=3, verbose=False, joint_params=True,
+                          use_closed_form=cf),
+        )
+        assert len(results) == 3
+        for r in results:
+            assert np.isfinite(np.asarray(r.params.beta)).all()
+            assert np.isfinite(r.metrics["final_cost"])
+
     # the single-target path raises (reference parity)
     with pytest.raises(RuntimeError, match="No observations"):
         restore_image(scene, "img_001.png", tmp_path / "o3", cfg)
