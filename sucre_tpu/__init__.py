@@ -43,6 +43,7 @@ _API = {
     "Scene": ("sucre_tpu.scene", "Scene"),
     "RestoreConfig": ("sucre_tpu.pipeline", "RestoreConfig"),
     "RestoreResult": ("sucre_tpu.pipeline", "RestoreResult"),
+    "NoObservationsError": ("sucre_tpu.pipeline", "NoObservationsError"),
     "restore_image": ("sucre_tpu.pipeline", "restore_image"),
     "restore_many": ("sucre_tpu.pipeline", "restore_many"),
     "restore_survey": ("sucre_tpu.pipeline", "restore_survey"),

@@ -811,6 +811,30 @@ class _BatchInFlight(NamedTuple):
     timings: dict
 
 
+def _spatial_order(scene: Scene, names: list[str]) -> list[str]:
+    """Order targets along the principal axis of their camera centers so
+    consecutive batches hold spatially adjacent targets: per-batch
+    surface culling then keeps only the views near THAT stretch of the
+    survey — a transect given in alphabetical/arbitrary order culls as
+    well as one given in traversal order. Purely a batching order:
+    results are re-ordered to the input list by the callers, and each
+    target's observation set is independent of its batch-mates (a
+    kept-but-non-overlapping view produces no matches for it).
+    """
+    if len(names) <= 2:
+        return names
+    C = np.stack([scene[n].t for n in names]).astype(np.float64)
+    C -= C.mean(axis=0)
+    _, _, vt = np.linalg.svd(C, full_matrices=False)
+    key = C @ vt[0]
+    # SVD's sign is arbitrary: orient along the input's own direction so
+    # an already-ordered list keeps its order
+    if key[0] > key[-1]:
+        key = -key
+    order = np.argsort(key, kind="stable")
+    return [names[i] for i in order]
+
+
 def _empty_obs(height: int, width: int, light: bool) -> DenseObs:
     """An all-invalid single-view observation stack in the batch's layout
     (compact z without the light model, full cP with it) — the uniform
@@ -1392,7 +1416,7 @@ def restore_survey(
         groups.setdefault((v.width, v.height), []).append(name)
     batches: list[list[str]] = []
     for names in groups.values():
-        batches.extend(batched(names, batch_targets))
+        batches.extend(batched(_spatial_order(scene, names), batch_targets))
 
     results: list[RestoreResult] = []
 

@@ -535,23 +535,26 @@ def test_restore_survey_salvages_completed_batches(scene_dir, tmp_path, monkeypa
 
     real_dispatch = pl._dispatch_batch
     calls = {"n": 0}
+    batch1: list[str] = []
 
-    def failing_dispatch(*args, **kwargs):
+    def failing_dispatch(scene_, names_, *args, **kwargs):
         calls["n"] += 1
         if calls["n"] == 2:
             raise RuntimeError("injected batch-2 failure")
-        return real_dispatch(*args, **kwargs)
+        batch1.extend(names_)
+        return real_dispatch(scene_, names_, *args, **kwargs)
 
     monkeypatch.setattr(pl, "_dispatch_batch", failing_dispatch)
     with pytest.raises(RuntimeError, match="injected"):
         pl.restore_survey(
             scene, names, tmp_path / "o", cfg, batch_targets=2
         )
-    # batch 1 (img_000, img_001) was dispatched before the failure: its
-    # artifacts must exist
-    assert (tmp_path / "o" / "img_000.npz").exists()
-    assert (tmp_path / "o" / "img_001.npz").exists()
-    assert not (tmp_path / "o" / "img_002.npz").exists()
+    # the first dispatched batch (whichever two targets the spatial
+    # batching picked) finished its device work: its artifacts must exist
+    assert len(batch1) == 2
+    for n in names:
+        stem = Path(n).stem
+        assert (tmp_path / "o" / f"{stem}.npz").exists() == (n in batch1)
 
 
 def test_nested_image_names_end_to_end(tmp_path):
@@ -722,6 +725,39 @@ def test_survey_skips_zero_obs_target(tmp_path):
     # the single-target path raises (reference parity)
     with pytest.raises(RuntimeError, match="No observations"):
         restore_image(scene, "img_001.png", tmp_path / "o3", cfg)
+
+
+def test_spatial_batch_order(tmp_path):
+    """Survey batching orders targets along the camera path's principal
+    axis (tight per-batch culling on transects given in arbitrary
+    order); results still mirror the input list and are identical to an
+    in-order run."""
+    import random
+
+    from sucre_tpu.pipeline import RestoreConfig, _spatial_order, restore_survey
+    from sucre_tpu.scene import Scene
+    from tests.synthetic import make_scene
+
+    sd = make_scene(tmp_path / "s", n_views=6, width=48, height=32, spread=3.0)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    names = list(sd.names)
+    shuffled = names[:]
+    random.Random(7).shuffle(shuffled)
+
+    ordered = _spatial_order(scene, shuffled)
+    # principal-axis order is the transect traversal (or its reverse)
+    assert ordered in (names, names[::-1])
+
+    cfg = RestoreConfig(num_iter=3, verbose=False)
+    r_in = restore_survey(scene, names, tmp_path / "a", cfg, batch_targets=2)
+    r_sh = restore_survey(scene, shuffled, tmp_path / "b", cfg, batch_targets=2)
+    assert [r.image_name for r in r_sh] == shuffled
+    by_name = {r.image_name: r for r in r_in}
+    for r in r_sh:
+        np.testing.assert_allclose(
+            np.nan_to_num(r.J), np.nan_to_num(by_name[r.image_name].J),
+            atol=1e-6,
+        )
 
 
 def test_fit_quality_metrics(tmp_path):
