@@ -146,7 +146,7 @@ def main() -> None:
     # the same device work the e2e number contains.
     import dataclasses as _dc
 
-    from sucre_tpu import pipeline as _pl
+    from sucre_tpu.pipeline import dispatch_survey_batch
 
     dev_reps = int(os.environ.get("BENCH_DEV_REPS", 3))
     cfg_dev = _dc.replace(
@@ -158,9 +158,9 @@ def main() -> None:
         perturb(reps + 1 + rep)
         t0 = time.perf_counter()
         for names in batches:
-            bf = _pl._dispatch_batch(
+            bf = dispatch_survey_batch(
                 scene, list(names), tmp / "devout", cfg_dev, scene.view_list(),
-                cache, device_views, None, lambda s: None,
+                cache, device_views,
             )
             # device sync: a scalar fetch completes only after the whole
             # batch program ran (block_until_ready is unreliable on the

@@ -125,9 +125,10 @@ ColmapModel* colmap_read_model(const char* cameras_path, const char* images_path
     }
     Buf cb{cdata, cn};
     uint64_t n_cam = cb.take<uint64_t>();
-    // A camera record is >= 40 bytes; a count past file_size/24 is
-    // corrupt — reject BEFORE sizing allocations from it (a garbage
-    // count must produce an error, not a huge/overflowed malloc).
+    // A camera record is >= 40 bytes, but the guard divides by a
+    // DELIBERATELY SLACK lower bound (24) — it only needs to reject a
+    // garbage count BEFORE sizing allocations from it (an error, not a
+    // huge/overflowed malloc); per-record bounds checks do the rest.
     if (!cb.ok || n_cam > cn / 24) {
         std::snprintf(m->error, sizeof(m->error), "corrupt cameras.bin");
         std::free(cdata);
@@ -174,7 +175,8 @@ ColmapModel* colmap_read_model(const char* cameras_path, const char* images_path
     }
     Buf ib{idata, in};
     uint64_t n_img = ib.take<uint64_t>();
-    // An image record is >= 74 bytes; same corrupt-count guard as above.
+    // An image record is >= 74 bytes; same slack-divisor (48) corrupt-
+    // count guard as above.
     if (!ib.ok || n_img > in / 48) {
         std::snprintf(m->error, sizeof(m->error), "corrupt images.bin");
         std::free(idata);

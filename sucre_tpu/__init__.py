@@ -47,6 +47,8 @@ _API = {
     "restore_image": ("sucre_tpu.pipeline", "restore_image"),
     "restore_many": ("sucre_tpu.pipeline", "restore_many"),
     "restore_survey": ("sucre_tpu.pipeline", "restore_survey"),
+    "dispatch_survey_batch": ("sucre_tpu.pipeline", "dispatch_survey_batch"),
+    "BatchInFlight": ("sucre_tpu.pipeline", "BatchInFlight"),
     "FitConfig": ("sucre_tpu.solve", "FitConfig"),
     "fit": ("sucre_tpu.solve", "fit"),
     "validate_dataset": ("sucre_tpu.validate", "validate"),

@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="force a JAX platform (cpu/tpu).")
     parser.add_argument("--match-chunk", type=int, default=8,
                         help="views matched per device batch.")
+    parser.add_argument("--match-window", type=int, default=4,
+                        help="dispatched matching chunks per min-cover fetch "
+                             "round trip (chunked paths only); transient HBM "
+                             "peak scales ~window*match-chunk views, larger "
+                             "windows amortize device round trips on "
+                             "high-latency links.")
     parser.add_argument("--compile-cache", type=str,
                         default=str(Path.home() / ".cache" / "sucre_tpu_xla"),
                         help="persistent XLA compilation cache directory "
@@ -255,6 +261,7 @@ def main(argv: list[str] | None = None) -> int:
         keep_matches=args.keep_matches,
         num_workers=args.num_workers,
         match_chunk=args.match_chunk,
+        match_window=args.match_window,
         frustum_cull=not args.no_culling,
         joint_params=args.joint_params,
         bilinear_colors=args.bilinear_colors,
@@ -392,17 +399,23 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _report_path(args, multihost: bool) -> Path:
-    """Resolve --report '-' to <output>/report.json (per-process name under
-    multihost: every process restores a disjoint slice into the SHARED
-    output dir — one file each instead of silently clobbering one
-    partial report)."""
+    """Resolve --report to a per-process path under multihost: every
+    process restores a disjoint slice into the SHARED output dir, so a
+    single shared path would be clobbered by all but one process. '-'
+    resolves to <output>/report.json; an EXPLICIT path gets the same
+    process-index suffix inserted before its extension."""
     import jax
 
+    multiproc = multihost and jax.process_count() > 1
     if str(args.report) != "-":
-        return args.report
+        path = Path(args.report)
+        if multiproc:
+            return path.with_name(
+                f"{path.stem}.p{jax.process_index()}{path.suffix}")
+        return path
     name = (
         f"report.p{jax.process_index()}.json"
-        if multihost and jax.process_count() > 1
+        if multiproc
         else "report.json"
     )
     return args.output_dir / name

@@ -68,6 +68,12 @@ class RestoreConfig:
     keep_matches: bool = False
     num_workers: int = 0
     match_chunk: int = 8  # views per device matching batch
+    # Chunked-matching flush window: how many dispatched chunks' min-cover
+    # counts are fetched per host round trip (see compute_matches /
+    # match_targets_shared). Transient HBM peak scales ~window *
+    # match_chunk unfiltered views; larger windows amortize the ~30 ms
+    # device round trip on high-latency links at the cost of that peak.
+    match_window: int = 4
     store: str = "hdf5"  # "hdf5" (reference cache lifecycle) | "memory"
     joint_params: bool = False  # share B/beta/gamma across the whole batch
     bilinear_colors: bool = False  # bilinear (vs reference nearest) color sampling
@@ -267,6 +273,7 @@ def compute_matches(
     compact: bool = False,
     bilinear: bool = False,
     primed_depths: dict[str, np.ndarray] | None = None,
+    window: int = 4,
     log: Callable[[str], None] = lambda s: None,
 ) -> tuple[DenseObs | None, list[str]]:
     """Stage A+B fused: match the target against every view in
@@ -296,12 +303,11 @@ def compute_matches(
     # vectors are fetched in batched WINDOWS of several chunks (a
     # per-chunk fetch costs one ~30 ms round trip each on high-latency
     # links; an unbounded window would keep every chunk's dense outputs
-    # alive on device at once). The window is a FIXED chunk count so the
-    # transient-HBM peak stays ~window * match_chunk views and
-    # --match-chunk remains an effective memory knob (lowering it lowers
-    # the peak). Filtering a window frees its buffers: only the kept
-    # (jnp.take-copied) slices survive.
-    window = 4
+    # alive on device at once). The window is a FIXED chunk count
+    # (RestoreConfig.match_window) so the transient-HBM peak stays
+    # ~window * match_chunk views and --match-chunk remains an effective
+    # memory knob (lowering it lowers the peak). Filtering a window frees
+    # its buffers: only the kept (jnp.take-copied) slices survive.
     pending = []  # (sub_views, n, obs, match, counts_dev)
 
     def flush_pending():
@@ -414,6 +420,7 @@ def match_targets_shared(
     compact: bool = False,
     bilinear: bool = False,
     device_views: DeviceViews | None = None,
+    window: int = 4,
     log: Callable[[str], None] = lambda s: None,
 ) -> tuple[list[DenseObs | None], list[list[str]]]:
     """Match T targets against the view list with each view chunk uploaded
@@ -443,13 +450,13 @@ def match_targets_shared(
 
     # Chunks dispatch asynchronously and their tiny min-cover count
     # vectors are fetched in batched WINDOWS (one host round trip per
-    # window instead of per chunk). The window is a FIXED chunk count so
-    # transient HBM stays ~window * match_chunk unfiltered views per
-    # target on top of the kept (take-copied) stacks — the bound this
-    # path exists to provide for surveys past the single-program budget.
-    # PairMatch buffers are dropped at dispatch when there is no h5 file
-    # to save them to (--store memory).
-    window = 4
+    # window instead of per chunk). The window is a FIXED chunk count
+    # (RestoreConfig.match_window) so transient HBM stays ~window *
+    # match_chunk unfiltered views per target on top of the kept
+    # (take-copied) stacks — the bound this path exists to provide for
+    # surveys past the single-program budget. PairMatch buffers are
+    # dropped at dispatch when there is no h5 file to save them to
+    # (--store memory).
     pending = []  # (ti, sub_views, n, obs, match_or_None, counts_dev)
 
     def flush_pending():
@@ -614,6 +621,7 @@ def restore_image(
             compact=not cfg.light_model,
             bilinear=cfg.bilinear_colors,
             primed_depths=primed_depths or None,
+            window=cfg.match_window,
         )
     timings["match"] = time.perf_counter() - t0
 
@@ -786,7 +794,7 @@ def restore_image(
     )
 
 
-class _BatchInFlight(NamedTuple):
+class BatchInFlight(NamedTuple):
     """A dispatched (but not yet fetched) restore batch: all device work —
     matching, fit, reconstruction render, _rgb normalize, observation
     counts — is queued asynchronously; ``_fetch_batch`` blocks on the one
@@ -870,19 +878,25 @@ def _device_target_arrays(device_views, targets):
     )
 
 
-def _dispatch_batch(
+def dispatch_survey_batch(
     scene: Scene,
     image_names: list[str],
     output_dir: Path,
     cfg: RestoreConfig,
     image_list: list[View],
     cache: ViewCache,
-    device_views: "DeviceViews | None",
-    mesh,
-    log,
-) -> _BatchInFlight:
+    device_views: "DeviceViews | None" = None,
+    mesh=None,
+    log=lambda s: None,
+) -> BatchInFlight:
     """Queue one batch's full device pipeline (match -> fit -> export
-    arrays) without any host synchronization."""
+    arrays) without any host synchronization.
+
+    Public API: the device-compute half of ``restore_survey``'s pipelined
+    loop, exposed so callers (and ``bench.py``'s device-only phase) can
+    measure or overlap pure device work. Sync by fetching any scalar from
+    the returned ``BatchInFlight`` (e.g. ``J_dev[0, 0, 0, 0]``);
+    ``block_until_ready`` is unreliable on high-latency tunnels."""
     from sucre_tpu.parallel.batch import fit_many, stack_obs, stack_params
 
     timings: dict[str, float] = {}
@@ -1082,6 +1096,7 @@ def _dispatch_batch(
                 # the resident chunks cover the FULL list; stream from the
                 # cache instead when culling removed views
                 device_views=device_views if len(culled_list) == len(image_list) else None,
+                window=cfg.match_window,
                 log=log,
             )
             for k, ti in enumerate(to_match):
@@ -1192,7 +1207,7 @@ def _dispatch_batch(
         n_obs_dev = jnp.stack([o.valid.sum() for o in obs_list])
     J_fetch = J.astype(jnp.float16) if cfg.export_dtype == "f16" else J
     mark("fit_dispatch")
-    return _BatchInFlight(
+    return BatchInFlight(
         targets=targets,
         output_dir=output_dir,
         cfg=cfg,
@@ -1213,7 +1228,12 @@ def _dispatch_batch(
     )
 
 
-def _fetch_batch(b: _BatchInFlight):
+# Deprecated round-2 private names; remove after round 3.
+_BatchInFlight = BatchInFlight
+_dispatch_batch = dispatch_survey_batch
+
+
+def _fetch_batch(b: BatchInFlight):
     """The one blocking device->host transfer for a dispatched batch."""
     params_noJ, J, observed, tel, recs, rgb_plots, n_obs_arr = jax.device_get(
         (
@@ -1229,7 +1249,7 @@ def _fetch_batch(b: _BatchInFlight):
     return params, J, observed, tel, recs, rgb_plots, n_obs_list
 
 
-def _export_batch(b: _BatchInFlight, fetched) -> list[RestoreResult]:
+def _export_batch(b: BatchInFlight, fetched) -> list[RestoreResult]:
     """Write one batch's artifact set (host-only; threads over targets).
 
     Zero-observation targets (empty/bad depth map, or min_cover filtered
@@ -1345,7 +1365,7 @@ def restore_many(
         seen.add(v.name)
         image_names.append(name)
 
-    b = _dispatch_batch(
+    b = dispatch_survey_batch(
         scene, image_names, output_dir, cfg, image_list, cache, device_views,
         mesh, log,
     )
@@ -1420,24 +1440,24 @@ def restore_survey(
 
     results: list[RestoreResult] = []
 
-    def fetch_timed(b: _BatchInFlight):
+    def fetch_timed(b: BatchInFlight):
         t0 = time.perf_counter()
         fetched = _fetch_batch(b)
         b.timings["fetch_render"] = time.perf_counter() - t0
         return fetched
 
-    def export_timed(b: _BatchInFlight, fetched):
+    def export_timed(b: BatchInFlight, fetched):
         t0 = time.perf_counter()
         out = _export_batch(b, fetched)
         dt = time.perf_counter() - t0
         return [r._replace(timings={**r.timings, "export": dt}) for r in out]
 
     with cf.ThreadPoolExecutor(max_workers=1) as exporter:
-        prev: _BatchInFlight | None = None
+        prev: BatchInFlight | None = None
         export_future = None
         try:
             for group in batches:
-                cur = _dispatch_batch(
+                cur = dispatch_survey_batch(
                     scene, list(group), output_dir, cfg, image_list, cache,
                     device_views, mesh, log,
                 )

@@ -53,7 +53,10 @@ def _leaf_groups(f):
             item = g[key]
             if isinstance(item, h5py.Group):
                 name = f"{prefix}{key}"
-                if "u1" in item:
+                # A pair group holds a 'u1' DATASET; an image literally
+                # named '<dir>/u1' appears here as a 'u1' SUBGROUP, so a
+                # bare membership test would misclassify its parent.
+                if isinstance(item.get("u1"), h5py.Dataset):
                     yield name, item
                 else:
                     yield from walk(item, name + "/")

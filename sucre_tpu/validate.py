@@ -234,6 +234,25 @@ def validate(
     scene = Scene.from_model_dicts(ok_cams, ok_images, image_dir,
                                    depth_dir, image_scale)
 
+    # Images whose camera was rejected above still get their RGB/depth
+    # files checked (paths derive from the name alone; dims from the raw
+    # camera) — one camera-model error must not hide per-view findings.
+    import types
+
+    rejected_views = []
+    for im in raw_images.values():
+        cam = raw_cameras.get(im.camera_id)
+        if cam is None or im.camera_id in ok_cams:
+            continue
+        rejected_views.append(types.SimpleNamespace(
+            name=im.name,
+            rgb_path=Path(image_dir) / im.name,
+            depth_path=(Path(depth_dir) / im.name).parent
+            / f"depth_{Path(im.name).stem}.png",
+            width=int(cam.width * image_scale),
+            height=int(cam.height * image_scale),
+        ))
+
     for v in scene.view_list():
         bad = [x for x in (v.fx, v.fy, v.cx, v.cy) if not np.isfinite(x)]
         if bad or v.fx <= 0 or v.fy <= 0:
@@ -247,7 +266,7 @@ def validate(
     scaled = image_scale != 1.0
     with cf.ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
         for sub in pool.map(lambda v: _check_view(v, deep, scaled),
-                            scene.view_list()):
+                            scene.view_list() + rejected_views):
             findings.extend(sub)
 
     dims: dict[tuple[int, int], int] = {}

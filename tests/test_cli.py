@@ -306,6 +306,30 @@ def test_report_flag(scene_dir, tmp_path):
     assert rep2["n_targets"] == 1
 
 
+def test_report_path_multihost_suffixing(tmp_path, monkeypatch):
+    """Under multihost every process writes its own report: '-' resolves
+    to report.pN.json and an EXPLICIT path gets the same .pN suffix
+    inserted before its extension (a shared explicit path would be
+    silently clobbered by all but one process)."""
+    import types
+
+    import jax
+
+    from sucre_tpu.cli import _report_path
+
+    args = types.SimpleNamespace(report="-", output_dir=tmp_path)
+    assert _report_path(args, multihost=False) == tmp_path / "report.json"
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert _report_path(args, multihost=True) == tmp_path / "report.p1.json"
+    args.report = str(tmp_path / "r.json")
+    assert _report_path(args, multihost=True) == tmp_path / "r.p1.json"
+    # single-process runs keep explicit paths untouched even when the
+    # multihost flags are set
+    assert _report_path(args, multihost=False) == tmp_path / "r.json"
+
+
 def test_multihost_two_processes_with_local_mesh(tmp_path):
     """Two-tier parallelism end to end: two coordinated processes split
     the target list (DCN tier), and EACH process shards its restores

@@ -448,6 +448,25 @@ def test_store_three_match_pair_orientation(tmp_path):
         )
 
 
+def test_store_image_named_u1(tmp_path):
+    """An image literally named '<dir>/u1' makes a 'u1' SUBGROUP under its
+    parent — the pair-group walk must require a 'u1' DATASET, or the
+    parent misclassifies as a pair group and every reader crashes."""
+    mf = MatchesFile(tmp_path / "m.h5")
+    pairs = {"cam0/u1": np.float32(1.0), "cam0/other.png": np.float32(2.0)}
+    for name, dval in pairs.items():
+        mf.save_pair(
+            name,
+            u1=np.array([1, 2, 3]), v1=np.array([4, 5, 6]),
+            u2=np.array([7, 8, 9]), v2=np.array([1, 2, 3]),
+            d=np.full(3, dval, np.float32),
+            I=np.zeros((3, 3), np.float32),
+        )
+    assert sorted(mf.pair_names()) == sorted(pairs)
+    mf.check_integrity()
+    assert len(mf) == 6
+
+
 def test_joint_params_export_four_targets(scene_dir, tmp_path):
     """Joint-mode telemetry is broadcast per target: exporting a batch of
     4+ targets must not crash (globals trajectories were (iters, 3) and
@@ -533,7 +552,7 @@ def test_restore_survey_salvages_completed_batches(scene_dir, tmp_path, monkeypa
     cfg = RestoreConfig(num_iter=2, verbose=False, store="memory")
     names = [f"img_{i:03d}.png" for i in range(4)]
 
-    real_dispatch = pl._dispatch_batch
+    real_dispatch = pl.dispatch_survey_batch
     calls = {"n": 0}
     batch1: list[str] = []
 
@@ -544,7 +563,7 @@ def test_restore_survey_salvages_completed_batches(scene_dir, tmp_path, monkeypa
         batch1.extend(names_)
         return real_dispatch(scene_, names_, *args, **kwargs)
 
-    monkeypatch.setattr(pl, "_dispatch_batch", failing_dispatch)
+    monkeypatch.setattr(pl, "dispatch_survey_batch", failing_dispatch)
     with pytest.raises(RuntimeError, match="injected"):
         pl.restore_survey(
             scene, names, tmp_path / "o", cfg, batch_targets=2

@@ -121,11 +121,18 @@ def test_bad_camera_does_not_abort(sd):
     cio.write_images_bin(imgs, sd.model_dir / "images.bin")
     # also break a depth map of a GOOD image: still reported
     (sd.depth_dir / "depth_img_003.png").unlink()
+    # AND the depth map of the image whose CAMERA was rejected: its
+    # RGB/depth files must still be checked (one camera-model error
+    # must not hide per-view findings)
+    rejected_name = imgs[first].name
+    (sd.depth_dir / f"depth_{Path(rejected_name).stem}.png").unlink()
 
     findings, summary = validate(sd.model_dir, sd.image_dir, sd.depth_dir)
     codes = {f.code for f in findings}
     assert {"camera-model", "dangling-camera", "depth-missing"} <= codes
-    assert summary["n_errors"] >= 3
+    assert any(f.code == "depth-missing" and f.image == rejected_name
+               for f in findings)
+    assert summary["n_errors"] >= 4
 
 
 def test_unparseable_model_is_fatal(tmp_path, capsys):
