@@ -77,6 +77,79 @@ bool open_png(const char* path, PngReadCtx& ctx, uint32_t* w, uint32_t* h,
                            color_type);
 }
 
+// EXIF orientation (TIFF tag 0x0112) from a JPEG APP1 payload; 0 when
+// absent/unparseable. The reference decoded through cv2.imread, which
+// applies this tag by default (loader.py:157) — the native path must
+// match or real-world JPEGs silently decode rotated. Bounds-checked
+// byte walk; never reads past len.
+int parse_exif_orientation(const JOCTET* data, unsigned int len) {
+    if (len < 14 || std::memcmp(data, "Exif\0\0", 6) != 0) return 0;
+    const JOCTET* t = data + 6;  // TIFF header
+    const unsigned int tlen = len - 6;
+    bool le;
+    if (t[0] == 'I' && t[1] == 'I') le = true;
+    else if (t[0] == 'M' && t[1] == 'M') le = false;
+    else return 0;
+    auto u16 = [&](size_t off) -> uint32_t {
+        if (off + 2 > tlen) return 0;
+        return le ? (t[off] | (t[off + 1] << 8)) : ((t[off] << 8) | t[off + 1]);
+    };
+    auto u32 = [&](size_t off) -> uint32_t {
+        if (off + 4 > tlen) return 0;
+        return le ? (t[off] | (t[off + 1] << 8) | (t[off + 2] << 16) |
+                     (static_cast<uint32_t>(t[off + 3]) << 24))
+                  : ((static_cast<uint32_t>(t[off]) << 24) | (t[off + 1] << 16) |
+                     (t[off + 2] << 8) | t[off + 3]);
+    };
+    if (u16(2) != 42) return 0;
+    uint32_t ifd = u32(4);
+    if (ifd + 2 > tlen) return 0;
+    uint32_t n = u16(ifd);
+    for (uint32_t i = 0; i < n; ++i) {
+        size_t e = ifd + 2 + 12 * static_cast<size_t>(i);
+        if (e + 12 > tlen) return 0;
+        if (u16(e) == 0x0112) {
+            uint32_t v = u16(e + 8);  // SHORT, stored inline
+            return (v >= 1 && v <= 8) ? static_cast<int>(v) : 0;
+        }
+    }
+    return 0;
+}
+
+int jpeg_exif_orientation(const jpeg_decompress_struct& cinfo) {
+    for (jpeg_saved_marker_ptr mk = cinfo.marker_list; mk; mk = mk->next) {
+        if (mk->marker != JPEG_APP0 + 1) continue;
+        int o = parse_exif_orientation(mk->data, mk->data_length);
+        if (o) return o;
+    }
+    return 0;
+}
+
+// Remap a decoded (h0, w0, 3) buffer into its EXIF-displayed layout
+// (dims swap for orientations 5-8). Same transforms cv2 applies.
+void apply_exif_orientation(const uint8_t* src, uint8_t* dst, int32_t w0,
+                            int32_t h0, int orient) {
+    const int32_t W = orient >= 5 ? h0 : w0;
+    const int32_t H = orient >= 5 ? w0 : h0;
+    for (int32_t y = 0; y < H; ++y) {
+        for (int32_t x = 0; x < W; ++x) {
+            int32_t u, v;
+            switch (orient) {
+                case 2: u = w0 - 1 - x; v = y; break;             // mirror horizontal
+                case 3: u = w0 - 1 - x; v = h0 - 1 - y; break;    // rotate 180
+                case 4: u = x; v = h0 - 1 - y; break;             // mirror vertical
+                case 5: u = y; v = x; break;                      // transpose
+                case 6: u = y; v = h0 - 1 - x; break;             // rotate 90 CW
+                case 7: u = w0 - 1 - y; v = h0 - 1 - x; break;    // transverse
+                case 8: u = w0 - 1 - y; v = x; break;             // rotate 270 CW
+                default: u = x; v = y; break;
+            }
+            std::memcpy(dst + (static_cast<size_t>(y) * W + x) * 3,
+                        src + (static_cast<size_t>(v) * w0 + u) * 3, 3);
+        }
+    }
+}
+
 // Sniff the two-byte container signature and rewind, leaving the stream
 // ready for the real parser. Returns 1 = png, 2 = jpeg, 0 = unknown.
 int sniff_kind(FILE* f) {
@@ -121,10 +194,15 @@ int image_probe(const char* path, int32_t* width, int32_t* height, int32_t* kind
             return -4;
         }
         jpeg_create_decompress(&cinfo);
+        jpeg_save_markers(&cinfo, JPEG_APP0 + 1, 0xFFFF);
         jpeg_stdio_src(&cinfo, f);
         jpeg_read_header(&cinfo, TRUE);
-        *width = static_cast<int32_t>(cinfo.image_width);
-        *height = static_cast<int32_t>(cinfo.image_height);
+        // Report DISPLAYED dims: EXIF orientations 5-8 swap width/height
+        // at decode (cv2 parity), and callers gate fast paths on the
+        // probe matching the camera dims.
+        const bool swap = jpeg_exif_orientation(cinfo) >= 5;
+        *width = static_cast<int32_t>(swap ? cinfo.image_height : cinfo.image_width);
+        *height = static_cast<int32_t>(swap ? cinfo.image_width : cinfo.image_height);
         jpeg_destroy_decompress(&cinfo);
         std::fclose(f);
         *kind = 2;
@@ -247,6 +325,9 @@ int decode_rgb8(const char* path, uint8_t* out, int32_t width, int32_t height) {
     if (k == 2) {
         jpeg_decompress_struct cinfo;
         JpegErrorMgr jerr;
+        // Declared BEFORE setjmp: the longjmp error return must still run
+        // its destructor (declaring it after would leak on corrupt files).
+        std::vector<uint8_t> tmp;
         cinfo.err = jpeg_std_error(&jerr.pub);
         jerr.pub.error_exit = jpeg_error_exit_longjmp;
         if (setjmp(jerr.jmp)) {
@@ -255,25 +336,36 @@ int decode_rgb8(const char* path, uint8_t* out, int32_t width, int32_t height) {
             return -4;
         }
         jpeg_create_decompress(&cinfo);
+        jpeg_save_markers(&cinfo, JPEG_APP0 + 1, 0xFFFF);
         jpeg_stdio_src(&cinfo, f);
         jpeg_read_header(&cinfo, TRUE);
+        const int orient = jpeg_exif_orientation(cinfo);
         cinfo.out_color_space = JCS_RGB;
         jpeg_start_decompress(&cinfo);
-        if (static_cast<int32_t>(cinfo.output_width) != width ||
-            static_cast<int32_t>(cinfo.output_height) != height ||
-            cinfo.output_components != 3) {
+        const int32_t w0 = static_cast<int32_t>(cinfo.output_width);
+        const int32_t h0 = static_cast<int32_t>(cinfo.output_height);
+        // Dims are checked in the DISPLAYED frame (post-orientation).
+        const int32_t dw = orient >= 5 ? h0 : w0;
+        const int32_t dh = orient >= 5 ? w0 : h0;
+        if (dw != width || dh != height || cinfo.output_components != 3) {
             jpeg_abort_decompress(&cinfo);
             jpeg_destroy_decompress(&cinfo);
             std::fclose(f);
             return -2;
         }
+        uint8_t* scan_dst = out;
+        if (orient > 1) {
+            tmp.resize(static_cast<size_t>(w0) * h0 * 3);
+            scan_dst = tmp.data();
+        }
         while (cinfo.output_scanline < cinfo.output_height) {
-            JSAMPROW row = out + static_cast<size_t>(cinfo.output_scanline) * width * 3;
+            JSAMPROW row = scan_dst + static_cast<size_t>(cinfo.output_scanline) * w0 * 3;
             jpeg_read_scanlines(&cinfo, &row, 1);
         }
         jpeg_finish_decompress(&cinfo);
         jpeg_destroy_decompress(&cinfo);
         std::fclose(f);
+        if (orient > 1) apply_exif_orientation(tmp.data(), out, w0, h0, orient);
         return 0;
     }
     std::fclose(f);

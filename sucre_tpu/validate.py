@@ -92,6 +92,52 @@ def probe_headers(path: Path):
     return None
 
 
+def exif_orientation(path: Path) -> int:
+    """EXIF orientation tag (1-8) of a JPEG, 0 when absent / not a JPEG /
+    unparseable. Decoders (cv2 AND the native libjpeg path) apply this
+    tag, so tags 5-8 swap the displayed dims relative to the SOF header
+    — the validator must compare dims in the displayed frame and warn
+    that pixels are re-oriented."""
+    try:
+        with open(path, "rb") as f:
+            if f.read(2) != b"\xff\xd8":
+                return 0
+            while True:
+                seg = f.read(4)
+                if len(seg) < 4 or seg[0] != 0xFF:
+                    return 0
+                marker = seg[1]
+                if marker == 0xDA:  # start of scan: APP1 would precede it
+                    return 0
+                (seg_len,) = struct.unpack(">H", seg[2:4])
+                if seg_len < 2:
+                    return 0
+                data = f.read(seg_len - 2)
+                if marker != 0xE1 or data[:6] != b"Exif\x00\x00":
+                    continue
+                t = data[6:]
+                if len(t) < 8:
+                    return 0
+                endian = {b"II": "<", b"MM": ">"}.get(t[:2])
+                if endian is None or struct.unpack(endian + "H", t[2:4])[0] != 42:
+                    return 0
+                (ifd,) = struct.unpack(endian + "I", t[4:8])
+                if ifd + 2 > len(t):
+                    return 0
+                (n,) = struct.unpack(endian + "H", t[ifd:ifd + 2])
+                for i in range(n):
+                    e = ifd + 2 + 12 * i
+                    if e + 12 > len(t):
+                        return 0
+                    (tag,) = struct.unpack(endian + "H", t[e:e + 2])
+                    if tag == 0x0112:
+                        (val,) = struct.unpack(endian + "H", t[e + 8:e + 10])
+                        return val if 1 <= val <= 8 else 0
+                return 0
+    except (OSError, struct.error, IndexError):
+        return 0
+
+
 def _check_view(view, deep: bool, scaled: bool) -> list[Finding]:
     """Per-view checks. ``scaled`` = image_scale != 1: file dims are then
     EXPECTED to differ from the (scaled) camera dims, so dim warnings
@@ -106,8 +152,18 @@ def _check_view(view, deep: bool, scaled: bool) -> list[Finding]:
                                 f"image file not found: {view.rgb_path}"))
     else:
         probe = probe_headers(view.rgb_path)
+        orient = exif_orientation(view.rgb_path)
+        if orient > 1:
+            findings.append(Finding(
+                "WARN", "exif-orientation", name,
+                f"EXIF orientation {orient}: pixels are re-oriented at "
+                f"decode (cv2/reference parity, native path included) — "
+                f"make sure the COLMAP poses and depth maps correspond to "
+                f"the RE-ORIENTED image, not the sensor layout"))
         if probe is not None:
             w, h, _, _ = probe
+            if orient >= 5:
+                w, h = h, w  # decoders report/apply the displayed frame
             if (w, h) != (view.width, view.height) and not scaled:
                 findings.append(Finding(
                     "WARN", "rgb-dims", name,

@@ -62,6 +62,42 @@ class TestDecodeNative:
         cv2.imwrite(str(tmp_path / "d.png"), depth)
         assert native.probe(tmp_path / "d.png") == (8, 6, "png")
 
+    @pytest.mark.parametrize("tag", [2, 3, 4, 5, 6, 7, 8])
+    def test_exif_orientation_matches_cv2(self, tmp_path, tag):
+        """EXIF-tagged JPEGs (common from survey camera rigs) must decode
+        IDENTICALLY to cv2.imread, which applies the orientation tag by
+        default (the reference's decode, loader.py:157) — including the
+        width/height swap for tags 5-8. Probe reports displayed dims."""
+        from PIL import Image
+
+        a = (np.arange(20 * 12 * 3) % 251).astype(np.uint8).reshape(12, 20, 3)
+        e = Image.Exif()
+        e[274] = tag
+        p = tmp_path / f"o{tag}.jpg"
+        Image.fromarray(a).save(p, exif=e, quality=95)
+
+        ref = cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB)
+        w, h, kind = native.probe(p)
+        assert kind == "jpeg" and (w, h) == (ref.shape[1], ref.shape[0])
+        got = native.decode_rgb8(p, w, h)
+        # same libjpeg underneath -> the orientation remap must be exact
+        np.testing.assert_array_equal(got, ref)
+
+    def test_exif_orientation_dim_mismatch_rejected(self, tmp_path):
+        """Passing pre-orientation (sensor) dims for a 90-degree-rotated
+        JPEG must fail the displayed-frame dims check, not decode into a
+        transposed buffer."""
+        from PIL import Image
+
+        a = np.zeros((12, 20, 3), np.uint8)
+        e = Image.Exif()
+        e[274] = 6
+        p = tmp_path / "rot.jpg"
+        Image.fromarray(a).save(p, exif=e, quality=95)
+        with pytest.raises(IOError):
+            native.decode_rgb8(p, 20, 12)  # sensor frame: wrong
+        assert native.decode_rgb8(p, 12, 20).shape == (20, 12, 3)
+
     def test_batch_decode(self, tmp_path, rng):
         paths = []
         for i in range(5):

@@ -135,6 +135,32 @@ def test_bad_camera_does_not_abort(sd):
     assert summary["n_errors"] >= 4
 
 
+def test_exif_orientation_warn(sd):
+    """EXIF-tagged JPEGs get a WARN (pixels are re-oriented at decode —
+    the user must check poses/depths match the displayed frame), and for
+    tags 5-8 the dims check runs in the DISPLAYED frame (no false
+    rgb-dims warning when the camera matches the rotated image)."""
+    from PIL import Image
+
+    from sucre_tpu.validate import exif_orientation
+
+    # Scene views are 48x32; write a 32x48 JPEG that DISPLAYS as 48x32
+    # under orientation 6 (file signature is what counts, not the suffix).
+    a = (np.arange(48 * 32 * 3) % 250).astype(np.uint8).reshape(48, 32, 3)
+    e = Image.Exif()
+    e[274] = 6
+    Image.fromarray(a).save(sd.image_dir / "img_001.png", format="JPEG", exif=e)
+    assert exif_orientation(sd.image_dir / "img_001.png") == 6
+    assert exif_orientation(sd.image_dir / "img_002.png") == 0  # plain png
+
+    findings, _ = validate(sd.model_dir, sd.image_dir, sd.depth_dir)
+    assert any(f.code == "exif-orientation" and f.image == "img_001.png"
+               and f.level == "WARN" for f in findings)
+    # displayed dims (48x32) match the camera: no rgb-dims warning
+    assert not any(f.code == "rgb-dims" and f.image == "img_001.png"
+                   for f in findings)
+
+
 def test_unparseable_model_is_fatal(tmp_path, capsys):
     (tmp_path / "cameras.bin").write_bytes(b"garbage")
     (tmp_path / "images.bin").write_bytes(b"garbage")
