@@ -373,33 +373,18 @@ def _run_sharded_kernel(params, X, It, n_obs, *, mesh, light, lr, num_iter,
     return params, FitTelemetry(*ys)
 
 
-def fit_many_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
-    """Batched T-target fit on a (view x row) mesh at fused-kernel speed —
-    the oversized-survey route (`fit_many(mesh=view-row)`) without
-    falling back to XLA autodiff. Each shard runs the BATCHED kernel
-    (grid leading axis = targets) on its local (T, view-slice,
-    row-slice) block; cost and the per-target global-parameter gradients
-    psum over the whole mesh, dJ psums over 'view' and stays row-sharded
-    like J. Covers both the no-light and light-model kernels (the light
-    variant closes the se3/Sigma chains outside the mesh via vmapped
-    vjps).
-
-    Returns fit_many's (params, J (T,H,W,3), observed (T,H,W),
-    telemetry) tuple.
-    """
+def prepare_sharded_kernel_inputs(params, obs: DenseObs, mesh: Mesh,
+                                  light: bool):
+    """Pad the stack to the kernel tiling and place everything on the
+    mesh in the layout ``_run_sharded_kernel`` expects: X/I blocks over
+    (view, row), J rows over 'row', globals replicated. Shared by
+    ``fit_many_sharded_pallas`` and the HLO communication-inventory
+    tests (which lower the exact production program)."""
     from sucre_tpu.ops.pallas import fit_kernel as fk
     from sucre_tpu.ops.pallas import light_kernel as lk
 
-    if not _pallas_sharded_eligible(params, obs, cfg):
-        raise ValueError(
-            "fit_many_sharded_pallas needs direct mode and the compact z "
-            "layout (full cP layout with the light model)"
-        )
-    light = params.cam2light is not None
     vs = mesh.shape["view"]
     rs = mesh.shape["row"]
-    interpret = jax.default_backend() != "tpu"
-
     T, V, H, W = obs.valid.shape
     mod = lk if light else fk
     Wp = -(-W // mod.LANES) * mod.LANES
@@ -423,6 +408,35 @@ def fit_many_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
     J0 = jax.device_put(J0, NamedSharding(mesh, P(None, "row", None, None)))
     params = replicate(params._replace(J=None), mesh)._replace(J=J0)
     n_obs = jax.device_put(n_obs, NamedSharding(mesh, P()))
+    return params, X, It, n_obs
+
+
+def fit_many_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
+    """Batched T-target fit on a (view x row) mesh at fused-kernel speed —
+    the oversized-survey route (`fit_many(mesh=view-row)`) without
+    falling back to XLA autodiff. Each shard runs the BATCHED kernel
+    (grid leading axis = targets) on its local (T, view-slice,
+    row-slice) block; cost and the per-target global-parameter gradients
+    psum over the whole mesh, dJ psums over 'view' and stays row-sharded
+    like J. Covers both the no-light and light-model kernels (the light
+    variant closes the se3/Sigma chains outside the mesh via vmapped
+    vjps).
+
+    Returns fit_many's (params, J (T,H,W,3), observed (T,H,W),
+    telemetry) tuple.
+    """
+    if not _pallas_sharded_eligible(params, obs, cfg):
+        raise ValueError(
+            "fit_many_sharded_pallas needs direct mode and the compact z "
+            "layout (full cP layout with the light model)"
+        )
+    light = params.cam2light is not None
+    interpret = jax.default_backend() != "tpu"
+
+    H, W = obs.valid.shape[2:]
+    params, X, It, n_obs = prepare_sharded_kernel_inputs(
+        params, obs, mesh, light
+    )
 
     params, tel = _run_sharded_kernel(
         params, X, It, n_obs,

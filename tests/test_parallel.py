@@ -607,3 +607,148 @@ def test_fit_many_sharded_pallas_equals_unsharded(rng, light):
         np.testing.assert_allclose(
             np.asarray(pa.sigma), np.asarray(pb.sigma), atol=2e-3
         )
+
+
+def _collective_inventory(hlo: str):
+    """Every collective in a compiled HLO as (op, n_elements, group_size).
+
+    group_size == 1 means singleton replica groups — the op moves NOTHING
+    between devices (GSPMD keeps a trivial psum as a no-op all-reduce).
+    Handles both replica-group syntaxes ({{0,4},{1,5}} and the iota form
+    [groups,size]<=[...]).
+    """
+    import re
+
+    out = []
+    for m in re.finditer(
+        r"= \S*?\[([\d,]*)\][^\n]*?\b(all-reduce|all-gather|all-to-all|"
+        r"collective-permute|reduce-scatter)(?:-start)?\([^\n]*",
+        hlo,
+    ):
+        line, shape = m.group(0), m.group(1)
+        n = int(np.prod([int(d) for d in shape.split(",")])) if shape else 1
+        gsz = 0
+        g = re.search(r"replica_groups=\{\{(.*?)\}\}", line)
+        if g:
+            gsz = max(len(grp.split(",")) for grp in g.group(1).split("},{"))
+        else:
+            g = re.search(r"replica_groups=\[\d+,(\d+)\]<=", line)
+            if g:
+                gsz = int(g.group(1))
+        out.append((m.group(2), n, gsz))
+    return out
+
+
+@pytest.mark.parametrize("light", [False, True])
+@pytest.mark.parametrize("vs,rs", [(1, 8), (2, 4)])
+def test_fit_sharded_kernel_collective_inventory(rng, vs, rs, light):
+    """HLO-level communication model of the sharded fused-kernel fit
+    (the matching counterpart is test_match_survey_sharded_is_
+    communication_free): the compiled 200-iteration program contains NO
+    all-gather / all-to-all / collective-permute / reduce-scatter, and
+    its only per-iteration all-reduces are
+
+      - O(T) scalars (cost + global-parameter gradients) over the whole
+        mesh, and
+      - the dJ view-axis psum of ONE local J row-block
+        (T x Hp/rs x Wp x 3), which on the default 1xN mesh compiles to
+        singleton replica groups — zero bytes moved.
+
+    This is the strongest multi-chip scaling evidence available without
+    multi-chip hardware: the program structure itself. The numbers are
+    documented in BASELINE.md ("Sharded-fit communication model").
+    """
+    from sucre_tpu.parallel.mesh import (
+        _run_sharded_kernel,
+        prepare_sharded_kernel_inputs,
+    )
+
+    mesh = make_mesh(vs, rs)
+    T, V, H, W = 2, 4, 16, 16
+    obs_list = []
+    for t in range(T):
+        obs, _ = _synthetic_obs(np.random.default_rng(t), V=V, H=H, W=W)
+        obs_list.append(obs if light else obs.compact())
+    so = stack_obs(obs_list)
+    img = np.zeros((H, W, 3), np.float32)
+    sp = stack_params([init_params(image=img, light_model=light) for _ in range(T)])
+    p, X, It, n_obs = prepare_sharded_kernel_inputs(sp, so, mesh, light)
+    hlo = (
+        _run_sharded_kernel.lower(
+            p, X, It, n_obs, mesh=mesh, light=light, lr=0.05, num_iter=200,
+            interpret=True,
+        )
+        .compile()
+        .as_text()
+    )
+
+    inv = _collective_inventory(hlo)
+    assert inv, "expected at least the scalar gradient psum"
+    T_, Hp, Wp, _ = p.J.shape
+    dj_elems = T_ * (Hp // rs) * Wp * 3
+    # light partials: _NPART(32) scalars per target; no-light: cost+3x(T,3)
+    small = T_ * 40
+    for op, n, gsz in inv:
+        assert op == "all-reduce", f"data-moving collective {op} in fit HLO"
+        if gsz <= 1:
+            continue  # singleton groups: moves nothing
+        assert n <= small or (n == dj_elems and gsz == vs), (
+            f"unexpected all-reduce of {n} elements over groups of {gsz}"
+        )
+    if vs == 1:
+        # the dJ psum over the 1-member 'view' axis must compile away
+        assert not any(n == dj_elems and gsz > 1 for _, n, gsz in inv)
+    else:
+        assert any(n == dj_elems and gsz == vs for _, n, gsz in inv), (
+            "expected the dJ view-axis all-reduce on a multi-view-shard mesh"
+        )
+
+
+@pytest.mark.parametrize("closed_form", [False, True])
+@pytest.mark.parametrize("vs,rs", [(1, 8), (2, 4)])
+def test_fit_gspmd_collective_inventory(rng, vs, rs, closed_form):
+    """Same HLO communication inventory for the GSPMD autodiff fallback
+    (fit_sharded without the fused kernel: light/closed-form/chunked
+    routes). Direct mode is collective-lean on EVERY mesh: the only
+    all-reduces are the (3,)-shaped global-parameter gradient psums —
+    GSPMD row-shards the J update automatically. Closed-form mode adds
+    the inherent per-iteration view-axis reduction of the local J
+    row-block (the closed-form J numerator/denominator sums over views).
+    """
+    import optax
+
+    from sucre_tpu.parallel.mesh import pad_obs_to_mesh, replicate, shard_obs
+    from sucre_tpu.solve import _run_segment
+
+    mesh = make_mesh(vs, rs)
+    V, H, W = 8, 16, 16
+    obs, _ = _synthetic_obs(rng, V=V, H=H, W=W)
+    obs = obs.compact()
+    image = None if closed_form else np.zeros((H, W, 3), np.float32)
+    params = init_params(image=image, use_closed_form=closed_form)
+    obs_s = shard_obs(pad_obs_to_mesh(obs, mesh), mesh)
+    params = replicate(params, mesh)
+    opt_state = replicate(optax.adam(0.05).init(params), mesh)
+    n_obs = jnp.float32(float(np.asarray(obs.valid).sum()))
+    hlo = (
+        _run_segment.lower(
+            params, opt_state, obs_s, n_obs, n_steps=200,
+            use_closed_form=closed_form, chunked=False, lr=0.05,
+            pallas_mode="off", light=False,
+        )
+        .compile()
+        .as_text()
+    )
+
+    inv = _collective_inventory(hlo)
+    assert inv
+    jblock_elems = (H // rs) * W * 3  # the row-local J block
+    for op, n, gsz in inv:
+        assert op == "all-reduce", f"data-moving collective {op} in fit HLO"
+        if gsz <= 1:
+            continue
+        ok_scalar = n <= 4
+        ok_closed = closed_form and n == jblock_elems and gsz == vs
+        assert ok_scalar or ok_closed, (
+            f"unexpected all-reduce of {n} elements over groups of {gsz}"
+        )
