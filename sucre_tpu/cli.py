@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--params-format", choices=["npz", "pt"], default="npz",
                         help="parameter-checkpoint format: native .npz or the "
                              "reference's torch .pt state-dict (interop).")
+    parser.add_argument("--cull-tiles", type=int, default=4,
+                        help="tile-granular culling: split each target into "
+                             "NxN tiles and match each view chunk only "
+                             "against the target rectangle its surfaces can "
+                             "reach (chunked matching paths; results "
+                             "identical). <=1 keeps whole-view culling only.")
     parser.add_argument("--no-culling", action="store_true",
                         help="disable surface-overlap view culling. Culling is "
                              "conservative (a dropped pair's surfaces provably "
@@ -116,7 +122,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--bilinear-colors", action="store_true",
                         help="sample observed colors bilinearly at the continuous "
                              "reprojection instead of the reference's nearest-pixel "
-                             "gather (quality upgrade; matches/geometry unchanged).")
+                             "gather (matches/geometry unchanged). COST: ~5x the "
+                             "matching gather count (4 neighbor gathers on top of "
+                             "the packed one) on the gather-bound matching stage, "
+                             "and f32 observation colors (4x the I-stack HBM). "
+                             "Measured benefit is small (BASELINE.md: +0.02-0.09 dB "
+                             "on the synthetic scene).")
     parser.add_argument("--joint-params", action="store_true",
                         help="estimate ONE shared set of water parameters "
                              "(B, beta, gamma[, light]) jointly across all targets "
@@ -263,6 +274,7 @@ def main(argv: list[str] | None = None) -> int:
         match_chunk=args.match_chunk,
         match_window=args.match_window,
         frustum_cull=not args.no_culling,
+        cull_tiles=args.cull_tiles,
         joint_params=args.joint_params,
         bilinear_colors=args.bilinear_colors,
         params_format=args.params_format,

@@ -68,3 +68,109 @@ def cull_views(target_aabbs: list, view_aabbs: list) -> np.ndarray:
     for i, vb in enumerate(view_aabbs):
         keep[i] = any(aabb_overlap(tb, vb) for tb in target_aabbs)
     return keep
+
+
+def surface_tile_aabbs(
+    depth_raw: np.ndarray,  # (H, W) uint16 mm or float32 m
+    intrinsics: np.ndarray,  # (4,) fx fy cx cy
+    R: np.ndarray,  # (3, 3) cam->world
+    t: np.ndarray,  # (3,)
+    n_tiles: int = 4,
+    stride: int = 8,
+    margin: float = 0.05,
+) -> list:
+    """(n_tiles x n_tiles) grid of world-space AABBs of the TARGET's
+    observed surface, tile [i][j] covering target pixel rows
+    [i*th, (i+1)*th) x cols [j*tw, (j+1)*tw) with th = ceil(H/n),
+    tw = ceil(W/n). The tile-granular counterpart of ``surface_aabb``:
+    a view whose surface AABB misses tile [i][j] cannot produce a single
+    valid match inside that tile's pixels, so matching can skip the tile
+    — the rectangle-restriction cull (see ``tile_view_rects``).
+
+    Conservativeness (vs the whole-view AABB, which covers gaps between
+    subsamples by hull convexity): each tile's sample set is EXPANDED by
+    one stride ring past the tile boundary, so a surface strip between
+    the last sample of one tile and the first of the next lies inside the
+    hull of SOME tile's samples — disjoint per-tile sample sets would
+    leave such strips in no tile's box and falsely cull views overlapping
+    exactly there (caught live: real observations dropped on a transect).
+    The pad is ``margin`` of the WHOLE surface's diagonal — the same
+    absolute slack the whole-view cull applies — not the (much smaller)
+    tile diagonal. Flat list of n*n entries (row-major), None for tiles
+    with no valid depth. The stride is clamped so every tile gets sampled
+    on BOTH axes (a coarse stride on a small image would leave tiles
+    sample-less -> falsely "unreachable" -> dropped matches)."""
+    H, W = depth_raw.shape
+    th = -(-H // n_tiles)
+    tw = -(-W // n_tiles)
+    stride = max(1, min(stride, th // 2 or 1, tw // 2 or 1))
+    d = depth_raw[::stride, ::stride].astype(np.float64)
+    if np.issubdtype(depth_raw.dtype, np.integer):
+        d = d / 1000.0
+    vv, uu = np.meshgrid(
+        np.arange(0, H, stride, dtype=np.float64),
+        np.arange(0, W, stride, dtype=np.float64),
+        indexing="ij",
+    )
+    valid = d > 0
+    fx, fy, cx, cy = (float(x) for x in intrinsics)
+    X = d * (uu + 0.5 - cx) / fx
+    Y = d * (vv + 0.5 - cy) / fy
+    P = np.stack([X, Y, d], axis=-1)
+    Pw = P.reshape(-1, 3) @ np.asarray(R, np.float64).T + np.asarray(t, np.float64)
+    Pw = Pw.reshape(P.shape)
+
+    if not valid.any():
+        return [None] * (n_tiles * n_tiles)
+    whole = Pw[valid]
+    pad = margin * float(np.linalg.norm(whole.max(axis=0) - whole.min(axis=0)))
+
+    out = []
+    for i in range(n_tiles):
+        for j in range(n_tiles):
+            # one-stride expansion ring: gap strips between samples at a
+            # tile boundary stay inside this tile's hull
+            m = (
+                valid
+                & (vv >= i * th - stride) & (vv < (i + 1) * th + stride)
+                & (uu >= j * tw - stride) & (uu < (j + 1) * tw + stride)
+            )
+            if not m.any():
+                out.append(None)
+                continue
+            pts = Pw[m]
+            out.append((pts.min(axis=0) - pad, pts.max(axis=0) + pad))
+    return out
+
+
+def tile_view_rects(
+    tile_aabbs: list,  # n*n flat grid from surface_tile_aabbs
+    view_aabbs: list,  # per-view AABBs (surface_aabb)
+    height: int,
+    width: int,
+    n_tiles: int = 4,
+) -> list:
+    """Per-view envelope rectangle of target tiles the view's surface can
+    reach: (r0, r1, c0, c1) in TILE-ALIGNED pixel coordinates (r1/c1 may
+    exceed height/width — callers pad the target to n_tiles*tile once, so
+    slice shapes stay in a small bucket set of at most n_tiles distinct
+    sizes per axis). (0, 0, 0, 0) when no tile overlaps — the view is
+    fully culled, subsuming ``cull_views`` for that target (an AABB
+    disjoint from every tile's is disjoint from their union)."""
+    th = -(-height // n_tiles)
+    tw = -(-width // n_tiles)
+    rects = []
+    for vb in view_aabbs:
+        i0 = j0 = n_tiles
+        i1 = j1 = -1
+        if vb is not None:
+            for k, tb in enumerate(tile_aabbs):
+                if aabb_overlap(tb, vb):
+                    i, j = divmod(k, n_tiles)
+                    i0, i1 = min(i0, i), max(i1, i)
+                    j0, j1 = min(j0, j), max(j1, j)
+        if i1 < 0:
+            rects.append((0, 0, 0, 0))
+        else:
+            rects.append((i0 * th, (i1 + 1) * th, j0 * tw, (j1 + 1) * tw))
+    return rects

@@ -109,6 +109,20 @@ def _trunc_px(x: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]
     return xs.astype(jnp.int32), ys.astype(jnp.int32)
 
 
+def _offset_grid(H: int, W: int, origin):
+    """Integer pixel grid, shifted to GLOBAL coordinates when matching a
+    rectangle slice of the target (origin = (row0, col0), traced int32 —
+    offsets don't retrace). Integer adds keep every downstream float op
+    bit-identical to the full-grid program on the covered pixels, which
+    a cx/cy shift would not (different f32 rounding, and trunc-toward-
+    zero false positives at the slice boundary)."""
+    u1, v1 = pixel_grid(H, W)
+    if origin is not None:
+        v1 = v1 + origin[0].astype(jnp.int32)
+        u1 = u1 + origin[1].astype(jnp.int32)
+    return u1, v1
+
+
 def _forward_projection(
     depth1: jnp.ndarray,  # (H, W) target depth, meters
     intr1: jnp.ndarray,
@@ -117,6 +131,7 @@ def _forward_projection(
     intr2: jnp.ndarray,
     R2: jnp.ndarray,
     t2: jnp.ndarray,
+    origin=None,  # (2,) i32 (row0, col0) of a target rectangle slice
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Continuous forward reprojection of every target pixel into view 2
     — the shared geometry block (target pixel -> world -> view-2 pixel
@@ -124,7 +139,7 @@ def _forward_projection(
     H, W = depth1.shape
     i1 = Intrinsics(intr1[0], intr1[1], intr1[2], intr1[3])
     i2 = Intrinsics(intr2[0], intr2[1], intr2[2], intr2[3])
-    u1, v1 = pixel_grid(H, W)
+    u1, v1 = _offset_grid(H, W, origin)
     cP1 = unproject(i1, u1, v1, depth1)
     wP1 = transform_points(R1, t1, cP1)
     R2i, t2i = pose_inverse(R2, t2)
@@ -141,22 +156,26 @@ def _match_pair_core(
     R2: jnp.ndarray,
     t2: jnp.ndarray,
     fetch,  # (v2s, u2s) -> (d2 f32 meters, I colors or None)
+    origin=None,  # (2,) i32 (row0, col0) when depth1 is a rectangle slice
 ) -> tuple[PairMatch, jnp.ndarray, jnp.ndarray | None]:
     """The two-way-consistency geometry shared by every matching variant
     (parity-critical: reference sfm.py:115-175 semantics). The only
     degree of freedom is how view 2's per-pixel record is fetched at the
     candidate coordinates — one packed gather or separate depth/color
-    gathers (see module doc). Returns (match, cP2 masked, I masked)."""
+    gathers (see module doc). With ``origin``, depth1 is a rectangle
+    slice of the target and all pixel coordinates are GLOBAL — outputs
+    are bit-identical to the full-grid program restricted to the slice.
+    Returns (match, cP2 masked, I masked)."""
     H, W = depth1.shape
     H2, W2 = shape2
     i1 = Intrinsics(intr1[0], intr1[1], intr1[2], intr1[3])
     i2 = Intrinsics(intr2[0], intr2[1], intr2[2], intr2[3])
 
-    u1, v1 = pixel_grid(H, W)
+    u1, v1 = _offset_grid(H, W, origin)
     valid1 = depth1 > 0
 
     # Forward: target pixel -> world -> view-2 pixel candidate q2
-    x2, y2 = _forward_projection(depth1, intr1, R1, t1, intr2, R2, t2)
+    x2, y2 = _forward_projection(depth1, intr1, R1, t1, intr2, R2, t2, origin)
     u2, v2 = _trunc_px(x2, y2)
     inb2 = (u2 >= 0) & (u2 < W2) & (v2 >= 0) & (v2 < H2)
 
@@ -195,11 +214,13 @@ def match_pair(
     intr2: jnp.ndarray,  # (4,)
     R2: jnp.ndarray,
     t2: jnp.ndarray,
+    origin=None,
 ) -> PairMatch:
     """Two-way-consistent dense matching of one view pair (see module doc)."""
     match, _, _ = _match_pair_core(
         depth1, intr1, R1, t1, depth2.shape, intr2, R2, t2,
         fetch=lambda v2s, u2s: (depth2[v2s, u2s], None),
+        origin=origin,
     )
     return match
 
@@ -236,6 +257,7 @@ def bilinear_observation(
     R2: jnp.ndarray,
     t2: jnp.ndarray,
     match: PairMatch,
+    origin=None,
 ) -> jnp.ndarray:
     """Bilinear color sampling at the continuous reprojection — the
     flagged quality upgrade over the reference's nearest-pixel gather
@@ -247,7 +269,7 @@ def bilinear_observation(
     changes, so fits keep the exact reference observation sets."""
     H2, W2 = rgb2.shape[:2]
     # same shared geometry block the consistency check trunc-samples
-    x2, y2 = _forward_projection(depth1, intr1, R1, t1, intr2, R2, t2)
+    x2, y2 = _forward_projection(depth1, intr1, R1, t1, intr2, R2, t2, origin)
 
     # center-based coords: pixel (u, v)'s center is at (u + 0.5, v + 0.5)
     xs = jnp.clip(jnp.where(jnp.isfinite(x2), x2, 0.0) - 0.5, 0.0, W2 - 1.0)
@@ -294,6 +316,7 @@ def _match_observe_pair_packed(
     intr2: jnp.ndarray,
     R2: jnp.ndarray,
     t2: jnp.ndarray,
+    origin=None,
 ) -> tuple[PairMatch, jnp.ndarray, jnp.ndarray]:
     """match_pair + pair_observation fused over the packed record table:
     identical outputs (d2 = u16mm -> f32/1000 commutes with the gather;
@@ -314,7 +337,8 @@ def _match_observe_pair_packed(
         return d2, I
 
     return _match_pair_core(
-        depth1, intr1, R1, t1, packed2.shape[:2], intr2, R2, t2, fetch
+        depth1, intr1, R1, t1, packed2.shape[:2], intr2, R2, t2, fetch,
+        origin=origin,
     )
 
 
@@ -358,6 +382,7 @@ def match_and_observe_chunk(
     ts2: jnp.ndarray,  # (V, 3)
     compact: bool = False,
     bilinear: bool = False,
+    origin: jnp.ndarray | None = None,  # (2,) i32 (row0, col0) slice origin
 ) -> tuple[DenseObs, PairMatch]:
     """Match the target against a chunk of V views and build the dense
     observation stack — the jit unit of the matching stage (vmapped over
@@ -370,6 +395,10 @@ def match_and_observe_chunk(
     packed single-gather path (see _pack_view_records).
     ``bilinear=True`` swaps the nearest-pixel color gather for bilinear
     sampling at the continuous reprojection (matches/geometry unchanged).
+    ``origin`` marks depth1 as a rectangle slice of the target starting at
+    global pixel (row0, col0) — the tile-cull path; traced, so varying
+    offsets share one compile per slice SHAPE, and results are
+    bit-identical to the full-grid program on the covered pixels.
     """
     depth1 = to_f32_depth(depth1)
 
@@ -378,7 +407,7 @@ def match_and_observe_chunk(
 
         def one(pk, intr2, R2, t2):
             return _match_observe_pair_packed(
-                depth1, intr1, R1, t1, pk, intr2, R2, t2
+                depth1, intr1, R1, t1, pk, intr2, R2, t2, origin=origin
             )
 
         m, cP, I = jax.vmap(one)(packed, intrs2, Rs2, ts2)
@@ -390,7 +419,8 @@ def match_and_observe_chunk(
         depths2 = to_f32_depth(depths2)
 
         def one(depth2, rgb2, intr2, R2, t2):
-            m = match_pair(depth1, intr1, R1, t1, depth2, intr2, R2, t2)
+            m = match_pair(depth1, intr1, R1, t1, depth2, intr2, R2, t2,
+                           origin=origin)
             cP, I = pair_observation(m, intr2, rgb2 if compact else to_f32_rgb(rgb2))
             return m, cP, I
 
@@ -398,7 +428,8 @@ def match_and_observe_chunk(
     if bilinear:
         def one_bi(rgb2, intr2, R2, t2, m_v):
             return bilinear_observation(
-                depth1, intr1, R1, t1, rgb2, intr2, R2, t2, m_v
+                depth1, intr1, R1, t1, rgb2, intr2, R2, t2, m_v,
+                origin=origin,
             )
 
         I = jax.vmap(one_bi)(rgbs2, intrs2, Rs2, ts2, m)

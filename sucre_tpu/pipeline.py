@@ -78,6 +78,14 @@ class RestoreConfig:
     joint_params: bool = False  # share B/beta/gamma across the whole batch
     bilinear_colors: bool = False  # bilinear (vs reference nearest) color sampling
     frustum_cull: bool = True  # skip pairs whose surface AABBs cannot overlap
+    # Tile-granular culling (chunked matching paths): the target splits
+    # into cull_tiles x cull_tiles pixel tiles with their own surface
+    # AABBs, and each view chunk matches only the union RECTANGLE of
+    # tiles its views' surfaces can reach — gather volume (matching's
+    # hardware bound) drops with the overlap fraction on partial-overlap
+    # geometry. <= 1 disables (whole-view culling only). Only active when
+    # frustum_cull is on.
+    cull_tiles: int = 4
     # J device->host transfer dtype on the batched path ("f32" | "f16").
     # f32 (default) keeps the parameter checkpoint (.npz/.pt J — the
     # full-precision restoration artifact, warm-start input and
@@ -259,6 +267,45 @@ class DeviceViews:
                 )
 
 
+def _chunk_rect(sub, view_rects, Hp: int, Wp: int):
+    """Union rectangle of a chunk's per-view target rectangles (tile-
+    aligned; see ops.culling.tile_view_rects). None = every view in the
+    chunk is fully culled (no tile of the target reachable)."""
+    rects = [view_rects.get(v.name, (0, Hp, 0, Wp)) for v in sub]
+    rects = [r for r in rects if r[1] > r[0]]
+    if not rects:
+        return None
+    return (
+        min(r[0] for r in rects), max(r[1] for r in rects),
+        min(r[2] for r in rects), max(r[3] for r in rects),
+    )
+
+
+def _restore_rect(tree, rect, H: int, W: int):
+    """Pad a rect-sliced matching output back onto the full (H, W) target
+    grid (padded entries are invalid: zeros, NO_MATCH for pixel coords).
+    The slice may extend past H/W into the tile-alignment padding — those
+    rows/cols are cropped (they hold no valid matches by construction)."""
+    from sucre_tpu.ops.matching import NO_MATCH
+
+    r0, r1, c0, c1 = rect
+    rows = min(r1, H) - r0
+    cols = min(c1, W) - c0
+
+    def one(x, fill=0):
+        y = x[:, :rows, :cols]
+        pads = [(0, 0), (r0, H - r0 - rows), (c0, W - c0 - cols)]
+        pads += [(0, 0)] * (x.ndim - 3)
+        return jnp.pad(y, pads, constant_values=fill)
+
+    if isinstance(tree, PairMatch):
+        return PairMatch(
+            u2=one(tree.u2, NO_MATCH), v2=one(tree.v2, NO_MATCH),
+            d2=one(tree.d2), valid=one(tree.valid),
+        )
+    return jax.tree.map(one, tree)
+
+
 def compute_matches(
     target: View,
     image_list: list[View],
@@ -274,11 +321,21 @@ def compute_matches(
     bilinear: bool = False,
     primed_depths: dict[str, np.ndarray] | None = None,
     window: int = 4,
+    view_rects: dict[str, tuple] | None = None,
     log: Callable[[str], None] = lambda s: None,
 ) -> tuple[DenseObs | None, list[str]]:
     """Stage A+B fused: match the target against every view in
     ``image_list`` and gather matched colors, saving pairs that cover
     more than ``min_cover`` of the target (parity: sfm.py:127-138).
+
+    ``view_rects`` (from ops.culling.tile_view_rects) restricts each
+    chunk to the union RECTANGLE of target pixels its views' surfaces can
+    reach: the matching program runs on a target slice in GLOBAL pixel
+    coordinates (a traced grid origin — bit-identical results on the
+    covered pixels) and outputs are padded back onto the full grid. The
+    gather volume — matching's hardware bound — drops from H*W to the
+    rectangle area per chunk; tile-aligned rectangles keep the compiled-
+    shape set small (<= n_tiles distinct sizes per axis).
 
     Returns the dense observation stack over kept views (if
     ``collect_dense``) and the kept view names.
@@ -289,6 +346,17 @@ def compute_matches(
     intr1 = jnp.asarray(target.intrinsics)
     R1 = jnp.asarray(target.R)
     t1 = jnp.asarray(target.t)
+
+    H1, W1 = d1.shape
+    d1p = None
+    Hp = Wp = 0
+    if view_rects:
+        # pad ONCE to the tile-aligned envelope so every slice below is a
+        # whole-tile multiple (bounded compile-shape set); padded rows
+        # and cols have zero depth => no valid pixels
+        Hp = max(H1, max(r[1] for r in view_rects.values()))
+        Wp = max(W1, max(r[3] for r in view_rects.values()))
+        d1p = jnp.pad(d1, [(0, Hp - H1), (0, Wp - W1)])
 
     # Bucket by camera dims so each dense stack has uniform static shapes.
     buckets: dict[tuple[int, int], list[View]] = {}
@@ -364,12 +432,29 @@ def compute_matches(
             idxs = [i for i, _, _ in chunk]
             sub = [views[i] for i in idxs]
             n = len(chunk)
+            rect = None
+            if view_rects:
+                rect = _chunk_rect(sub, view_rects, Hp, Wp)
+                if rect is None:
+                    continue  # every view in the chunk is fully culled
+                if rect == (0, H1, 0, W1):
+                    rect = None  # full grid: the plain path, no pad/slice
             dev = _upload_view_chunk(
                 [c[2] for c in chunk], [c[1] for c in chunk], sub, match_chunk
             )
-            obs, match = match_and_observe_chunk_jit(
-                d1, intr1, R1, t1, *dev, compact=compact, bilinear=bilinear
-            )
+            if rect is not None:
+                r0, r1, c0, c1 = rect
+                obs, match = match_and_observe_chunk_jit(
+                    jax.lax.slice(d1p, (r0, c0), (r1, c1)),
+                    intr1, R1, t1, *dev, compact=compact, bilinear=bilinear,
+                    origin=jnp.asarray([r0, c0], jnp.int32),
+                )
+                obs = _restore_rect(obs, rect, H1, W1)
+                match = _restore_rect(match, rect, H1, W1)
+            else:
+                obs, match = match_and_observe_chunk_jit(
+                    d1, intr1, R1, t1, *dev, compact=compact, bilinear=bilinear
+                )
             pending.append((sub, n, obs, match, obs.valid[:n].sum(axis=(1, 2))))
             if len(pending) >= window:
                 flush_pending()
@@ -421,23 +506,41 @@ def match_targets_shared(
     bilinear: bool = False,
     device_views: DeviceViews | None = None,
     window: int = 4,
+    view_rects: list[dict] | None = None,
     log: Callable[[str], None] = lambda s: None,
 ) -> tuple[list[DenseObs | None], list[list[str]]]:
     """Match T targets against the view list with each view chunk uploaded
     to the device ONCE (the shared reprojection stack) — H2D traffic is
     O(V), not O(V*T). With a prebuilt ``device_views`` stack (uploaded once
-    per session) image H2D traffic is ZERO."""
+    per session) image H2D traffic is ZERO.
+
+    ``view_rects`` (one dict per target, aligned with ``targets``; see
+    compute_matches) restricts each (target, chunk) pairing to the union
+    rectangle of target pixels the chunk's views can reach — and SKIPS
+    pairings whose every view is fully culled for that target (per-target
+    pair culling the whole-survey keep-mask cannot express)."""
     tdev = []
-    for t in targets:
+    tpads = []
+    tdims = []
+    for ti, t in enumerate(targets):
         rgb, depth = cache.get(t)
+        d1 = jnp.asarray(depth)
         tdev.append(
             (
-                jnp.asarray(depth),
+                d1,
                 jnp.asarray(t.intrinsics),
                 jnp.asarray(t.R),
                 jnp.asarray(t.t),
             )
         )
+        H1, W1 = depth.shape
+        tdims.append((H1, W1))
+        if view_rects is not None and view_rects[ti]:
+            Hp = max(H1, max(r[1] for r in view_rects[ti].values()))
+            Wp = max(W1, max(r[3] for r in view_rects[ti].values()))
+            tpads.append(jnp.pad(d1, [(0, Hp - H1), (0, Wp - W1)]))
+        else:
+            tpads.append(None)
     areas = [float(t.width * t.height) for t in targets]
 
     buckets: dict[tuple[int, int], list[View]] = {}
@@ -499,9 +602,30 @@ def match_targets_shared(
     for sub, dev in chunk_iter:
         n = len(sub)
         for ti in range(T):
-            obs, match = match_and_observe_chunk_jit(
-                *tdev[ti], *dev, compact=compact, bilinear=bilinear
-            )
+            rect = None
+            if view_rects is not None:
+                H1, W1 = tdims[ti]
+                if not view_rects[ti]:
+                    continue  # every view is fully culled for this target
+                rect = _chunk_rect(sub, view_rects[ti], H1, W1)
+                if rect is None:
+                    continue  # this chunk's views are all culled for ti
+                if rect == (0, H1, 0, W1):
+                    rect = None
+            if rect is not None:
+                r0, r1, c0, c1 = rect
+                d1, intr1, R1, t1 = tdev[ti]
+                obs, match = match_and_observe_chunk_jit(
+                    jax.lax.slice(tpads[ti], (r0, c0), (r1, c1)),
+                    intr1, R1, t1, *dev, compact=compact, bilinear=bilinear,
+                    origin=jnp.asarray([r0, c0], jnp.int32),
+                )
+                obs = _restore_rect(obs, rect, H1, W1)
+                match = _restore_rect(match, rect, H1, W1)
+            else:
+                obs, match = match_and_observe_chunk_jit(
+                    *tdev[ti], *dev, compact=compact, bilinear=bilinear
+                )
             counts = obs.valid[:n].sum(axis=(1, 2))
             mf = matches_files[ti] if matches_files else None
             pending.append(
@@ -571,6 +695,7 @@ def restore_image(
     t0 = time.perf_counter()
     obs = None
     primed_depths: dict[str, np.ndarray] = {}
+    view_rects = None
     if not use_h5 or cfg.force_compute_matches or not matches_path.exists():
         if cfg.frustum_cull:
             # depth-only pre-pass: drop views whose observed surface cannot
@@ -596,7 +721,26 @@ def restore_image(
                         primed_depths[v.name] = d
                         held += d.nbytes
                     v_aabbs.append(surface_aabb(d, v.intrinsics, v.R, v.t))
-            keep_mask = cull_views([t_aabb], v_aabbs)
+            if cfg.cull_tiles > 1:
+                # tile-granular: per-view target RECTANGLES (an empty one
+                # = fully culled, subsuming the whole-view test)
+                from sucre_tpu.ops.culling import surface_tile_aabbs, tile_view_rects
+
+                tiles = surface_tile_aabbs(
+                    target_depth, target.intrinsics, target.R, target.t,
+                    n_tiles=cfg.cull_tiles,
+                )
+                rects = tile_view_rects(
+                    tiles, v_aabbs, target.height, target.width,
+                    n_tiles=cfg.cull_tiles,
+                )
+                keep_mask = np.asarray([r[1] > r[0] for r in rects])
+                view_rects = {
+                    v.name: r
+                    for v, r, k in zip(image_list, rects, keep_mask) if k
+                }
+            else:
+                keep_mask = cull_views([t_aabb], v_aabbs)
             if not all(keep_mask):
                 log(
                     f"Surface cull: {int(keep_mask.sum())}/{len(image_list)} "
@@ -622,6 +766,7 @@ def restore_image(
             bilinear=cfg.bilinear_colors,
             primed_depths=primed_depths or None,
             window=cfg.match_window,
+            view_rects=view_rects,
         )
     timings["match"] = time.perf_counter() - t0
 
@@ -953,11 +1098,42 @@ def dispatch_survey_batch(
     # cannot intersect any target's (zero possible matches; see
     # ops/culling.py). Big win on long survey transects.
     culled_list = image_list
+    tile_rects = None  # per-to_match-target {view name: target rect}
     if cfg.frustum_cull and to_match:
         from sucre_tpu.ops.culling import cull_views
 
         t_aabbs = [cache.aabb(targets[ti]) for ti in to_match]
-        keep_mask = cull_views(t_aabbs, [cache.aabb(v) for v in image_list])
+        v_aabbs = [cache.aabb(v) for v in image_list]
+        if cfg.cull_tiles > 1:
+            # tile-granular: per-(target, view) rectangles; a view is
+            # kept when ANY target can reach it (the chunked matcher then
+            # skips per-target pairings with empty rects — finer than the
+            # whole-survey keep mask)
+            from sucre_tpu.ops.culling import surface_tile_aabbs, tile_view_rects
+
+            rect_lists = []
+            for ti in to_match:
+                t = targets[ti]
+                tiles = surface_tile_aabbs(
+                    cache.get(t)[1], t.intrinsics, t.R, t.t,
+                    n_tiles=cfg.cull_tiles,
+                )
+                rect_lists.append(tile_view_rects(
+                    tiles, v_aabbs, t.height, t.width, n_tiles=cfg.cull_tiles
+                ))
+            keep_mask = np.asarray([
+                any(rl[i][1] > rl[i][0] for rl in rect_lists)
+                for i in range(len(image_list))
+            ])
+            tile_rects = [
+                {
+                    v.name: rl[i]
+                    for i, (v, k) in enumerate(zip(image_list, keep_mask)) if k
+                }
+                for rl in rect_lists
+            ]
+        else:
+            keep_mask = cull_views(t_aabbs, v_aabbs)
         culled_list = [v for v, k in zip(image_list, keep_mask) if k]
         if not culled_list:
             # every target has an empty observed surface (e.g. all-zero
@@ -965,6 +1141,7 @@ def dispatch_survey_batch(
             # with valid shapes — it produces zero observations and the
             # targets are skipped at export with a logged error
             culled_list = image_list[:1]
+            tile_rects = None
         if len(culled_list) < len(image_list):
             log(f"Surface cull: {len(culled_list)}/{len(image_list)} views kept.")
 
@@ -1097,6 +1274,7 @@ def dispatch_survey_batch(
                 # cache instead when culling removed views
                 device_views=device_views if len(culled_list) == len(image_list) else None,
                 window=cfg.match_window,
+                view_rects=tile_rects,
                 log=log,
             )
             for k, ti in enumerate(to_match):

@@ -116,3 +116,143 @@ def test_transect_survey_culling_equivalence(tmp_path):
             np.nan_to_num(ra.J), np.nan_to_num(rb.J), atol=1e-6
         )
         np.testing.assert_allclose(ra.telemetry.cost, rb.telemetry.cost, rtol=1e-5)
+
+
+def test_surface_tile_aabbs_partition_plane():
+    """Tile AABBs partition the observed surface: their union covers the
+    whole-view box, each tile's x-extent tracks its column band."""
+    from sucre_tpu.ops.culling import surface_tile_aabbs
+
+    H, W = 48, 64
+    depth = np.full((H, W), 3000, np.uint16)  # 3 m plane
+    intr = np.array([51.2, 51.2, 32.0, 24.0])
+    tiles = surface_tile_aabbs(depth, intr, np.eye(3), np.zeros(3),
+                               n_tiles=4, stride=4, margin=0.0)
+    assert len(tiles) == 16 and all(t is not None for t in tiles)
+    whole = surface_aabb(depth, intr, np.eye(3), np.zeros(3), stride=4, margin=0.0)
+    lo = np.min([t[0] for t in tiles], axis=0)
+    hi = np.max([t[1] for t in tiles], axis=0)
+    np.testing.assert_allclose(lo, whole[0], atol=1e-9)
+    np.testing.assert_allclose(hi, whole[1], atol=1e-9)
+    # column band j=0 lies strictly left of j=3 (same row band)
+    assert tiles[0][1][0] < tiles[3][0][0]
+    # row band i=0 lies strictly above i=3 in Y
+    assert tiles[0][1][1] < tiles[12][0][1]
+
+
+def test_tile_view_rects_envelope():
+    from sucre_tpu.ops.culling import surface_tile_aabbs, tile_view_rects
+
+    H, W = 48, 64
+    depth = np.full((H, W), 3000, np.uint16)
+    intr = np.array([51.2, 51.2, 32.0, 24.0])
+    tiles = surface_tile_aabbs(depth, intr, np.eye(3), np.zeros(3),
+                               n_tiles=4, stride=4, margin=0.0)
+    # a view box covering only the left half of the surface
+    whole = surface_aabb(depth, intr, np.eye(3), np.zeros(3), stride=4, margin=0.0)
+    mid_x = 0.5 * (whole[0][0] + whole[1][0])
+    left = (whole[0], np.array([mid_x, whole[1][1], whole[1][2]]))
+    far = (whole[0] + 1000.0, whole[1] + 1000.0)
+    rects = tile_view_rects(tiles, [left, far, whole, None], H, W, n_tiles=4)
+    r0, r1, c0, c1 = rects[0]
+    assert (r0, r1) == (0, 48) and c0 == 0 and c1 <= 48  # <= 3 column tiles
+    assert rects[1] == (0, 0, 0, 0)  # disjoint: fully culled
+    assert rects[2] == (0, 48, 0, 64)  # full coverage
+    assert rects[3] == (0, 0, 0, 0)  # empty view
+
+
+def test_tile_cull_transect_equivalence_and_engagement(tmp_path):
+    """On a spread transect, tile culling restricts matching to partial
+    target rectangles (engagement asserted via tile_view_rects) while the
+    restored result stays IDENTICAL to no culling at all — a culled tile's
+    surface cannot contain a two-way-consistent match."""
+    import dataclasses
+
+    from sucre_tpu.ops.culling import (surface_aabb, surface_tile_aabbs,
+                                       tile_view_rects)
+    from sucre_tpu.pipeline import ViewCache
+
+    sd = make_scene(tmp_path, n_views=10, width=64, height=48, spread=12.0)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    target = scene["img_004.png"]
+    cache = ViewCache()
+    depth = cache.get(target)[1]
+    tiles = surface_tile_aabbs(depth, target.intrinsics, target.R, target.t)
+    rects = tile_view_rects(
+        tiles, [cache.aabb(v) for v in scene.view_list()],
+        target.height, target.width,
+    )
+    partial = [
+        r for r in rects
+        if r[1] > r[0] and (r[3] - r[2]) * (r[1] - r[0]) < 48 * 64
+    ]
+    assert partial, "transect produced no partial-rectangle views"
+
+    cfg_tiles = RestoreConfig(num_iter=5, verbose=False, store="memory")
+    cfg_whole = dataclasses.replace(cfg_tiles, cull_tiles=0)
+    cfg_off = dataclasses.replace(cfg_tiles, frustum_cull=False)
+    a = restore_image(scene, "img_004.png", tmp_path / "a", cfg_tiles)
+    b = restore_image(scene, "img_004.png", tmp_path / "b", cfg_whole)
+    c = restore_image(scene, "img_004.png", tmp_path / "c", cfg_off)
+    assert a.n_obs == b.n_obs == c.n_obs
+    np.testing.assert_allclose(np.nan_to_num(a.J), np.nan_to_num(c.J), atol=1e-6)
+    np.testing.assert_allclose(np.nan_to_num(b.J), np.nan_to_num(c.J), atol=1e-6)
+
+
+def test_tile_cull_survey_chunked_equivalence(tmp_path, monkeypatch):
+    """Multi-target chunked matching (the oversized-survey fallback) with
+    tile rectangles: per-(target, view) pairings with no reachable tile
+    are skipped entirely, and results equal both whole-view culling and
+    no culling."""
+    import dataclasses
+
+    from sucre_tpu.pipeline import restore_many
+
+    sd = make_scene(tmp_path, n_views=10, width=64, height=48, spread=12.0)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    names = ["img_002.png", "img_007.png"]  # far apart on the transect
+    # force the chunked path (the tile rectangles' consumer)
+    monkeypatch.setenv("SUCRE_SURVEY_MAX_PAIRS", "1")
+    cfg_tiles = RestoreConfig(num_iter=4, verbose=False, store="memory")
+    cfg_whole = dataclasses.replace(cfg_tiles, cull_tiles=0)
+    cfg_off = dataclasses.replace(cfg_tiles, frustum_cull=False)
+    a = restore_many(scene, names, tmp_path / "a", cfg_tiles)
+    b = restore_many(scene, names, tmp_path / "b", cfg_whole)
+    c = restore_many(scene, names, tmp_path / "c", cfg_off)
+    for ra, rb, rc in zip(a, b, c):
+        assert ra.n_obs == rb.n_obs == rc.n_obs
+        np.testing.assert_allclose(np.nan_to_num(ra.J), np.nan_to_num(rc.J), atol=1e-6)
+        np.testing.assert_allclose(np.nan_to_num(rb.J), np.nan_to_num(rc.J), atol=1e-6)
+
+
+def test_tile_cull_never_drops_observations_any_target(tmp_path):
+    """Regression (caught live in CLI verification): disjoint per-tile
+    sample sets left boundary gap strips in NO tile's AABB, and the
+    per-tile-diagonal pad was ~4x smaller than the whole-view slack — an
+    8-view spread-12 transect falsely culled a view carrying 188 real
+    observations. Sweep EVERY target: tile-culled n_obs must equal
+    culling-off n_obs exactly."""
+    import dataclasses
+
+    sd = make_scene(tmp_path, n_views=8, width=64, height=48, spread=12.0)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    cfg = RestoreConfig(num_iter=2, verbose=False, store="memory")
+    cfg_off = dataclasses.replace(cfg, frustum_cull=False)
+    for name in sd.names:
+        a = restore_image(scene, name, tmp_path / "a" / name, cfg)
+        c = restore_image(scene, name, tmp_path / "c" / name, cfg_off)
+        assert a.n_obs == c.n_obs, f"{name}: {a.n_obs} != {c.n_obs}"
+
+
+def test_surface_tile_aabbs_small_image_every_tile_sampled():
+    """On images smaller than n_tiles*stride the sampling stride must
+    shrink so every tile still gets samples — an unsampled tile reads as
+    'unreachable' and silently drops real matches (caught at
+    image_scale=0.5)."""
+    from sucre_tpu.ops.culling import surface_tile_aabbs
+
+    depth = np.full((24, 32), 3000, np.uint16)
+    intr = np.array([25.6, 25.6, 16.0, 12.0])
+    tiles = surface_tile_aabbs(depth, intr, np.eye(3), np.zeros(3),
+                               n_tiles=4, stride=8)
+    assert all(t is not None for t in tiles)

@@ -360,3 +360,52 @@ def test_matching_gauge_invariance():
     assert len(a) > 100
     # identical up to float truncation slivers at pixel boundaries
     assert len(a ^ b) <= max(2, len(a) // 200), f"{len(a ^ b)} / {len(a)} differ"
+
+
+def test_origin_slice_bit_identical(rng):
+    """Matching a rectangle slice of the target with a traced grid origin
+    must be BIT-identical to the full-grid program restricted to the
+    slice — including trunc-toward-zero borderline pixels, which a cx/cy
+    shift would flip (the tile-cull correctness contract)."""
+    H, W = 40, 56
+    base = 2.0 + 0.4 * np.sin(np.linspace(0, 3, W))[None, :] + 0.3 * np.cos(
+        np.linspace(0, 2, H)
+    )[:, None]
+    d1 = base.astype(np.float32)
+    d1[rng.uniform(size=(H, W)) < 0.1] = 0.0
+    d2 = (base + 0.03 * rng.standard_normal((H, W))).astype(np.float32)
+    rgb2 = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    intr = _intr(30.0, 30.0, W / 2, H / 2)
+    R1 = np.eye(3, dtype=np.float32)
+    t1 = np.zeros(3, np.float32)
+    c, s = np.cos(0.05), np.sin(0.05)
+    R2 = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    t2 = np.array([0.2, -0.1, 0.02], np.float32)
+
+    args2 = (
+        jnp.asarray(d2)[None], jnp.asarray(rgb2)[None],
+        jnp.asarray(intr)[None], jnp.asarray(R2)[None], jnp.asarray(t2)[None],
+    )
+    full_obs, full_m = match_and_observe_chunk_jit(
+        jnp.asarray(d1), jnp.asarray(intr), jnp.asarray(R1), jnp.asarray(t1),
+        *args2, compact=False,
+    )
+    r0, r1, c0, c1 = 8, 32, 16, 48
+    sl_obs, sl_m = match_and_observe_chunk_jit(
+        jnp.asarray(d1[r0:r1, c0:c1]), jnp.asarray(intr),
+        jnp.asarray(R1), jnp.asarray(t1), *args2, compact=False,
+        origin=jnp.asarray([r0, c0], jnp.int32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sl_m.valid[0]), np.asarray(full_m.valid[0, r0:r1, c0:c1])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sl_m.u2[0]), np.asarray(full_m.u2[0, r0:r1, c0:c1])
+    )
+    np.testing.assert_array_equal(  # bit-exact, not allclose
+        np.asarray(sl_obs.cP[0]), np.asarray(full_obs.cP[0, r0:r1, c0:c1])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sl_obs.I[0]), np.asarray(full_obs.I[0, r0:r1, c0:c1])
+    )
+    assert int(np.asarray(sl_m.valid).sum()) > 100
