@@ -92,6 +92,35 @@ def probe_headers(path: Path):
     return None
 
 
+def jpeg_components(path: Path) -> int:
+    """SOF component count of a JPEG (3 = YCbCr/RGB, 1 = grayscale,
+    4 = CMYK/YCCK), 0 when not a JPEG / unparseable. Grayscale and
+    YCbCr decode natively (libjpeg converts to RGB); CMYK is NOT a
+    libjpeg-convertible source, so those files take the cv2 fallback —
+    correct (and reference-identical, the reference decodes via cv2)
+    but off the native fast path, worth a pre-flight WARN."""
+    try:
+        with open(path, "rb") as f:
+            if f.read(2) != b"\xff\xd8":
+                return 0
+            while True:
+                seg = f.read(4)
+                if len(seg) < 4 or seg[0] != 0xFF:
+                    return 0
+                marker = seg[1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    sof = f.read(6)
+                    if len(sof) < 6:
+                        return 0
+                    return sof[5]
+                (seg_len,) = struct.unpack(">H", seg[2:4])
+                if seg_len < 2:
+                    return 0
+                f.seek(seg_len - 2, 1)
+    except (OSError, struct.error, IndexError):
+        return 0
+
+
 def exif_orientation(path: Path) -> int:
     """EXIF orientation tag (1-8) of a JPEG, 0 when absent / not a JPEG /
     unparseable. Decoders (cv2 AND the native libjpeg path) apply this
@@ -160,6 +189,15 @@ def _check_view(view, deep: bool, scaled: bool) -> list[Finding]:
                 f"decode (cv2/reference parity, native path included) — "
                 f"make sure the COLMAP poses and depth maps correspond to "
                 f"the RE-ORIENTED image, not the sensor layout"))
+        if probe is not None and probe[3] == "jpeg":
+            ncomp = jpeg_components(view.rgb_path)
+            if ncomp not in (0, 1, 3):
+                findings.append(Finding(
+                    "WARN", "jpeg-subtype", name,
+                    f"JPEG has {ncomp} components (CMYK/YCCK?): decodes "
+                    f"via the cv2 fallback (reference-identical colors) "
+                    f"but off the native fast path — and one such file "
+                    f"demotes the whole batch prefill to cv2"))
         if probe is not None:
             w, h, _, _ = probe
             if orient >= 5:

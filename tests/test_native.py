@@ -248,3 +248,82 @@ def test_decode_rgb8_palette_trns_png(tmp_path, rng):
     out = native.decode_rgb8(p, w, h)
     expected = np.asarray(Image.open(p).convert("RGB"))
     np.testing.assert_array_equal(out, expected)
+
+
+def test_cmyk_jpeg_falls_back_to_cv2_parity(tmp_path, rng):
+    """CMYK/YCCK JPEGs are not a libjpeg-convertible RGB source: the
+    native decode must FAIL CLEANLY (no crash, no wrong colors) and the
+    load_rgb_raw fallback must produce exactly what cv2 — the reference's
+    decoder — produces."""
+    import cv2
+    from PIL import Image
+
+    from sucre_tpu.io import native
+    from sucre_tpu.io.images import load_rgb_raw
+
+    w, h = 48, 32
+    arr = rng.integers(0, 255, size=(h, w, 4), dtype=np.uint8)
+    p = tmp_path / "cmyk.jpg"
+    Image.fromarray(arr, mode="CMYK").save(p)
+    if native.available():
+        with pytest.raises(IOError):
+            native.decode_rgb8(p, w, h)
+    got = load_rgb_raw(p, w, h)
+    expected = cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_grayscale_jpeg_native_matches_cv2(tmp_path, rng):
+    """Grayscale JPEGs decode natively (libjpeg gray->RGB replicate) and
+    must match cv2's 3-channel load byte for byte."""
+    import cv2
+    from PIL import Image
+
+    from sucre_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    w, h = 48, 32
+    arr = rng.integers(0, 255, size=(h, w), dtype=np.uint8)
+    p = tmp_path / "gray.jpg"
+    Image.fromarray(arr, mode="L").save(p)
+    out = native.decode_rgb8(p, w, h)
+    expected = cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB)
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_prefill_with_cmyk_jpeg_degrades_to_cv2(tmp_path, rng):
+    """One CMYK file in a survey demotes the batch prefill to the cv2
+    path but every view still loads, with cv2-identical pixels."""
+    import cv2
+    from PIL import Image
+
+    from sucre_tpu.pipeline import ViewCache
+
+    w, h = 48, 32
+
+    class _V:
+        def __init__(self, name, rgb, depth, width, height):
+            self.name, self.rgb_path, self.depth_path = name, rgb, depth
+            self.width, self.height = width, height
+
+    views = []
+    for i in range(3):
+        rp = tmp_path / f"v{i}.jpg"
+        dp = tmp_path / f"v{i}.png"
+        if i == 1:
+            Image.fromarray(
+                rng.integers(0, 255, size=(h, w, 4), dtype=np.uint8), mode="CMYK"
+            ).save(rp)
+        else:
+            cv2.imwrite(str(rp), rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8))
+        cv2.imwrite(str(dp), rng.integers(1, 5000, size=(h, w)).astype(np.uint16))
+        views.append(_V(f"v{i}.jpg", rp, dp, w, h))
+
+    cache = ViewCache()
+    cache.prefill(views, num_workers=2)
+    for v in views:
+        rgb, depth = cache.get(v)
+        expected = cv2.cvtColor(cv2.imread(str(v.rgb_path)), cv2.COLOR_BGR2RGB)
+        np.testing.assert_array_equal(rgb, expected)
+        assert depth.shape == (h, w)

@@ -168,3 +168,38 @@ def test_unparseable_model_is_fatal(tmp_path, capsys):
                "--model-dir", str(tmp_path)])
     assert rc == 2
     assert "FATAL" in capsys.readouterr().out
+
+
+def test_jpeg_subtype_warn_cmyk(sd, capsys):
+    """A CMYK JPEG (4 SOF components) gets a pre-flight WARN: it decodes
+    reference-identically via the cv2 fallback but demotes the native
+    batch prefill."""
+    from PIL import Image
+
+    from sucre_tpu.validate import jpeg_components
+
+    v = sd.names[0]
+    img = np.zeros((32, 48, 4), np.uint8)
+    p = sd.image_dir / v
+    Image.fromarray(img, mode="CMYK").save(p.with_suffix(".jpg"))
+    p.with_suffix(".jpg").replace(p)  # keep the model's registered name
+    assert jpeg_components(p) == 4
+
+    rc = main(_args(sd))
+    out = capsys.readouterr().out
+    assert rc == 0  # warnings don't fail the pre-flight
+    assert "jpeg-subtype" in out and "4 components" in out
+
+
+def test_jpeg_subtype_no_warn_gray_and_ycbcr(tmp_path):
+    from PIL import Image
+
+    from sucre_tpu.validate import jpeg_components
+
+    g = tmp_path / "g.jpg"
+    Image.fromarray(np.zeros((32, 48), np.uint8), mode="L").save(g)
+    assert jpeg_components(g) == 1  # gray: native handles, no warn path
+    c = tmp_path / "c.jpg"
+    Image.fromarray(np.zeros((32, 48, 3), np.uint8)).save(c)
+    assert jpeg_components(c) == 3
+    assert jpeg_components(tmp_path / "missing.jpg") == 0
