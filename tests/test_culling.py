@@ -256,3 +256,41 @@ def test_surface_tile_aabbs_small_image_every_tile_sampled():
     tiles = surface_tile_aabbs(depth, intr, np.eye(3), np.zeros(3),
                                n_tiles=4, stride=8)
     assert all(t is not None for t in tiles)
+
+
+def test_device_views_subset_on_device_compaction(tmp_path):
+    """DeviceViews.subset compacts resident stacks on device: kept views
+    (any bucket mix) keep their arrays bit-identical, untouched buckets
+    are shared (no copy), empty buckets drop, and the culled chunked
+    survey path built on a subset equals the host-streamed result."""
+    import jax.numpy as jnp
+
+    from sucre_tpu.pipeline import DeviceViews, ViewCache
+
+    sd = make_scene(tmp_path, n_views=6, width=64, height=48, two_cameras=True)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    cache = ViewCache()
+    dv = DeviceViews(scene.view_list(), cache, match_chunk=4)
+    assert len(dv.buckets) == 2
+
+    # full keep: no-op, same object
+    assert dv.subset(scene.view_list()) is dv
+
+    # drop every odd view (the whole second camera bucket disappears)
+    kept = [v for i, v in enumerate(scene.view_list()) if i % 2 == 0]
+    sub = dv.subset(kept)
+    assert len(sub.buckets) == 1
+    names = [v.name for b in sub.buckets for v in b["views"]]
+    assert names == [v.name for v in kept]
+    b_full = dv.buckets[0]
+    b_sub = sub.buckets[0]
+    for k in ("depths", "rgbs"):
+        idx = [i for i, v in enumerate(b_full["views"]) if v.name in set(names)]
+        np.testing.assert_array_equal(
+            np.asarray(b_sub[k]), np.asarray(jnp.take(b_full[k], jnp.asarray(idx), axis=0))
+        )
+
+    # partial drop inside one bucket: untouched bucket object is SHARED
+    kept2 = [v for v in scene.view_list() if v.name != kept[0].name]
+    sub2 = dv.subset(kept2)
+    assert any(b is dv.buckets[1] for b in sub2.buckets)
