@@ -7,7 +7,12 @@ platform JAX selects (the real TPU chip under the driver).
 
 Prints ONE JSON line:
   {"metric": "restore_throughput", "value": <Mpix/s>, "unit": "Mpix/s",
-   "vs_baseline": <value / 50.0>, "device_mpix_s": <Mpix/s>}
+   "vs_baseline": <value / 50.0>, "device_mpix_s": <Mpix/s>,
+   "value_f16": <Mpix/s>}
+
+``value_f16`` is the same end-to-end run with export_dtype="f16" (the
+documented transfer trade: half the J fetch bytes on link-bound hosts,
+~5e-4 relative rounding in the npz checkpoint).
 
 The baseline denominator is the driver-set north star from BASELINE.json
 (>= 50 Mpix/s on a v5e-8 slice); this harness runs on a single chip, so
@@ -138,14 +143,34 @@ def main() -> None:
             break
     wall = min(walls[1:]) if len(walls) > 1 else walls[0]
 
+    import dataclasses as _dc
+
+    # f16-export phase: the documented J-fetch trade, measured (same
+    # device work; the fetch dtype halves — the win shows on
+    # transfer-bound links). 2 reps: warmup (one new compiled export
+    # cast) + one measurement.
+    f16_reps = int(os.environ.get("BENCH_F16_REPS", 2))
+    cfg_f16 = _dc.replace(cfg, export_dtype="f16")
+    fwalls = []
+    for rep in range(f16_reps):
+        perturb(1 + rep)
+        t0 = time.perf_counter()
+        restore_survey(
+            scene, targets, tmp / f"f16out{rep}", cfg_f16, batch_targets=B,
+            cache=cache, device_views=device_views,
+        )
+        fwalls.append(time.perf_counter() - t0)
+        log(f"f16 rep {rep}: {fwalls[-1]:.2f}s")
+        if time.perf_counter() - bench_start > budget + 60:
+            break
+    fwall = min(fwalls[1:]) if len(fwalls) > 1 else fwalls[0]
+
     # Device-compute-only phase: dispatch the full match+fit pipeline per
     # batch and sync with a tiny scalar fetch (the bulk J / render
     # transfer and artifact export never happen). Both on-device render
     # flags are forced off exactly as restore_survey forces them, so this
     # phase reuses the e2e phase's already-compiled programs and measures
     # the same device work the e2e number contains.
-    import dataclasses as _dc
-
     from sucre_tpu.pipeline import dispatch_survey_batch
 
     dev_reps = int(os.environ.get("BENCH_DEV_REPS", 3))
@@ -182,6 +207,7 @@ def main() -> None:
                 "unit": "Mpix/s",
                 "vs_baseline": round(value / 50.0, 4),
                 "device_mpix_s": round(mpix / dwall, 3),
+                "value_f16": round(mpix / fwall, 3),
             }
         )
     )
