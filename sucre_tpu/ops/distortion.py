@@ -1,0 +1,243 @@
+"""Lens distortion models — COLMAP camera coverage beyond the reference.
+
+The reference hard-asserts PINHOLE (`sfm.py:192`) and tells users to run
+COLMAP's image undistorter first (`sucre.py:270` "undistorted COLMAP
+model directory"). This module removes that pre-processing step: surveys
+reconstructed with SIMPLE_RADIAL / RADIAL / OPENCV / FULL_OPENCV /
+OPENCV_FISHEYE cameras restore directly, with the distortion folded into
+the matching geometry.
+
+TPU-first rationale: matching is bound by the gather engine (~10
+cycles/row, see BASELINE.md) and ALL elementwise reprojection math hides
+behind it — so an inline fixed-point/Newton undistortion (~60 VPU
+ops/pixel) is effectively free. No per-camera LUT (that would add a
+second gather on the bound resource), no dynamic shapes, no host work.
+
+Two canonical models (static tags, one compiled program per tag):
+  - ``"rational"`` — the OpenCV rational polynomial in normalized
+    coordinates, parameter vector ``(k1, k2, p1, p2, k3, k4, k5, k6)``
+    (cv2 distCoeffs order, so parity tests pass vectors verbatim).
+    SIMPLE_RADIAL / RADIAL / OPENCV / FULL_OPENCV all embed into it.
+  - ``"fisheye"`` — the OpenCV/COLMAP equidistant fisheye model,
+    parameters ``(k1, k2, k3, k4, 0, 0, 0, 0)``.
+  - ``"none"`` — the exact pinhole path (callers skip this module).
+
+Inversion is iterative (fixed point for rational, Newton for fisheye) and
+NaN-poisons pixels whose inversion does not converge (verified by a
+forward-distortion roundtrip): the NaN propagates through the projection
+chain into ``matching._trunc_px``'s finite mask, so diverged pixels are
+rejected exactly like out-of-bounds ones — no new validity plumbing.
+
+Every function takes ``xp`` (numpy or jax.numpy): the same math runs
+inside jitted matching programs and in the host-side numpy culling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Number of slots in the canonical parameter vector.
+DIST_PARAMS = 8
+
+# Static model tags. "none" is handled by callers (exact pinhole path);
+# passing it to distort/undistort is an error by design.
+DIST_MODELS = ("none", "rational", "fisheye")
+
+# Reject an inversion whose forward-distortion roundtrip misses by more
+# than this (normalized units; ~0.5 px at f=500). Interior pixels of
+# physically-plausible lenses converge to <1e-6; divergence (outside the
+# lens's invertible domain) is catastrophic, so the threshold is not
+# delicate.
+ROUNDTRIP_TOL = 1e-3
+
+# Fixed point converges linearly (factor ~0.3-0.5/iter at practical
+# coefficients): 30 iterations reach the f64 tail (~1e-10 normalized) and
+# saturate f32 long before. The unrolled chain is pure VPU work measured
+# to hide completely behind the matching gather (BASELINE.md), so extra
+# iterations are free on the hot path.
+_FIXED_POINT_ITERS = 30
+_NEWTON_ITERS = 15
+
+
+def _check_model(model: str) -> None:
+    if model not in ("rational", "fisheye"):
+        raise ValueError(
+            f"unknown distortion model {model!r} (expected 'rational' or "
+            f"'fisheye'; 'none' must be handled by the caller)"
+        )
+
+
+def _distort_rational(xp, dist, x, y):
+    k1, k2, p1, p2, k3, k4, k5, k6 = (dist[..., i] for i in range(8))
+    r2 = x * x + y * y
+    num = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    den = 1.0 + r2 * (k4 + r2 * (k5 + r2 * k6))
+    radial = num / den
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return xd, yd
+
+
+def _distort_fisheye(xp, dist, x, y):
+    k1, k2, k3, k4 = (dist[..., i] for i in range(4))
+    r2 = x * x + y * y
+    r = xp.sqrt(r2)
+    theta = xp.arctan(r)
+    t2 = theta * theta
+    theta_d = theta * (1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))
+    # theta_d/r -> 1 as r -> 0 (atan(r) ~ r); guard the 0/0.
+    scale = xp.where(r > 1e-9, theta_d / xp.where(r > 1e-9, r, 1.0), 1.0)
+    return x * scale, y * scale
+
+
+def distort(model: str, dist, x, y, xp=np):
+    """Normalized undistorted coords -> distorted coords (closed form).
+
+    ``dist`` is the canonical (..., 8) parameter vector; ``x, y`` are
+    normalized image-plane coordinates (X/Z, Y/Z). Broadcasting applies.
+    """
+    _check_model(model)
+    if model == "rational":
+        return _distort_rational(xp, dist, x, y)
+    return _distort_fisheye(xp, dist, x, y)
+
+
+def _undistort_rational(xp, dist, xd, yd, iters):
+    k1, k2, p1, p2, k3, k4, k5, k6 = (dist[..., i] for i in range(8))
+    x, y = xd, yd
+    for _ in range(iters):
+        r2 = x * x + y * y
+        num = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        den = 1.0 + r2 * (k4 + r2 * (k5 + r2 * k6))
+        radial = num / den
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        x = (xd - dx) / radial
+        y = (yd - dy) / radial
+    return x, y
+
+
+def _undistort_fisheye(xp, dist, xd, yd, iters):
+    k1, k2, k3, k4 = (dist[..., i] for i in range(4))
+    theta_d = xp.sqrt(xd * xd + yd * yd)
+    # Newton on f(theta) = theta * poly(theta^2) - theta_d, theta0 = theta_d.
+    # Clamp inside (0, pi/2): tan must stay finite; out-of-domain inputs
+    # land on the clamp and fail the roundtrip check below.
+    theta = xp.minimum(theta_d, 1.55)
+    for _ in range(iters):
+        t2 = theta * theta
+        poly = 1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4)))
+        dpoly = 2.0 * k1 + t2 * (4.0 * k2 + t2 * (6.0 * k3 + t2 * 8.0 * k4))
+        f = theta * poly - theta_d
+        fp = poly + t2 * dpoly
+        fp = xp.where(xp.abs(fp) > 1e-9, fp, 1.0)
+        theta = xp.clip(theta - f / fp, 0.0, 1.55)
+    r = xp.tan(theta)
+    scale = xp.where(theta_d > 1e-9, r / xp.where(theta_d > 1e-9, theta_d, 1.0), 1.0)
+    return xd * scale, yd * scale
+
+
+def undistort(model: str, dist, xd, yd, xp=np, iters: int | None = None):
+    """Normalized distorted coords -> undistorted coords (iterative).
+
+    Non-converged pixels (outside the lens model's invertible domain)
+    come back NaN — callers' finite/bounds masks reject them (see module
+    doc). Iteration counts are static, so the jitted form is a fixed
+    unrolled elementwise chain.
+    """
+    _check_model(model)
+    if model == "rational":
+        x, y = _undistort_rational(xp, dist, xd, yd, iters or _FIXED_POINT_ITERS)
+    else:
+        x, y = _undistort_fisheye(xp, dist, xd, yd, iters or _NEWTON_ITERS)
+    xr, yr = distort(model, dist, x, y, xp=xp)
+    err2 = (xr - xd) ** 2 + (yr - yd) ** 2
+    bad = ~(err2 < ROUNDTRIP_TOL * ROUNDTRIP_TOL)  # catches NaN err too
+    nan_x = xp.full_like(x, float("nan"))
+    return xp.where(bad, nan_x, x), xp.where(bad, nan_x, y)
+
+
+def unproject_dist(intr, dist, model: str, u, v, d, xp=np):
+    """Distorted-camera backprojection: pixel + depth -> camera-frame 3D.
+
+    The distorted counterpart of ``ops.pinhole.unproject`` (same +0.5
+    pixel-center convention, same d = Z depth semantics): normalize,
+    invert the distortion, scale the ray by depth. ``intr`` is
+    (fx, fy, cx, cy), ``dist`` the canonical (8,) vector.
+    """
+    fx, fy, cx, cy = (intr[..., i] for i in range(4))
+    ft = fx.dtype  # f32 on device, f64 in host-side (culling) callers
+    u = xp.asarray(u).astype(ft)
+    v = xp.asarray(v).astype(ft)
+    xn = (u + 0.5 - cx) / fx
+    yn = (v + 0.5 - cy) / fy
+    x, y = undistort(model, dist, xn, yn, xp=xp)
+    return xp.stack([d * x, d * y, d * xp.ones_like(x)], axis=-1)
+
+
+def project_dist(intr, dist, model: str, P, xp=np):
+    """Distorted-camera projection: camera-frame 3D -> float pixel coords.
+
+    The distorted counterpart of ``ops.pinhole.project``. Divides by Z
+    first (the distortion acts on normalized coordinates), so Z == 0
+    yields non-finite coords the caller's masks reject — same contract
+    as the pinhole path.
+    """
+    fx, fy, cx, cy = (intr[..., i] for i in range(4))
+    X, Y, Z = P[..., 0], P[..., 1], P[..., 2]
+    x = X / Z
+    y = Y / Z
+    xd, yd = distort(model, dist, x, y, xp=xp)
+    return fx * xd + cx, fy * yd + cy
+
+
+# --- COLMAP camera-model embedding -----------------------------------------
+
+# model name -> (dist_model tag, param layout). Layouts map COLMAP's
+# params array (after the intrinsic prefix) into the canonical vector.
+COLMAP_DISTORTED_MODELS = (
+    "SIMPLE_RADIAL",
+    "RADIAL",
+    "OPENCV",
+    "FULL_OPENCV",
+    "OPENCV_FISHEYE",
+)
+
+
+def colmap_to_canonical(model_name: str, params) -> tuple[str, np.ndarray, float, float, float, float]:
+    """COLMAP camera (model name + params) -> (dist_model tag, canonical
+    (8,) dist vector, fx, fy, cx, cy). Raises ValueError on unsupported
+    models. Pinhole models come back with tag "none" and a zero vector.
+    """
+    p = np.asarray(params, dtype=np.float64)
+    d = np.zeros(DIST_PARAMS, np.float32)
+    if model_name == "PINHOLE":
+        fx, fy, cx, cy = p
+        return "none", d, fx, fy, cx, cy
+    if model_name == "SIMPLE_PINHOLE":
+        f, cx, cy = p
+        return "none", d, f, f, cx, cy
+    if model_name == "SIMPLE_RADIAL":
+        f, cx, cy, k = p
+        d[0] = k
+        return "rational", d, f, f, cx, cy
+    if model_name == "RADIAL":
+        f, cx, cy, k1, k2 = p
+        d[0], d[1] = k1, k2
+        return "rational", d, f, f, cx, cy
+    if model_name == "OPENCV":
+        fx, fy, cx, cy, k1, k2, p1, p2 = p
+        d[:4] = (k1, k2, p1, p2)
+        return "rational", d, fx, fy, cx, cy
+    if model_name == "FULL_OPENCV":
+        fx, fy, cx, cy, k1, k2, p1, p2, k3, k4, k5, k6 = p
+        d[:] = (k1, k2, p1, p2, k3, k4, k5, k6)
+        return "rational", d, fx, fy, cx, cy
+    if model_name == "OPENCV_FISHEYE":
+        fx, fy, cx, cy, k1, k2, k3, k4 = p
+        d[:4] = (k1, k2, k3, k4)
+        return "fisheye", d, fx, fy, cx, cy
+    raise ValueError(
+        f"camera model {model_name!r} is not supported (supported: "
+        f"PINHOLE, SIMPLE_PINHOLE, {', '.join(COLMAP_DISTORTED_MODELS)})"
+    )

@@ -35,6 +35,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from sucre_tpu.ops import distortion as distortion_ops
 from sucre_tpu.ops.pinhole import Intrinsics, pixel_grid, project, unproject
 from sucre_tpu.ops.se3 import pose_inverse, transform_points
 
@@ -97,6 +98,25 @@ class DenseObs(NamedTuple):
         )
 
 
+def _unproject_any(intr, dist, dist_model: str, u, v, d) -> jnp.ndarray:
+    """Backprojection dispatch: the exact pinhole path when dist_model is
+    "none" (reference parity — untouched program), else the distorted
+    unprojection (inline iterative inverse; NaN at non-invertible pixels
+    propagates into _trunc_px's finite mask, rejecting them like
+    out-of-bounds candidates). Pure elementwise VPU work either way —
+    hides behind the matching gather (BASELINE.md)."""
+    if dist_model == "none":
+        return unproject(Intrinsics(intr[0], intr[1], intr[2], intr[3]), u, v, d)
+    return distortion_ops.unproject_dist(intr, dist, dist_model, u, v, d, xp=jnp)
+
+
+def _project_any(intr, dist, dist_model: str, P) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Projection dispatch (see _unproject_any)."""
+    if dist_model == "none":
+        return project(Intrinsics(intr[0], intr[1], intr[2], intr[3]), P)
+    return distortion_ops.project_dist(intr, dist, dist_model, P, xp=jnp)
+
+
 def _trunc_px(x: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Integer-truncate float pixel coords toward zero (torch .long()
     parity, sfm.py:116), mapping non-finite values to NO_MATCH (torch
@@ -132,18 +152,19 @@ def _forward_projection(
     R2: jnp.ndarray,
     t2: jnp.ndarray,
     origin=None,  # (2,) i32 (row0, col0) of a target rectangle slice
+    dist1=None,  # (8,) canonical distortion vectors (ops/distortion.py)
+    dist2=None,
+    dist_model: str = "none",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Continuous forward reprojection of every target pixel into view 2
     — the shared geometry block (target pixel -> world -> view-2 pixel
     candidate). Returns float coordinates (x2, y2)."""
     H, W = depth1.shape
-    i1 = Intrinsics(intr1[0], intr1[1], intr1[2], intr1[3])
-    i2 = Intrinsics(intr2[0], intr2[1], intr2[2], intr2[3])
     u1, v1 = _offset_grid(H, W, origin)
-    cP1 = unproject(i1, u1, v1, depth1)
+    cP1 = _unproject_any(intr1, dist1, dist_model, u1, v1, depth1)
     wP1 = transform_points(R1, t1, cP1)
     R2i, t2i = pose_inverse(R2, t2)
-    return project(i2, transform_points(R2i, t2i, wP1))
+    return _project_any(intr2, dist2, dist_model, transform_points(R2i, t2i, wP1))
 
 
 def _match_pair_core(
@@ -157,6 +178,9 @@ def _match_pair_core(
     t2: jnp.ndarray,
     fetch,  # (v2s, u2s) -> (d2 f32 meters, I colors or None)
     origin=None,  # (2,) i32 (row0, col0) when depth1 is a rectangle slice
+    dist1=None,  # (8,) canonical distortion vectors, None = pinhole
+    dist2=None,
+    dist_model: str = "none",
 ) -> tuple[PairMatch, jnp.ndarray, jnp.ndarray | None]:
     """The two-way-consistency geometry shared by every matching variant
     (parity-critical: reference sfm.py:115-175 semantics). The only
@@ -168,14 +192,15 @@ def _match_pair_core(
     Returns (match, cP2 masked, I masked)."""
     H, W = depth1.shape
     H2, W2 = shape2
-    i1 = Intrinsics(intr1[0], intr1[1], intr1[2], intr1[3])
-    i2 = Intrinsics(intr2[0], intr2[1], intr2[2], intr2[3])
 
     u1, v1 = _offset_grid(H, W, origin)
     valid1 = depth1 > 0
 
     # Forward: target pixel -> world -> view-2 pixel candidate q2
-    x2, y2 = _forward_projection(depth1, intr1, R1, t1, intr2, R2, t2, origin)
+    x2, y2 = _forward_projection(
+        depth1, intr1, R1, t1, intr2, R2, t2, origin,
+        dist1=dist1, dist2=dist2, dist_model=dist_model,
+    )
     u2, v2 = _trunc_px(x2, y2)
     inb2 = (u2 >= 0) & (u2 < W2) & (v2 >= 0) & (v2 < H2)
 
@@ -185,10 +210,11 @@ def _match_pair_core(
     valid2 = inb2 & (d2 > 0)
 
     # Reverse: view-2 candidate pixel -> world -> back into target view
-    cP2 = unproject(i2, u2s, v2s, d2)
+    cP2 = _unproject_any(intr2, dist2, dist_model, u2s, v2s, d2)
     wP2 = transform_points(R2, t2, cP2)
     R1i, t1i = pose_inverse(R1, t1)
-    x1b, y1b = project(i1, transform_points(R1i, t1i, wP2))
+    x1b, y1b = _project_any(intr1, dist1, dist_model,
+                            transform_points(R1i, t1i, wP2))
     u1b, v1b = _trunc_px(x1b, y1b)
     consistent = (u1b == u1) & (v1b == v1)
 
@@ -215,12 +241,15 @@ def match_pair(
     R2: jnp.ndarray,
     t2: jnp.ndarray,
     origin=None,
+    dist1=None,
+    dist2=None,
+    dist_model: str = "none",
 ) -> PairMatch:
     """Two-way-consistent dense matching of one view pair (see module doc)."""
     match, _, _ = _match_pair_core(
         depth1, intr1, R1, t1, depth2.shape, intr2, R2, t2,
         fetch=lambda v2s, u2s: (depth2[v2s, u2s], None),
-        origin=origin,
+        origin=origin, dist1=dist1, dist2=dist2, dist_model=dist_model,
     )
     return match
 
@@ -229,6 +258,8 @@ def pair_observation(
     match: PairMatch,
     intr2: jnp.ndarray,  # (4,)
     rgb2: jnp.ndarray,  # (H2, W2, 3) float32
+    dist2=None,
+    dist_model: str = "none",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Extract (cP, I) for a matched pair, dense on the target grid.
 
@@ -237,10 +268,9 @@ def pair_observation(
     at the matched pixel, nearest-pixel gather (parity loader.py:78-87).
     Invalid entries are zero-filled.
     """
-    i2 = Intrinsics(intr2[0], intr2[1], intr2[2], intr2[3])
     u2s = jnp.maximum(match.u2, 0)
     v2s = jnp.maximum(match.v2, 0)
-    cP = unproject(i2, u2s, v2s, match.d2)
+    cP = _unproject_any(intr2, dist2, dist_model, u2s, v2s, match.d2)
     I = rgb2[v2s, u2s]  # native dtype gather (u8 stays u8)
     cP = jnp.where(match.valid[..., None], cP, jnp.zeros((), jnp.float32))
     I = jnp.where(match.valid[..., None], I, jnp.zeros((), I.dtype))
@@ -258,6 +288,9 @@ def bilinear_observation(
     t2: jnp.ndarray,
     match: PairMatch,
     origin=None,
+    dist1=None,
+    dist2=None,
+    dist_model: str = "none",
 ) -> jnp.ndarray:
     """Bilinear color sampling at the continuous reprojection — the
     flagged quality upgrade over the reference's nearest-pixel gather
@@ -269,7 +302,8 @@ def bilinear_observation(
     changes, so fits keep the exact reference observation sets."""
     H2, W2 = rgb2.shape[:2]
     # same shared geometry block the consistency check trunc-samples
-    x2, y2 = _forward_projection(depth1, intr1, R1, t1, intr2, R2, t2, origin)
+    x2, y2 = _forward_projection(depth1, intr1, R1, t1, intr2, R2, t2, origin,
+                                 dist1=dist1, dist2=dist2, dist_model=dist_model)
 
     # center-based coords: pixel (u, v)'s center is at (u + 0.5, v + 0.5)
     xs = jnp.clip(jnp.where(jnp.isfinite(x2), x2, 0.0) - 0.5, 0.0, W2 - 1.0)
@@ -317,6 +351,9 @@ def _match_observe_pair_packed(
     R2: jnp.ndarray,
     t2: jnp.ndarray,
     origin=None,
+    dist1=None,
+    dist2=None,
+    dist_model: str = "none",
 ) -> tuple[PairMatch, jnp.ndarray, jnp.ndarray]:
     """match_pair + pair_observation fused over the packed record table:
     identical outputs (d2 = u16mm -> f32/1000 commutes with the gather;
@@ -338,7 +375,7 @@ def _match_observe_pair_packed(
 
     return _match_pair_core(
         depth1, intr1, R1, t1, packed2.shape[:2], intr2, R2, t2, fetch,
-        origin=origin,
+        origin=origin, dist1=dist1, dist2=dist2, dist_model=dist_model,
     )
 
 
@@ -383,6 +420,9 @@ def match_and_observe_chunk(
     compact: bool = False,
     bilinear: bool = False,
     origin: jnp.ndarray | None = None,  # (2,) i32 (row0, col0) slice origin
+    t_dist: jnp.ndarray | None = None,  # (8,) target distortion vector
+    v_dists: jnp.ndarray | None = None,  # (V, 8) view distortion vectors
+    dist_model: str = "none",  # static tag; "none" = exact pinhole program
 ) -> tuple[DenseObs, PairMatch]:
     """Match the target against a chunk of V views and build the dense
     observation stack — the jit unit of the matching stage (vmapped over
@@ -401,16 +441,24 @@ def match_and_observe_chunk(
     bit-identical to the full-grid program on the covered pixels.
     """
     depth1 = to_f32_depth(depth1)
+    # Distortion threads through as trailing vmapped *extra args so the
+    # "none" path's traced signature (and its committed compile-cache
+    # entries) stays byte-identical to the pinhole-only program.
+    extra = () if dist_model == "none" else (v_dists,)
+
+    def _d2(d2tail):
+        return d2tail[0] if d2tail else None
 
     if _is_raw_views(depths2, rgbs2):
         packed = _pack_view_records(depths2, rgbs2)
 
-        def one(pk, intr2, R2, t2):
+        def one(pk, intr2, R2, t2, *d2):
             return _match_observe_pair_packed(
-                depth1, intr1, R1, t1, pk, intr2, R2, t2, origin=origin
+                depth1, intr1, R1, t1, pk, intr2, R2, t2, origin=origin,
+                dist1=t_dist, dist2=_d2(d2), dist_model=dist_model,
             )
 
-        m, cP, I = jax.vmap(one)(packed, intrs2, Rs2, ts2)
+        m, cP, I = jax.vmap(one)(packed, intrs2, Rs2, ts2, *extra)
         if bilinear:
             pass  # replaced below
         elif not compact:
@@ -418,21 +466,25 @@ def match_and_observe_chunk(
     else:
         depths2 = to_f32_depth(depths2)
 
-        def one(depth2, rgb2, intr2, R2, t2):
+        def one(depth2, rgb2, intr2, R2, t2, *d2):
             m = match_pair(depth1, intr1, R1, t1, depth2, intr2, R2, t2,
-                           origin=origin)
-            cP, I = pair_observation(m, intr2, rgb2 if compact else to_f32_rgb(rgb2))
+                           origin=origin, dist1=t_dist, dist2=_d2(d2),
+                           dist_model=dist_model)
+            cP, I = pair_observation(m, intr2,
+                                     rgb2 if compact else to_f32_rgb(rgb2),
+                                     dist2=_d2(d2), dist_model=dist_model)
             return m, cP, I
 
-        m, cP, I = jax.vmap(one)(depths2, rgbs2, intrs2, Rs2, ts2)
+        m, cP, I = jax.vmap(one)(depths2, rgbs2, intrs2, Rs2, ts2, *extra)
     if bilinear:
-        def one_bi(rgb2, intr2, R2, t2, m_v):
+        def one_bi(rgb2, intr2, R2, t2, m_v, *d2):
             return bilinear_observation(
                 depth1, intr1, R1, t1, rgb2, intr2, R2, t2, m_v,
-                origin=origin,
+                origin=origin, dist1=t_dist, dist2=_d2(d2),
+                dist_model=dist_model,
             )
 
-        I = jax.vmap(one_bi)(rgbs2, intrs2, Rs2, ts2, m)
+        I = jax.vmap(one_bi)(rgbs2, intrs2, Rs2, ts2, m, *extra)
     obs = DenseObs(valid=m.valid, cP=cP, I=I)
     if compact:
         obs = obs.compact()
@@ -440,7 +492,7 @@ def match_and_observe_chunk(
 
 
 match_and_observe_chunk_jit = jax.jit(
-    match_and_observe_chunk, static_argnames=("compact", "bilinear")
+    match_and_observe_chunk, static_argnames=("compact", "bilinear", "dist_model")
 )
 
 
@@ -452,7 +504,7 @@ def _min_cover_mask(valid: jnp.ndarray, area: jnp.ndarray, min_cover) -> jnp.nda
     return valid & keep[:, None, None]
 
 
-@partial(jax.jit, static_argnames=("compact", "bilinear"))
+@partial(jax.jit, static_argnames=("compact", "bilinear", "dist_model"))
 def match_survey(
     t_depths: jnp.ndarray,  # (T, H, W) target depths, f32 m or u16 mm
     t_intrs: jnp.ndarray,  # (T, 4)
@@ -470,6 +522,9 @@ def match_survey(
     # to H*W — pass the UNPADDED count when the target grid was padded
     # (padded rows have no valid pixels but would inflate the min-cover
     # denominator)
+    t_dists: jnp.ndarray | None = None,  # (T, 8) target distortion vectors
+    v_dists: jnp.ndarray | None = None,  # (V, 8) view distortion vectors
+    dist_model: str = "none",  # static tag; "none" = exact pinhole program
 ) -> DenseObs:
     """The WHOLE matching stage as one device program: T targets x V
     views -> the (T, V, H, W) observation stack, min-cover filtering
@@ -493,34 +548,52 @@ def match_survey(
     else:
         v_depths = to_f32_depth(v_depths)
 
-    def one_target(d1, intr1, R1, t1):
+    # Distortion joins both vmap levels as trailing *extra args so the
+    # "none" trace (and its committed compile cache) stays identical.
+    t_extra = () if dist_model == "none" else (t_dists,)
+    v_extra = () if dist_model == "none" else (v_dists,)
+
+    def _one(tail):
+        return tail[0] if tail else None
+
+    def one_target(d1, intr1, R1, t1, *d1tail):
+        dist1 = _one(d1tail)
         if raw:
-            def one_view(pk, rgb2, intr2, R2, t2):
+            def one_view(pk, rgb2, intr2, R2, t2, *d2):
                 m, cP, I = _match_observe_pair_packed(
-                    d1, intr1, R1, t1, pk, intr2, R2, t2
+                    d1, intr1, R1, t1, pk, intr2, R2, t2,
+                    dist1=dist1, dist2=_one(d2), dist_model=dist_model,
                 )
                 if bilinear:
                     I = bilinear_observation(
-                        d1, intr1, R1, t1, rgb2, intr2, R2, t2, m
+                        d1, intr1, R1, t1, rgb2, intr2, R2, t2, m,
+                        dist1=dist1, dist2=_one(d2), dist_model=dist_model,
                     )
                 return m.valid, cP, I
 
-            valid, cP, I = jax.vmap(one_view)(packed, v_rgbs, v_intrs, v_Rs, v_ts)
+            valid, cP, I = jax.vmap(one_view)(
+                packed, v_rgbs, v_intrs, v_Rs, v_ts, *v_extra
+            )
             return _min_cover_mask(valid, area, min_cover), cP, I
 
-        def one_view(depth2, rgb2, intr2, R2, t2):
-            m = match_pair(d1, intr1, R1, t1, depth2, intr2, R2, t2)
-            cP, I = pair_observation(m, intr2, rgb2)
+        def one_view(depth2, rgb2, intr2, R2, t2, *d2):
+            m = match_pair(d1, intr1, R1, t1, depth2, intr2, R2, t2,
+                           dist1=dist1, dist2=_one(d2), dist_model=dist_model)
+            cP, I = pair_observation(m, intr2, rgb2,
+                                     dist2=_one(d2), dist_model=dist_model)
             if bilinear:
                 I = bilinear_observation(
-                    d1, intr1, R1, t1, rgb2, intr2, R2, t2, m
+                    d1, intr1, R1, t1, rgb2, intr2, R2, t2, m,
+                    dist1=dist1, dist2=_one(d2), dist_model=dist_model,
                 )
             return m.valid, cP, I
 
-        valid, cP, I = jax.vmap(one_view)(v_depths, v_rgbs, v_intrs, v_Rs, v_ts)
+        valid, cP, I = jax.vmap(one_view)(
+            v_depths, v_rgbs, v_intrs, v_Rs, v_ts, *v_extra
+        )
         return _min_cover_mask(valid, area, min_cover), cP, I
 
-    valid, cP, I = jax.vmap(one_target)(t_depths, t_intrs, t_Rs, t_ts)
+    valid, cP, I = jax.vmap(one_target)(t_depths, t_intrs, t_Rs, t_ts, *t_extra)
     I = jnp.where(valid[..., None], I, jnp.zeros((), I.dtype))
     obs = DenseObs(valid=valid, cP=jnp.where(valid[..., None], cP, 0.0), I=I)
     if compact:

@@ -24,6 +24,7 @@ from pathlib import Path
 import numpy as np
 
 from sucre_tpu.io import colmap as colmap_io
+from sucre_tpu.ops.distortion import DIST_PARAMS, colmap_to_canonical
 
 
 def _qvec_to_rotmat_np(q: np.ndarray) -> np.ndarray:
@@ -57,6 +58,15 @@ class View:
     cy: float
     R: np.ndarray  # (3, 3) float32, cam->world
     t: np.ndarray  # (3,) float32, cam->world
+    # Lens distortion: canonical (8,) vector + static model tag (see
+    # ops/distortion.py). "none" = exact pinhole path (reference parity);
+    # "rational"/"fisheye" fold COLMAP's distorted camera models into the
+    # matching geometry (capability beyond the reference, which asserts
+    # PINHOLE at sfm.py:192).
+    dist: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(DIST_PARAMS, np.float32)
+    )
+    dist_model: str = "none"
 
     @property
     def intrinsics(self) -> np.ndarray:
@@ -86,6 +96,8 @@ class ViewStack:
     t: np.ndarray  # (V, 3)
     width: int
     height: int
+    dist: np.ndarray  # (V, 8) canonical distortion vectors (zeros = none)
+    dist_model: str = "none"  # uniform static tag for the whole stack
 
     def __len__(self) -> int:
         return len(self.image_ids)
@@ -142,27 +154,27 @@ class Scene:
         image_dir = Path(image_dir)
         depth_dir = Path(depth_dir)
 
-        scaled: dict[int, tuple[int, int, float, float, float, float]] = {}
+        scaled: dict[int, tuple] = {}
         for cam in cameras.values():
-            if cam.model == "PINHOLE":
-                fx, fy, u0, v0 = cam.params
-            elif cam.model == "SIMPLE_PINHOLE":
-                # Losslessly PINHOLE with fx = fy = f (additive over the
-                # reference, which asserts PINHOLE only, sfm.py:192 —
-                # SIMPLE_PINHOLE is equally distortion-free).
-                f, u0, v0 = cam.params
-                fx = fy = f
-            else:
-                raise ValueError(
-                    f"Camera {cam.camera_id} uses model {cam.model}; only "
-                    f"undistorted models (PINHOLE, SIMPLE_PINHOLE) are "
-                    f"supported — run COLMAP's image undistorter first "
-                    f"(parity: sfm.py:192)."
+            # Pinhole models take the exact reference path (sfm.py:192
+            # asserts PINHOLE; SIMPLE_PINHOLE is losslessly fx = fy = f).
+            # Distorted COLMAP models (SIMPLE_RADIAL/RADIAL/OPENCV/
+            # FULL_OPENCV/OPENCV_FISHEYE) embed into the canonical
+            # distortion vector — capability beyond the reference, which
+            # requires COLMAP's image undistorter first (sucre.py:270).
+            try:
+                dist_model, dist, fx, fy, u0, v0 = colmap_to_canonical(
+                    cam.model, cam.params
                 )
+            except ValueError as e:
+                raise ValueError(f"Camera {cam.camera_id}: {e}") from None
             width = int(cam.width * image_scale)
             height = int(cam.height * image_scale)
             scale_w = width / cam.width
             scale_h = height / cam.height
+            # Distortion acts on NORMALIZED coordinates, which a pixel
+            # rescale leaves unchanged — the canonical vector is
+            # image_scale-invariant while fx/fy/cx/cy scale.
             scaled[cam.camera_id] = (
                 width,
                 height,
@@ -170,6 +182,8 @@ class Scene:
                 fy * scale_h,
                 u0 * scale_w,
                 v0 * scale_h,
+                dist,
+                dist_model,
             )
 
         views: dict[int, View] = {}
@@ -179,7 +193,7 @@ class Scene:
             t_wc = np.asarray(im.tvec, dtype=np.float64)
             R_cw = R_wc.T
             t_cw = -R_wc.T @ t_wc
-            width, height, fx, fy, cx, cy = scaled[im.camera_id]
+            width, height, fx, fy, cx, cy, dist, dist_model = scaled[im.camera_id]
             rgb_path = image_dir / im.name
             # with_stem semantics (sfm.py:214): nested names like
             # 'cam0/img.jpg' keep their subdirectory ->
@@ -200,6 +214,8 @@ class Scene:
                 cy=cy,
                 R=R_cw.astype(np.float32),
                 t=t_cw.astype(np.float32),
+                dist=np.asarray(dist, np.float32),
+                dist_model=dist_model,
             )
         return cls(views)
 
@@ -230,6 +246,26 @@ class Scene:
                 "ViewStack requires uniform image dimensions; bucket views by "
                 f"(width, height) first (got widths={widths}, heights={heights})"
             )
+        models = {v.dist_model for v in views}
+        non_none = models - {"none"}
+        if not non_none:
+            dist_model = "none"
+        elif non_none == {"rational"}:
+            # A zero-coefficient rational vector is the exact identity on
+            # normalized coordinates (radial factor exactly 1.0, tangential
+            # terms exactly 0), so pinhole views embed in a rational stack;
+            # only the f32 association of the depth scaling differs from
+            # the pure pinhole program (<= 1 ulp in cP, identical matches).
+            dist_model = "rational"
+        elif non_none == {"fisheye"} and models == {"fisheye"}:
+            dist_model = "fisheye"
+        else:
+            raise ValueError(
+                "ViewStack requires compatible distortion models (fisheye "
+                "cameras cannot share a stack with pinhole/rational ones — "
+                f"the zero-parameter fisheye map is not the identity); got "
+                f"{sorted(models)}. Bucket views by camera model first."
+            )
         return ViewStack(
             image_ids=np.array([v.image_id for v in views], np.int32),
             intrinsics=np.stack([v.intrinsics for v in views]).astype(np.float32),
@@ -237,4 +273,6 @@ class Scene:
             t=np.stack([v.t for v in views]).astype(np.float32),
             width=views[0].width,
             height=views[0].height,
+            dist=np.stack([v.dist for v in views]).astype(np.float32),
+            dist_model=dist_model,
         )
