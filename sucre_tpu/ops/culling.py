@@ -20,6 +20,25 @@ from __future__ import annotations
 
 import numpy as np
 
+from sucre_tpu.ops import distortion as distortion_ops
+
+
+def _ray_dirs(uu, vv, intrinsics, dist, dist_model: str):
+    """Normalized ray slopes (x, y) for pixel-center coords (host numpy,
+    f64). With a distorted camera the rays bend through the inverse lens
+    model; non-invertible pixels come back NaN — callers drop them from
+    the sample set (such pixels can never produce a match: their
+    unprojection is rejected by the matcher's finite masks, so a bound
+    that excludes them stays conservative for real matches)."""
+    fx, fy, cx, cy = (float(x) for x in intrinsics)
+    xn = (uu + 0.5 - cx) / fx
+    yn = (vv + 0.5 - cy) / fy
+    if dist_model == "none" or dist is None:
+        return xn, yn
+    return distortion_ops.undistort(
+        dist_model, np.asarray(dist, np.float64), xn, yn, xp=np
+    )
+
 
 def surface_aabb(
     depth_raw: np.ndarray,  # (H, W) uint16 mm or float32 m
@@ -28,6 +47,8 @@ def surface_aabb(
     t: np.ndarray,  # (3,)
     stride: int = 8,
     margin: float = 0.05,
+    dist: np.ndarray | None = None,  # canonical (8,) distortion vector
+    dist_model: str = "none",
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """World-space AABB of the view's observed surface (None if no valid
     depth)."""
@@ -40,12 +61,12 @@ def surface_aabb(
         np.arange(0, W, stride, dtype=np.float64),
         indexing="ij",
     )
-    valid = d > 0
+    xr, yr = _ray_dirs(uu, vv, intrinsics, dist, dist_model)
+    valid = (d > 0) & np.isfinite(xr)
     if not valid.any():
         return None
-    fx, fy, cx, cy = (float(x) for x in intrinsics)
-    X = d * (uu + 0.5 - cx) / fx
-    Y = d * (vv + 0.5 - cy) / fy
+    X = d * xr
+    Y = d * yr
     P = np.stack([X[valid], Y[valid], d[valid]], axis=-1)  # (n, 3) camera frame
     Pw = P @ np.asarray(R, np.float64).T + np.asarray(t, np.float64)
     lo = Pw.min(axis=0)
@@ -78,6 +99,8 @@ def surface_tile_aabbs(
     n_tiles: int = 4,
     stride: int = 8,
     margin: float = 0.05,
+    dist: np.ndarray | None = None,  # canonical (8,) distortion vector
+    dist_model: str = "none",
 ) -> list:
     """(n_tiles x n_tiles) grid of world-space AABBs of the TARGET's
     observed surface, tile [i][j] covering target pixel rows
@@ -112,10 +135,12 @@ def surface_tile_aabbs(
         np.arange(0, W, stride, dtype=np.float64),
         indexing="ij",
     )
-    valid = d > 0
-    fx, fy, cx, cy = (float(x) for x in intrinsics)
-    X = d * (uu + 0.5 - cx) / fx
-    Y = d * (vv + 0.5 - cy) / fy
+    xr, yr = _ray_dirs(uu, vv, intrinsics, dist, dist_model)
+    valid = (d > 0) & np.isfinite(xr)
+    xr = np.nan_to_num(xr)
+    yr = np.nan_to_num(yr)
+    X = d * xr
+    Y = d * yr
     P = np.stack([X, Y, d], axis=-1)
     Pw = P.reshape(-1, 3) @ np.asarray(R, np.float64).T + np.asarray(t, np.float64)
     Pw = Pw.reshape(P.shape)

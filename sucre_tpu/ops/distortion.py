@@ -191,6 +191,54 @@ def project_dist(intr, dist, model: str, P, xp=np):
     return fx * xd + cx, fy * yd + cy
 
 
+def unproject_any(intr, dist, dist_model: str, u, v, d):
+    """Backprojection dispatch (jnp): the exact pinhole path when
+    dist_model is "none" (reference parity — untouched program), else the
+    distorted unprojection (inline iterative inverse; NaN at
+    non-invertible pixels propagates into the callers' finite masks).
+    Pure elementwise VPU work either way — hides behind the matching
+    gather (BASELINE.md)."""
+    import jax.numpy as jnp
+
+    from sucre_tpu.ops.pinhole import Intrinsics, unproject
+
+    if dist_model == "none":
+        return unproject(Intrinsics(intr[0], intr[1], intr[2], intr[3]), u, v, d)
+    return unproject_dist(intr, dist, dist_model, u, v, d, xp=jnp)
+
+
+def project_any(intr, dist, dist_model: str, P):
+    """Projection dispatch (jnp; see unproject_any)."""
+    import jax.numpy as jnp
+
+    from sucre_tpu.ops.pinhole import Intrinsics, project
+
+    if dist_model == "none":
+        return project(Intrinsics(intr[0], intr[1], intr[2], intr[3]), P)
+    return project_dist(intr, dist, dist_model, P, xp=jnp)
+
+
+def resolve_dist_model(models) -> str:
+    """Resolve a set of per-view model tags to one static tag for a
+    stacked program. Pinhole ("none") embeds in a rational stack (the
+    zero vector is the exact identity on normalized coordinates); the
+    zero-parameter fisheye map is NOT the identity, so fisheye cameras
+    cannot share a stack with anything else."""
+    models = set(models)
+    non_none = models - {"none"}
+    if not non_none:
+        return "none"
+    if non_none == {"rational"}:
+        return "rational"
+    if models == {"fisheye"}:
+        return "fisheye"
+    raise ValueError(
+        "views mix incompatible distortion models (fisheye cameras cannot "
+        f"share a stack with pinhole/rational ones); got {sorted(models)}. "
+        "Bucket views by camera model first."
+    )
+
+
 # --- COLMAP camera-model embedding -----------------------------------------
 
 # model name -> (dist_model tag, param layout). Layouts map COLMAP's

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from sucre_tpu.ops import distortion as distortion_ops
-from sucre_tpu.ops.pinhole import Intrinsics, pixel_grid, project, unproject
+from sucre_tpu.ops.pinhole import pixel_grid
 from sucre_tpu.ops.se3 import pose_inverse, transform_points
 
 # Sentinel for "no match" pixel coordinates (parity: the reference's
@@ -98,23 +98,10 @@ class DenseObs(NamedTuple):
         )
 
 
-def _unproject_any(intr, dist, dist_model: str, u, v, d) -> jnp.ndarray:
-    """Backprojection dispatch: the exact pinhole path when dist_model is
-    "none" (reference parity — untouched program), else the distorted
-    unprojection (inline iterative inverse; NaN at non-invertible pixels
-    propagates into _trunc_px's finite mask, rejecting them like
-    out-of-bounds candidates). Pure elementwise VPU work either way —
-    hides behind the matching gather (BASELINE.md)."""
-    if dist_model == "none":
-        return unproject(Intrinsics(intr[0], intr[1], intr[2], intr[3]), u, v, d)
-    return distortion_ops.unproject_dist(intr, dist, dist_model, u, v, d, xp=jnp)
-
-
-def _project_any(intr, dist, dist_model: str, P) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Projection dispatch (see _unproject_any)."""
-    if dist_model == "none":
-        return project(Intrinsics(intr[0], intr[1], intr[2], intr[3]), P)
-    return distortion_ops.project_dist(intr, dist, dist_model, P, xp=jnp)
+# Projection dispatch ("none" = exact pinhole path, else distorted; see
+# ops/distortion.py) — shared with viz/store, aliased for local use.
+_unproject_any = distortion_ops.unproject_any
+_project_any = distortion_ops.project_any
 
 
 def _trunc_px(x: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

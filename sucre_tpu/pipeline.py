@@ -164,6 +164,7 @@ class ViewCache:
             hit = surface_aabb(
                 self.get(view)[1], view.intrinsics, view.R, view.t,
                 stride=stride, margin=margin,
+                dist=view.dist, dist_model=view.dist_model,
             )
             self._aabbs[view.name] = hit
         return hit
@@ -224,9 +225,12 @@ class DeviceViews:
         by_dims: dict[tuple[int, int], list[View]] = {}
         for v in image_list:
             by_dims.setdefault((v.width, v.height), []).append(v)
+        from sucre_tpu.ops.distortion import resolve_dist_model
+
         self.buckets: list[dict] = []
         for (w2, h2), views in by_dims.items():
             arrays = [cache.get(v) for v in views]
+            dist_model = resolve_dist_model(v.dist_model for v in views)
             self.buckets.append(
                 dict(
                     views=views,
@@ -237,6 +241,15 @@ class DeviceViews:
                     ),
                     Rs=jnp.asarray(np.stack([v.R for v in views]).astype(np.float32)),
                     ts=jnp.asarray(np.stack([v.t for v in views]).astype(np.float32)),
+                    # distortion vectors ride along only when some camera
+                    # is distorted (None keeps the pinhole traces intact)
+                    dists=(
+                        None if dist_model == "none"
+                        else jnp.asarray(
+                            np.stack([v.dist for v in views]).astype(np.float32)
+                        )
+                    ),
+                    dist_model=dist_model,
                 )
             )
 
@@ -268,14 +281,16 @@ class DeviceViews:
             jidx = jnp.asarray(np.asarray(idx, np.int32))
             nb = dict(b)
             nb["views"] = [b["views"][i] for i in idx]
-            for k in ("depths", "rgbs", "intrs", "Rs", "ts"):
-                nb[k] = jnp.take(b[k], jidx, axis=0)
+            for k in ("depths", "rgbs", "intrs", "Rs", "ts", "dists"):
+                if nb.get(k) is not None:
+                    nb[k] = jnp.take(b[k], jidx, axis=0)
             out.buckets.append(nb)
         return out
 
     def iter_chunks(self):
-        """Yield (views, (depths, rgbs, intrs, Rs, ts)) in match_chunk
-        slices, zero-padded on device to the chunk size."""
+        """Yield (views, (depths, rgbs, intrs, Rs, ts), dists, dist_model)
+        in match_chunk slices, zero-padded on device to the chunk size
+        (``dists`` is None for pure-pinhole buckets)."""
         C = self.match_chunk
         for b in self.buckets:
             views = b["views"]
@@ -293,7 +308,9 @@ class DeviceViews:
                 yield sub, (
                     cut(b["depths"]), cut(b["rgbs"]), cut(b["intrs"]),
                     cut(b["Rs"]), cut(b["ts"]),
-                )
+                ), (
+                    None if b.get("dists") is None else cut(b["dists"])
+                ), b.get("dist_model", "none")
 
 
 def _chunk_rect(sub, view_rects, Hp: int, Wp: int):
@@ -431,7 +448,14 @@ def compute_matches(
             log(f"matched {len(kept_names)} kept / {n} in chunk")
         pending.clear()
 
+    from sucre_tpu.ops.distortion import resolve_dist_model
+
     for (w2, h2), views in buckets.items():
+        # one static distortion tag per (target, bucket) program
+        dist_model = resolve_dist_model(
+            [target.dist_model] + [v.dist_model for v in views]
+        )
+        t_dist = None if dist_model == "none" else jnp.asarray(target.dist)
         if cache is not None:
             stream = ((i, *cache.get(v)) for i, v in enumerate(views))
         elif primed_depths:
@@ -468,8 +492,9 @@ def compute_matches(
                     continue  # every view in the chunk is fully culled
                 if rect == (0, H1, 0, W1):
                     rect = None  # full grid: the plain path, no pad/slice
-            dev = _upload_view_chunk(
-                [c[2] for c in chunk], [c[1] for c in chunk], sub, match_chunk
+            dev, v_dists = _upload_view_chunk(
+                [c[2] for c in chunk], [c[1] for c in chunk], sub, match_chunk,
+                dist_model=dist_model,
             )
             if rect is not None:
                 r0, r1, c0, c1 = rect
@@ -477,12 +502,14 @@ def compute_matches(
                     jax.lax.slice(d1p, (r0, c0), (r1, c1)),
                     intr1, R1, t1, *dev, compact=compact, bilinear=bilinear,
                     origin=jnp.asarray([r0, c0], jnp.int32),
+                    t_dist=t_dist, v_dists=v_dists, dist_model=dist_model,
                 )
                 obs = _restore_rect(obs, rect, H1, W1)
                 match = _restore_rect(match, rect, H1, W1)
             else:
                 obs, match = match_and_observe_chunk_jit(
-                    d1, intr1, R1, t1, *dev, compact=compact, bilinear=bilinear
+                    d1, intr1, R1, t1, *dev, compact=compact, bilinear=bilinear,
+                    t_dist=t_dist, v_dists=v_dists, dist_model=dist_model,
                 )
             pending.append((sub, n, obs, match, obs.valid[:n].sum(axis=(1, 2))))
             if len(pending) >= window:
@@ -502,10 +529,12 @@ def compute_matches(
     return dense, kept_names
 
 
-def _upload_view_chunk(depths, rgbs, sub: list[View], match_chunk: int):
+def _upload_view_chunk(depths, rgbs, sub: list[View], match_chunk: int,
+                       dist_model: str = "none"):
     """Stack+pad one chunk of decoded views (keeping raw dtypes) and put it
     on device — a single H2D transfer reused by every target matched
-    against this chunk."""
+    against this chunk. Returns (arrays5, dists) with dists None for
+    pure-pinhole programs (``dist_model == "none"``)."""
     n = len(sub)
     pad = match_chunk - n
     d0, r0 = depths[0], rgbs[0]
@@ -514,13 +543,18 @@ def _upload_view_chunk(depths, rgbs, sub: list[View], match_chunk: int):
     intrs = np.stack([v.intrinsics for v in sub] + [sub[-1].intrinsics] * pad)
     Rs = np.stack([v.R for v in sub] + [sub[-1].R] * pad)
     ts = np.stack([v.t for v in sub] + [sub[-1].t] * pad)
+    dists = None
+    if dist_model != "none":
+        dists = jnp.asarray(
+            np.stack([v.dist for v in sub] + [sub[-1].dist] * pad).astype(np.float32)
+        )
     return (
         jnp.asarray(depths),
         jnp.asarray(rgbs),
         jnp.asarray(intrs.astype(np.float32)),
         jnp.asarray(Rs.astype(np.float32)),
         jnp.asarray(ts.astype(np.float32)),
-    )
+    ), dists
 
 
 def match_targets_shared(
@@ -548,7 +582,10 @@ def match_targets_shared(
     rectangle of target pixels the chunk's views can reach — and SKIPS
     pairings whose every view is fully culled for that target (per-target
     pair culling the whole-survey keep-mask cannot express)."""
+    from sucre_tpu.ops.distortion import resolve_dist_model
+
     tdev = []
+    tdists = []
     tpads = []
     tdims = []
     for ti, t in enumerate(targets):
@@ -562,6 +599,10 @@ def match_targets_shared(
                 jnp.asarray(t.t),
             )
         )
+        # always an array: a pinhole target's zero vector is the exact
+        # identity inside a rational program (used only when the chunk's
+        # resolved tag is not "none")
+        tdists.append(jnp.asarray(np.asarray(t.dist, np.float32)))
         H1, W1 = depth.shape
         tdims.append((H1, W1))
         if view_rects is not None and view_rects[ti]:
@@ -619,18 +660,32 @@ def match_targets_shared(
     else:
         def _iter_chunks():
             for (w2, h2), views in buckets.items():
+                vtag = resolve_dist_model(v.dist_model for v in views)
                 stream = ((i, *cache.get(v)) for i, v in enumerate(views))
                 for chunk in batched(stream, match_chunk):
                     sub = [views[i] for i, _, _ in chunk]
-                    dev = _upload_view_chunk(
-                        [c[2] for c in chunk], [c[1] for c in chunk], sub, match_chunk
+                    dev, dists = _upload_view_chunk(
+                        [c[2] for c in chunk], [c[1] for c in chunk], sub,
+                        match_chunk, dist_model=vtag,
                     )
-                    yield sub, dev
+                    yield sub, dev, dists, vtag
 
         chunk_iter = _iter_chunks()
-    for sub, dev in chunk_iter:
+    for sub, dev, v_dists, vtag in chunk_iter:
         n = len(sub)
         for ti in range(T):
+            # one static tag per (target, chunk) program; raises early on
+            # incompatible mixes (fisheye with pinhole/rational)
+            tag = resolve_dist_model((targets[ti].dist_model, vtag))
+            vd = v_dists
+            if tag != "none" and vd is None:
+                # pinhole views under a distorted target: zero vectors are
+                # the exact identity inside the rational program
+                vd = jnp.zeros((dev[0].shape[0], 8), jnp.float32)
+            dist_kw = dict(
+                t_dist=tdists[ti] if tag != "none" else None,
+                v_dists=vd, dist_model=tag,
+            )
             rect = None
             if view_rects is not None:
                 H1, W1 = tdims[ti]
@@ -647,13 +702,14 @@ def match_targets_shared(
                 obs, match = match_and_observe_chunk_jit(
                     jax.lax.slice(tpads[ti], (r0, c0), (r1, c1)),
                     intr1, R1, t1, *dev, compact=compact, bilinear=bilinear,
-                    origin=jnp.asarray([r0, c0], jnp.int32),
+                    origin=jnp.asarray([r0, c0], jnp.int32), **dist_kw,
                 )
                 obs = _restore_rect(obs, rect, H1, W1)
                 match = _restore_rect(match, rect, H1, W1)
             else:
                 obs, match = match_and_observe_chunk_jit(
-                    *tdev[ti], *dev, compact=compact, bilinear=bilinear
+                    *tdev[ti], *dev, compact=compact, bilinear=bilinear,
+                    **dist_kw,
                 )
             counts = obs.valid[:n].sum(axis=(1, 2))
             mf = matches_files[ti] if matches_files else None
@@ -732,7 +788,9 @@ def restore_image(
             from sucre_tpu.io.images import load_depth_raw
             from sucre_tpu.ops.culling import cull_views, surface_aabb
 
-            t_aabb = surface_aabb(target_depth, target.intrinsics, target.R, target.t)
+            t_aabb = surface_aabb(target_depth, target.intrinsics, target.R,
+                                  target.t, dist=target.dist,
+                                  dist_model=target.dist_model)
             if cache is not None:
                 v_aabbs = [cache.aabb(v) for v in image_list]
             else:
@@ -749,7 +807,10 @@ def restore_image(
                     if held + d.nbytes <= budget:
                         primed_depths[v.name] = d
                         held += d.nbytes
-                    v_aabbs.append(surface_aabb(d, v.intrinsics, v.R, v.t))
+                    v_aabbs.append(surface_aabb(
+                        d, v.intrinsics, v.R, v.t,
+                        dist=v.dist, dist_model=v.dist_model,
+                    ))
             if cfg.cull_tiles > 1:
                 # tile-granular: per-view target RECTANGLES (an empty one
                 # = fully culled, subsuming the whole-view test)
@@ -758,6 +819,7 @@ def restore_image(
                 tiles = surface_tile_aabbs(
                     target_depth, target.intrinsics, target.R, target.t,
                     n_tiles=cfg.cull_tiles,
+                    dist=target.dist, dist_model=target.dist_model,
                 )
                 rects = tile_view_rects(
                     tiles, v_aabbs, target.height, target.width,
@@ -860,6 +922,7 @@ def restore_image(
             viz.save_plots(
                 output_dir, target.name, p, np.asarray(J_snap), valid_snap,
                 target.intrinsics, target_depth, iteration=iteration,
+                dist=target.dist, dist_model=target.dist_model,
             )
 
     ckpt_dir = None
@@ -905,9 +968,14 @@ def restore_image(
     # f32 here — the single-image path keeps full precision).
     intr_dev = jnp.asarray(np.asarray(target.intrinsics, np.float32))
     d_dev = jnp.asarray(np.asarray(target_depth, np.float32))
+    t_dist_dev = (
+        None if target.dist_model == "none"
+        else jnp.asarray(np.asarray(target.dist, np.float32))[None]
+    )
     rec_dev = viz.render_reconstruction_batch_device(
         jax.tree.map(lambda x: x[None], res.params._replace(J=None)),
         res.J[None], intr_dev[None], d_dev[None],
+        dists_dev=t_dist_dev, dist_model=target.dist_model,
     )[0]
     valid_dev = (
         res.observed.astype(bool) if cfg.use_closed_form else d_dev > 0
@@ -935,6 +1003,7 @@ def restore_image(
     artifacts = viz.save_plots(
         output_dir, target.name, res.params, J, valid, target.intrinsics,
         target_depth, reconstruction=np.asarray(rec_u8), rgb_plot=np.asarray(rgb_u8),
+        dist=target.dist, dist_model=target.dist_model,
     )
     params_out = (output_dir / target.name).with_suffix("." + cfg.params_format)
     ckpt.save_params(params_out, res.params, J=J, valid=valid)
@@ -1146,6 +1215,7 @@ def dispatch_survey_batch(
                 tiles = surface_tile_aabbs(
                     cache.get(t)[1], t.intrinsics, t.R, t.t,
                     n_tiles=cfg.cull_tiles,
+                    dist=t.dist, dist_model=t.dist_model,
                 )
                 rect_lists.append(tile_view_rects(
                     tiles, v_aabbs, t.height, t.width, n_tiles=cfg.cull_tiles
@@ -1179,6 +1249,14 @@ def dispatch_survey_batch(
     # (uploaded/stacked at most once per batch)
     t_depth_stack = dev_t[0] if dev_t is not None else None
     t_intrs_np = np.stack([t.intrinsics for t in targets]).astype(np.float32)
+    from sucre_tpu.ops.distortion import resolve_dist_model
+
+    # target-camera distortion (the batched render + survey program tags)
+    t_tag = resolve_dist_model(t.dist_model for t in targets)
+    t_dists_dev = (
+        None if t_tag == "none"
+        else jnp.asarray(np.stack([t.dist for t in targets]).astype(np.float32))
+    )
 
     def target_depth_stack():
         nonlocal t_depth_stack
@@ -1230,7 +1308,15 @@ def dispatch_survey_batch(
             from sucre_tpu.ops.matching import match_survey
 
             b = device_views.buckets[0]
+            # one static tag for the whole survey program (raises early on
+            # fisheye/pinhole mixes — bucket such surveys by camera)
+            survey_tag = resolve_dist_model((t_tag, b["dist_model"]))
+            v_dists = b["dists"]
+            if survey_tag != "none" and v_dists is None:
+                v_dists = jnp.zeros((b["intrs"].shape[0], 8), jnp.float32)
             arrays = (b["depths"], b["rgbs"], b["intrs"], b["Rs"], b["ts"])
+            if v_dists is not None:
+                arrays = arrays + (v_dists,)
             if len(culled_list) < len(image_list):
                 # device-side selection of surviving views, padded to the
                 # match_chunk granularity (bounds recompiles); padded rows
@@ -1248,6 +1334,15 @@ def dispatch_survey_batch(
                     )
                     for a in arrays
                 )
+            v_dists = arrays[5] if len(arrays) > 5 else None
+            arrays = arrays[:5]
+            st_dists = t_dists_dev
+            if survey_tag != "none" and st_dists is None:
+                # pinhole targets inside a rational program: exact identity
+                st_dists = jnp.zeros((len(targets), 8), jnp.float32)
+            dist_kw = dict(
+                t_dists=st_dists, v_dists=v_dists, dist_model=survey_tag,
+            )
             t_Rs_dev = jnp.asarray(np.stack([t.R for t in targets]).astype(np.float32))
             t_ts_dev = jnp.asarray(np.stack([t.t for t in targets]).astype(np.float32))
             if vr_mesh is not None:
@@ -1265,6 +1360,7 @@ def dispatch_survey_batch(
                     min_cover=cfg.min_cover,
                     compact=not cfg.light_model,
                     bilinear=cfg.bilinear_colors,
+                    **dist_kw,
                 )
                 # crop row padding back to the target grid (padded views
                 # stay: they are invalid and contribute nothing)
@@ -1287,6 +1383,7 @@ def dispatch_survey_batch(
                     jnp.float32(cfg.min_cover),
                     compact=not cfg.light_model,
                     bilinear=cfg.bilinear_colors,
+                    **dist_kw,
                 )
         else:
             log(f"Compute matches for {len(to_match)} targets (shared view stack).")
@@ -1401,6 +1498,7 @@ def dispatch_survey_batch(
             J,
             jnp.asarray(t_intrs_np),
             t_depths_dev,
+            dists_dev=t_dists_dev, dist_model=t_tag,
         )
         # Export validity on device (parity: _export_mask); export-invalid
         # pixels of the reconstruction render black (the reference's
@@ -1494,7 +1592,8 @@ def _export_batch(b: BatchInFlight, fetched) -> list[RestoreResult]:
             # host render from the already-fetched J (its u8 device
             # transfer skipped; runs inside the overlapped exporter)
             rec_t = viz.render_reconstruction_host(
-                p_t, J[t], target.intrinsics, b.depths[t]
+                p_t, J[t], target.intrinsics, b.depths[t],
+                dist=target.dist, dist_model=target.dist_model,
             )
             rec_t[~valid] = 0
         else:
@@ -1503,6 +1602,7 @@ def _export_batch(b: BatchInFlight, fetched) -> list[RestoreResult]:
             output_dir, target.name, p_t, J_t, valid, target.intrinsics, b.depths[t],
             reconstruction=rec_t,
             rgb_plot=None if rgb_plots is None else rgb_plots[t],
+            dist=target.dist, dist_model=target.dist_model,
         )
         params_out = (output_dir / target.name).with_suffix("." + cfg.params_format)
         ckpt.save_params(params_out, p_t, J=J_t, valid=valid)

@@ -246,26 +246,9 @@ class Scene:
                 "ViewStack requires uniform image dimensions; bucket views by "
                 f"(width, height) first (got widths={widths}, heights={heights})"
             )
-        models = {v.dist_model for v in views}
-        non_none = models - {"none"}
-        if not non_none:
-            dist_model = "none"
-        elif non_none == {"rational"}:
-            # A zero-coefficient rational vector is the exact identity on
-            # normalized coordinates (radial factor exactly 1.0, tangential
-            # terms exactly 0), so pinhole views embed in a rational stack;
-            # only the f32 association of the depth scaling differs from
-            # the pure pinhole program (<= 1 ulp in cP, identical matches).
-            dist_model = "rational"
-        elif non_none == {"fisheye"} and models == {"fisheye"}:
-            dist_model = "fisheye"
-        else:
-            raise ValueError(
-                "ViewStack requires compatible distortion models (fisheye "
-                "cameras cannot share a stack with pinhole/rational ones — "
-                f"the zero-parameter fisheye map is not the identity); got "
-                f"{sorted(models)}. Bucket views by camera model first."
-            )
+        from sucre_tpu.ops.distortion import resolve_dist_model
+
+        dist_model = resolve_dist_model(v.dist_model for v in views)
         return ViewStack(
             image_ids=np.array([v.image_id for v in views], np.int32),
             intrinsics=np.stack([v.intrinsics for v in views]).astype(np.float32),

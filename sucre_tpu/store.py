@@ -27,9 +27,19 @@ import numpy as np
 from sucre_tpu.ops.matching import DenseObs, PairMatch
 
 
-def _unproject_np(intr: np.ndarray, u, v, d) -> np.ndarray:
+def _unproject_np(intr: np.ndarray, u, v, d,
+                  dist=None, dist_model: str = "none") -> np.ndarray:
     """Host-side unproject (same convention as ops.pinhole.unproject):
-    parity with loader.py:103-118 where cP is rebuilt at load time."""
+    parity with loader.py:103-118 where cP is rebuilt at load time.
+    Distorted cameras route through the canonical inverse lens model
+    (f32, matching the device path's precision)."""
+    if dist_model != "none":
+        from sucre_tpu.ops.distortion import unproject_dist
+
+        return unproject_dist(
+            np.asarray(intr, np.float32), np.asarray(dist, np.float32),
+            dist_model, u, v, d.astype(np.float32), xp=np,
+        )
     fx, fy, cx, cy = (np.float32(x) for x in intr)
     u = u.astype(np.float32)
     v = v.astype(np.float32)
@@ -204,7 +214,11 @@ class MatchesFile:
                 Ik = g["I"][()]  # (3, N)
                 view2 = scene[name]
                 valid[k, v1, u1] = True
-                cP[k, v1, u1] = _unproject_np(view2.intrinsics, u2, v2, d)
+                cP[k, v1, u1] = _unproject_np(
+                    view2.intrinsics, u2, v2, d,
+                    dist=getattr(view2, "dist", None),
+                    dist_model=getattr(view2, "dist_model", "none"),
+                )
                 I[k, v1, u1] = Ik.T
         import jax.numpy as jnp
 

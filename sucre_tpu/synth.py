@@ -17,6 +17,29 @@ import cv2
 import numpy as np
 
 from sucre_tpu.io import colmap as colmap_io
+from sucre_tpu.ops import distortion as distortion_ops
+
+# Default coefficients per COLMAP camera model for distorted synthetic
+# scenes — moderate wide-angle values, invertible across the synth FOV.
+_DIST_DEFAULTS = {
+    "SIMPLE_RADIAL": (-0.18,),
+    "RADIAL": (-0.18, 0.04),
+    "OPENCV": (-0.2, 0.05, 8e-4, -6e-4),
+    "FULL_OPENCV": (-0.2, 0.05, 8e-4, -6e-4, 0.01, -0.05, 0.011, -0.002),
+    "OPENCV_FISHEYE": (-0.04, 0.01, -0.005, 0.001),
+}
+
+
+def _colmap_params(model: str, fx, fy, cx, cy, coeffs) -> np.ndarray:
+    """Assemble a COLMAP params vector for the given camera model."""
+    if model == "PINHOLE":
+        return np.array([fx, fy, cx, cy], np.float64)
+    if model in ("SIMPLE_RADIAL", "RADIAL"):
+        assert fx == fy, f"{model} has a single focal length"
+        return np.array([fx, cx, cy, *coeffs], np.float64)
+    if model in ("OPENCV", "FULL_OPENCV", "OPENCV_FISHEYE"):
+        return np.array([fx, fy, cx, cy, *coeffs], np.float64)
+    raise ValueError(f"unsupported synthetic camera model {model!r}")
 
 
 @dataclasses.dataclass
@@ -36,6 +59,9 @@ class SyntheticScene:
     poses: list[tuple[np.ndarray, np.ndarray]]  # cam->world (R, t)
     K: np.ndarray  # (3, 3)
     plane_z: float
+    camera_model: str = "PINHOLE"  # COLMAP model written to the scene
+    dist: np.ndarray | None = None  # canonical (8,) vector (None = pinhole)
+    dist_model: str = "none"  # canonical tag (ops/distortion.py)
 
 
 def _rotmat_to_qvec(R: np.ndarray) -> np.ndarray:
@@ -84,6 +110,8 @@ def make_scene(
     two_cameras: bool = False,
     light: bool = False,
     spread: float = 1.2,
+    camera_model: str = "PINHOLE",
+    dist_coeffs: tuple | None = None,
 ) -> SyntheticScene:
     """Cameras at z=0 looking down +z at the tilted plane Z = plane_z +
     slope*X, small x/y camera offsets.
@@ -92,6 +120,13 @@ def make_scene(
     I = J exp(-beta z) + B (1 - exp(-gamma z)) with z the camera-to-point
     range, J sampled from the analytic ``texture`` at the plane hit point.
     The tilt makes z vary across the image so beta/gamma are identifiable.
+
+    ``camera_model`` selects the COLMAP camera model written to the scene
+    (default PINHOLE; any of SIMPLE_RADIAL/RADIAL/OPENCV/FULL_OPENCV/
+    OPENCV_FISHEYE renders through the lens distortion — rays bend per
+    ops/distortion.py, so depth maps, images, and the COLMAP model are
+    mutually consistent exactly like a real distorted survey).
+    ``dist_coeffs`` overrides the per-model default coefficients.
     """
     model_dir = tmp_path / "model"
     image_dir = tmp_path / "images"
@@ -106,14 +141,17 @@ def make_scene(
     fx = fy = 0.8 * width
     cx, cy = width / 2.0, height / 2.0
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+    if camera_model != "PINHOLE" and dist_coeffs is None:
+        dist_coeffs = _DIST_DEFAULTS[camera_model]
+    coeffs = tuple(dist_coeffs or ())
 
     cameras = {
         1: colmap_io.ColmapCamera(
             camera_id=1,
-            model="PINHOLE",
+            model=camera_model,
             width=width,
             height=height,
-            params=np.array([fx, fy, cx, cy], np.float64),
+            params=_colmap_params(camera_model, fx, fy, cx, cy, coeffs),
         )
     }
     if two_cameras:
@@ -122,11 +160,18 @@ def make_scene(
         w2, h2 = (3 * width) // 4, (3 * height) // 4
         cameras[2] = colmap_io.ColmapCamera(
             camera_id=2,
-            model="PINHOLE",
+            model=camera_model,
             width=w2,
             height=h2,
-            params=np.array([0.8 * w2, 0.8 * w2, w2 / 2.0, h2 / 2.0], np.float64),
+            params=_colmap_params(
+                camera_model, 0.8 * w2, 0.8 * w2, w2 / 2.0, h2 / 2.0, coeffs
+            ),
         )
+    # Canonical distortion per camera (tag shared; vector may differ only
+    # in principle — here all cameras share the coefficient set).
+    dist_tag, dist_vec, *_ = distortion_ops.colmap_to_canonical(
+        camera_model, cameras[1].params
+    )
 
     # Camera positions: spread along x with varying altitude (z), identity
     # orientation (looking +z). The z spread gives every pixel genuine
@@ -151,7 +196,9 @@ def make_scene(
         cam_id = 2 if (two_cameras and i % 2 == 1) else 1
         cam = cameras[cam_id]
         vw, vh = cam.width, cam.height
-        vfx, vfy, vcx, vcy = cam.params
+        _, _, vfx, vfy, vcx, vcy = distortion_ops.colmap_to_canonical(
+            cam.model, cam.params
+        )
         R_cw = np.eye(3)
         t_cw = np.array([dx, 0.02 * i, offsets_z[i]])
         poses.append((R_cw.astype(np.float32), t_cw.astype(np.float32)))
@@ -175,7 +222,20 @@ def make_scene(
         uuv, vvv = np.meshgrid(np.arange(vw), np.arange(vh))
         xr = (uuv + 0.5 - vcx) / vfx
         yr = (vvv + 0.5 - vcy) / vfy
+        if dist_tag != "none":
+            # the recorded pixel grid is DISTORTED: bend each pixel's ray
+            # through the lens model before intersecting the plane
+            xr, yr = distortion_ops.undistort(
+                dist_tag, dist_vec.astype(np.float64), xr, yr, xp=np
+            )
+            bad = ~np.isfinite(xr)
+            xr = np.where(bad, 0.0, xr)
+            yr = np.where(bad, 0.0, yr)
+        else:
+            bad = None
         zc = (plane_z + slope * t_cw[0] - t_cw[2]) / (1.0 - slope * xr)
+        if bad is not None:
+            zc = np.where(bad, 0.0, zc)  # depth 0 = invalid, like real holes
         Pw_x = t_cw[0] + xr * zc
         Pw_y = t_cw[1] + yr * zc
         J = texture(Pw_x, Pw_y)
@@ -234,4 +294,7 @@ def make_scene(
         poses=poses,
         K=K,
         plane_z=plane_z,
+        camera_model=camera_model,
+        dist=None if dist_tag == "none" else dist_vec,
+        dist_model=dist_tag,
     )

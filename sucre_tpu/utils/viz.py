@@ -8,6 +8,7 @@ Artifacts per restored image (same names as the reference):
 
 from __future__ import annotations
 
+from functools import partial
 from pathlib import Path
 
 import numpy as np
@@ -17,7 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from sucre_tpu.models.sucre import SucreParams, compute_l_z, formation_forward
-from sucre_tpu.ops.pinhole import Intrinsics, pixel_grid, unproject
+from sucre_tpu.ops import distortion as distortion_ops
+from sucre_tpu.ops.pinhole import pixel_grid
 
 
 def plot_J(J: np.ndarray, valid: np.ndarray) -> PILImage.Image:
@@ -45,13 +47,17 @@ def plot_J(J: np.ndarray, valid: np.ndarray) -> PILImage.Image:
     return PILImage.fromarray(np.uint8(J * 255))
 
 
-@jax.jit
-def _render_reconstruction_jit(params, J, intr4, d):
-    intr = Intrinsics(intr4[0], intr4[1], intr4[2], intr4[3])
+@partial(jax.jit, static_argnames=("dist_model",))
+def _render_reconstruction_jit(params, J, intr4, d, dist=None, dist_model="none"):
     H, W = d.shape
     u, v = pixel_grid(H, W)
     valid = d > 0
-    cP = unproject(intr, u, v, d)[None]  # (1, H, W, 3) fake view axis
+    # (1, H, W, 3) fake view axis; distorted targets bend the rays
+    cP = distortion_ops.unproject_any(intr4, dist, dist_model, u, v, d)[None]
+    if dist_model != "none":
+        # non-invertible distorted pixels (NaN rays) render as invalid
+        valid = valid & jnp.isfinite(cP[0, ..., 0])
+        cP = jnp.nan_to_num(cP)
     I_hat = formation_forward(params, J, cP, valid[None])[0]
     I_hat = jnp.clip(I_hat, 0.0, 1.0)
     I_hat = jnp.where(valid[..., None], I_hat, 0.0)
@@ -62,7 +68,8 @@ def _render_reconstruction_jit(params, J, intr4, d):
 
 
 def render_reconstruction(
-    params: SucreParams, J: jnp.ndarray, intrinsics: np.ndarray, depth_map: np.ndarray
+    params: SucreParams, J: jnp.ndarray, intrinsics: np.ndarray, depth_map: np.ndarray,
+    dist: np.ndarray | None = None, dist_model: str = "none",
 ) -> np.ndarray:
     """Re-render the observed image from the model and the target's own
     depth map (parity: sucre.py:106-113). Returns (H, W, 3) float in [0, 1];
@@ -73,13 +80,22 @@ def render_reconstruction(
             jnp.asarray(J, jnp.float32),
             jnp.asarray(intrinsics, jnp.float32),
             jnp.asarray(depth_map, jnp.float32),
+            None if dist is None else jnp.asarray(dist, jnp.float32),
+            dist_model=dist_model,
         )
     ).astype(np.float32) / 255.0
 
 
-@jax.jit
-def _render_reconstruction_batch_jit(params, J, intr4, d):
-    return jax.vmap(_render_reconstruction_jit)(params, J, intr4, d)
+@partial(jax.jit, static_argnames=("dist_model",))
+def _render_reconstruction_batch_jit(params, J, intr4, d, dist=None,
+                                     dist_model="none"):
+    if dist_model == "none":
+        return jax.vmap(_render_reconstruction_jit)(params, J, intr4, d)
+    return jax.vmap(
+        lambda p, Jt, i4, dt, dd: _render_reconstruction_jit(
+            p, Jt, i4, dt, dd, dist_model=dist_model
+        )
+    )(params, J, intr4, d, dist)
 
 
 @jax.jit
@@ -119,16 +135,21 @@ def render_reconstruction_batch(params_stacked, J, intrs, depths) -> np.ndarray:
     return np.asarray(out).astype(np.float32) / 255.0
 
 
-def render_reconstruction_batch_device(params_stacked, J_dev, intrs_dev, depths_dev):
+def render_reconstruction_batch_device(params_stacked, J_dev, intrs_dev, depths_dev,
+                                       dists_dev=None, dist_model: str = "none"):
     """Async device-side batched render returning the (T, H, W, 3) uint8
     array WITHOUT fetching — callers fold it into one batched device_get
     alongside the other export arrays (and J stays device-resident,
     avoiding a round trip through the host)."""
-    return _render_reconstruction_batch_jit(params_stacked, J_dev, intrs_dev, depths_dev)
+    return _render_reconstruction_batch_jit(
+        params_stacked, J_dev, intrs_dev, depths_dev, dists_dev,
+        dist_model=dist_model,
+    )
 
 
 def render_reconstruction_host(
-    params: SucreParams, J: np.ndarray, intrinsics, depth_map: np.ndarray
+    params: SucreParams, J: np.ndarray, intrinsics, depth_map: np.ndarray,
+    dist: np.ndarray | None = None, dist_model: str = "none",
 ) -> np.ndarray:
     """Host-numpy reconstruction render (no-light model only) — same
     f32 math and floor-quantization as ``_render_reconstruction_jit``.
@@ -147,8 +168,17 @@ def render_reconstruction_host(
     # unproject own depth (ops/pinhole convention: +0.5 pixel centers)
     xs = (np.arange(W, dtype=np.float32) + np.float32(0.5) - cx) / fx
     ys = (np.arange(H, dtype=np.float32) + np.float32(0.5) - cy) / fy
-    X = d * xs[None, :]
-    Y = d * ys[:, None]
+    if dist_model != "none" and dist is not None:
+        xr, yr = distortion_ops.undistort(
+            dist_model, np.asarray(dist, np.float32), xs[None, :], ys[:, None],
+            xp=np,
+        )
+        valid = valid & np.isfinite(xr)  # NaN rays render as invalid
+        X = d * np.nan_to_num(xr)
+        Y = d * np.nan_to_num(yr)
+    else:
+        X = d * xs[None, :]
+        Y = d * ys[:, None]
     z = np.sqrt(X * X + Y * Y + d * d, dtype=np.float32)[..., None]
     beta = np.asarray(params.beta, np.float32)
     gamma = np.asarray(params.gamma, np.float32)
@@ -161,13 +191,15 @@ def render_reconstruction_host(
     return np.floor(I_hat * np.float32(255.0)).astype(np.uint8)
 
 
-@jax.jit
-def _render_vignetting_jit(params, intr4, d):
-    intr = Intrinsics(intr4[0], intr4[1], intr4[2], intr4[3])
+@partial(jax.jit, static_argnames=("dist_model",))
+def _render_vignetting_jit(params, intr4, d, dist=None, dist_model="none"):
     H, W = d.shape
     u, v = pixel_grid(H, W)
     valid = d > 0
-    cP = unproject(intr, u, v, d)
+    cP = distortion_ops.unproject_any(intr4, dist, dist_model, u, v, d)
+    if dist_model != "none":
+        valid = valid & jnp.isfinite(cP[..., 0])
+        cP = jnp.nan_to_num(cP)
     l, _ = compute_l_z(params, cP, valid)
     if isinstance(l, float):
         l = jnp.where(valid, 1.0, 0.0)
@@ -175,13 +207,17 @@ def _render_vignetting_jit(params, intr4, d):
 
 
 def render_vignetting(
-    params: SucreParams, intrinsics: np.ndarray, depth_map: np.ndarray
+    params: SucreParams, intrinsics: np.ndarray, depth_map: np.ndarray,
+    dist: np.ndarray | None = None, dist_model: str = "none",
 ) -> np.ndarray:
     """The light-footprint map l over the target's own depth (parity:
     sucre.py:96-104). Returns (H, W) float; invalid pixels 0."""
     return np.asarray(
         _render_vignetting_jit(
-            params, jnp.asarray(intrinsics, jnp.float32), jnp.asarray(depth_map, jnp.float32)
+            params, jnp.asarray(intrinsics, jnp.float32),
+            jnp.asarray(depth_map, jnp.float32),
+            None if dist is None else jnp.asarray(dist, jnp.float32),
+            dist_model=dist_model,
         )
     )
 
@@ -240,6 +276,8 @@ def save_plots(
     iteration: int | None = None,
     reconstruction: np.ndarray | None = None,
     rgb_plot: np.ndarray | None = None,
+    dist: np.ndarray | None = None,
+    dist_model: str = "none",
 ) -> list[Path]:
     """Write the artifact set with reference-parity filenames
     (sucre.py:115-121). Precomputed ``reconstruction`` / ``rgb_plot``
@@ -266,7 +304,8 @@ def save_plots(
     rec = (
         reconstruction
         if reconstruction is not None
-        else render_reconstruction(params, J, intrinsics, depth_map)
+        else render_reconstruction(params, J, intrinsics, depth_map,
+                                   dist=dist, dist_model=dist_model)
     )
     rec_u8 = rec if rec.dtype == np.uint8 else np.uint8(rec * 255)
     _write_png(p, rec_u8)
@@ -276,7 +315,8 @@ def save_plots(
         import matplotlib
 
         p = save_dir / f"{stem}_vignetting{suffix}.png"
-        l_map = render_vignetting(params, intrinsics, depth_map)
+        l_map = render_vignetting(params, intrinsics, depth_map,
+                                  dist=dist, dist_model=dist_model)
         rgb = matplotlib.colormaps["jet"](l_map)[:, :, :3]
         _write_png(p, np.uint8(rgb * 255))
         written.append(p)

@@ -11,8 +11,10 @@ problem at once:
       [--image-scale S] [--deep] [--num-workers N] [--json out.json]
 
 Checks (fast mode reads file headers only; ``--deep`` fully decodes):
-  - COLMAP model parses; camera models are undistorted
-    (PINHOLE/SIMPLE_PINHOLE); intrinsics/poses are finite.
+  - COLMAP model parses; camera models are supported (PINHOLE /
+    SIMPLE_PINHOLE, or the natively-handled distorted models
+    SIMPLE_RADIAL/RADIAL/OPENCV/FULL_OPENCV/OPENCV_FISHEYE — INFO);
+    intrinsics/poses are finite.
   - Duplicate image names (name-keyed lookups would silently collide).
   - Every registered image has an existing, decodable RGB file and
     ``depth_<stem>.png`` depth map.
@@ -41,7 +43,7 @@ from pathlib import Path
 
 @dataclasses.dataclass
 class Finding:
-    level: str  # "ERROR" | "WARN"
+    level: str  # "ERROR" | "WARN" | "INFO"
     code: str
     image: str  # image name, or "" for model-level findings
     message: str
@@ -304,16 +306,30 @@ def validate(
     # Camera-model / dangling-camera checks run here (not via the Scene
     # ingest's raise) so ONE bad camera reports itself and the rest of
     # the dataset still gets validated — the whole point of pre-flight.
+    from sucre_tpu.ops.distortion import COLMAP_DISTORTED_MODELS
+
     ok_cams = {}
     for cid, cam in raw_cameras.items():
         if cam.model in ("PINHOLE", "SIMPLE_PINHOLE"):
             ok_cams[cid] = cam
+        elif cam.model in COLMAP_DISTORTED_MODELS:
+            # Supported natively (the reference would reject these —
+            # sfm.py:192); surface it so users know the distortion is
+            # being modeled rather than silently assumed away.
+            ok_cams[cid] = cam
+            findings.append(Finding(
+                "INFO", "camera-model", "",
+                f"camera {cid} uses distorted model {cam.model}: handled "
+                f"natively (rays bend through the inverse lens model); the "
+                f"PyTorch reference would require COLMAP's image "
+                f"undistorter first"))
         else:
             findings.append(Finding(
                 "ERROR", "camera-model", "",
-                f"camera {cid} uses model {cam.model}; only undistorted "
-                f"models (PINHOLE, SIMPLE_PINHOLE) are supported — run "
-                f"COLMAP's image undistorter first"))
+                f"camera {cid} uses model {cam.model}; supported models: "
+                f"PINHOLE, SIMPLE_PINHOLE, "
+                f"{', '.join(COLMAP_DISTORTED_MODELS)} — run COLMAP's "
+                f"image undistorter for anything else"))
     ok_images = {}
     for iid, im in raw_images.items():
         if im.camera_id in raw_cameras:
@@ -367,7 +383,7 @@ def validate(
     for v in scene.view_list():
         dims[(v.width, v.height)] = dims.get((v.width, v.height), 0) + 1
     n_err = sum(1 for f in findings if f.level == "ERROR")
-    n_warn = len(findings) - n_err
+    n_warn = sum(1 for f in findings if f.level == "WARN")
     summary = {
         "n_views": len(scene),
         "dims": {f"{w}x{h}": c for (w, h), c in sorted(dims.items())},

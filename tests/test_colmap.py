@@ -82,12 +82,32 @@ def test_roundtrip(tmp_path, fmt):
     np.testing.assert_array_equal(pt.image_ids, points[11].image_ids)
 
 
-def test_non_pinhole_rejected(tmp_path):
-    cameras = {1: cio.ColmapCamera(1, "SIMPLE_RADIAL", 640, 480, np.array([500.0, 320.0, 240.0, 0.1]))}
+def test_unsupported_camera_model_rejected(tmp_path):
+    """Models outside the supported set (pinhole + the natively-handled
+    distorted ones) fail ingest with an actionable message. SIMPLE_RADIAL
+    et al. are ACCEPTED since round 3 (ops/distortion.py)."""
+    cameras = {1: cio.ColmapCamera(
+        1, "FOV", 640, 480, np.array([500.0, 500.0, 320.0, 240.0, 0.9]))}
     cio.write_cameras_txt(cameras, tmp_path / "cameras.txt")
     cio.write_images_txt({}, tmp_path / "images.txt")
-    with pytest.raises(ValueError, match="PINHOLE"):
+    with pytest.raises(ValueError, match="not supported"):
         Scene.from_colmap(tmp_path, tmp_path, tmp_path)
+
+
+def test_distorted_models_ingest(tmp_path):
+    """SIMPLE_RADIAL ingests with the canonical distortion vector."""
+    cameras = {1: cio.ColmapCamera(
+        1, "SIMPLE_RADIAL", 640, 480, np.array([500.0, 320.0, 240.0, -0.1]))}
+    images = {
+        1: cio.ColmapImage(1, np.array([1.0, 0, 0, 0]), np.zeros(3), 1,
+                           "a.png", np.zeros((0, 2)), np.zeros(0, np.int64)),
+    }
+    cio.write_cameras_txt(cameras, tmp_path / "cameras.txt")
+    cio.write_images_txt(images, tmp_path / "images.txt")
+    scene = Scene.from_colmap(tmp_path, tmp_path, tmp_path)
+    v = scene["a.png"]
+    assert v.dist_model == "rational" and v.fx == v.fy == 500.0
+    assert v.dist[0] == np.float32(-0.1) and (v.dist[1:] == 0).all()
 
 
 def test_simple_pinhole_accepted(tmp_path):

@@ -141,7 +141,8 @@ def test_shard_targets():
     assert shard_targets(targets, process_id=0, num_processes=1) == targets
 
 
-def _scene_view_stack(scene_dir, n_views, width, height):
+def _scene_view_stack(scene_dir, n_views, width, height,
+                      camera_model="PINHOLE"):
     """Build a synthetic scene and its stacked device view arrays
     (v_depths, v_rgbs, v_intrs, v_Rs, v_ts) — shared by the
     sharded-matching tests."""
@@ -149,7 +150,8 @@ def _scene_view_stack(scene_dir, n_views, width, height):
     from sucre_tpu.scene import Scene
     from tests.synthetic import make_scene
 
-    sd = make_scene(scene_dir, n_views=n_views, width=width, height=height)
+    sd = make_scene(scene_dir, n_views=n_views, width=width, height=height,
+                    camera_model=camera_model)
     scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
     views = scene.view_list()
     arrays = [load_view_arrays(v, raw=True) for v in views]
@@ -202,6 +204,49 @@ def test_match_survey_sharded_equals_unsharded(tmp_path):
     img = jnp.zeros((obs_t.valid.shape[1], obs_t.valid.shape[2], 3), jnp.float32)
     res = fit_sharded(init_params(image=img), obs_t, FitConfig(num_iter=2), mesh)
     assert np.isfinite(float(res.telemetry.cost[-1]))
+
+
+def test_match_survey_sharded_distorted_equals_unsharded(tmp_path):
+    """Distorted-camera survey matching under the (view x row) mesh: the
+    distortion vectors shard alongside the intrinsics and the sharded
+    program equals the single-device one."""
+    from sucre_tpu.ops.matching import match_survey
+    from sucre_tpu.parallel import match_survey_sharded
+    from sucre_tpu.scene import Scene
+
+    scene, (v_depths, v_rgbs, v_intrs, v_Rs, v_ts) = _scene_view_stack(
+        tmp_path, n_views=5, width=64, height=50, camera_model="OPENCV"
+    )
+    views = scene.view_list()
+    v_dists = jnp.asarray(np.stack([v.dist for v in views]).astype(np.float32))
+    tidx = jnp.asarray([1, 2])
+    t_depths = v_depths[tidx]
+    t_intrs, t_Rs, t_ts = v_intrs[tidx], v_Rs[tidx], v_ts[tidx]
+    t_dists = v_dists[tidx]
+
+    ref = match_survey(
+        t_depths, t_intrs, t_Rs, t_ts,
+        v_depths, v_rgbs, v_intrs, v_Rs, v_ts,
+        jnp.float32(1e-6), compact=True,
+        t_dists=t_dists, v_dists=v_dists, dist_model="rational",
+    )
+    assert int(np.asarray(ref.valid).sum()) > 0
+    mesh = make_mesh(2, 4)
+    out = match_survey_sharded(
+        mesh, t_depths, t_intrs, t_Rs, t_ts,
+        v_depths, v_rgbs, v_intrs, v_Rs, v_ts,
+        t_dists=t_dists, v_dists=v_dists, dist_model="rational",
+    )
+    V, H = v_depths.shape[0], t_depths.shape[1]
+    np.testing.assert_array_equal(
+        np.asarray(out.valid[:, :V, :H]), np.asarray(ref.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.z[:, :V, :H]), np.asarray(ref.z), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.I[:, :V, :H]), np.asarray(ref.I)
+    )
 
 
 def test_fit_sharded_pallas_equals_fit(rng):

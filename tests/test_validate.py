@@ -111,8 +111,10 @@ def test_bad_camera_does_not_abort(sd):
     from sucre_tpu.io import colmap as cio
 
     cams, imgs, _ = cio.read_model(sd.model_dir)
-    cams[99] = cio.ColmapCamera(99, "SIMPLE_RADIAL", 64, 48,
-                                np.array([50.0, 32.0, 24.0, 0.1]))
+    # FOV is NOT among the natively-supported distorted models (those are
+    # accepted with an INFO finding since round 3) — still an ERROR
+    cams[99] = cio.ColmapCamera(99, "FOV", 64, 48,
+                                np.array([50.0, 50.0, 32.0, 24.0, 0.9]))
     first = min(imgs)
     imgs[first] = dataclasses.replace(imgs[first], camera_id=99)
     second = sorted(imgs)[1]
@@ -203,3 +205,21 @@ def test_jpeg_subtype_no_warn_gray_and_ycbcr(tmp_path):
     Image.fromarray(np.zeros((32, 48, 3), np.uint8)).save(c)
     assert jpeg_components(c) == 3
     assert jpeg_components(tmp_path / "missing.jpg") == 0
+
+
+def test_distorted_camera_models_accepted_with_info(tmp_path, capsys):
+    """Natively-supported distorted COLMAP models pre-flight clean: an
+    INFO finding (not ERROR/WARN) notes the native handling."""
+    from tests.synthetic import make_scene
+    from sucre_tpu.validate import main, validate
+
+    sd = make_scene(tmp_path, n_views=3, width=48, height=32,
+                    camera_model="OPENCV_FISHEYE")
+    findings, summary = validate(sd.model_dir, sd.image_dir, sd.depth_dir)
+    info = [f for f in findings if f.level == "INFO" and f.code == "camera-model"]
+    assert info and "OPENCV_FISHEYE" in info[0].message
+    assert summary["n_errors"] == 0 and summary["n_warnings"] == 0
+    rc = main(["--model-dir", str(sd.model_dir),
+               "--image-dir", str(sd.image_dir),
+               "--depth-dir", str(sd.depth_dir)])
+    assert rc == 0
