@@ -65,8 +65,9 @@ def main() -> None:
         rgb_plot_on_device=False, reconstruction_on_device=False,
     )
 
+    models = os.environ.get("PROBE_MODELS", "PINHOLE,OPENCV,OPENCV_FISHEYE").split(",")
     out = {}
-    for model in ("PINHOLE", "OPENCV", "OPENCV_FISHEYE"):
+    for model in models:
         tmp = Path(tempfile.mkdtemp(prefix=f"probe_dist_{model}_"))
         t0 = time.perf_counter()
         sd = make_scene(tmp, n_views=V, width=W, height=H, camera_model=model)
@@ -104,12 +105,12 @@ def main() -> None:
         log(f"{model}: best {best:.2f}s")
 
     out["shape"] = f"4x{V}x{H}x{W}@1it"
-    out["opencv_vs_pinhole"] = round(
-        out["OPENCV"]["best_s"] / out["PINHOLE"]["best_s"], 3
-    )
-    out["fisheye_vs_pinhole"] = round(
-        out["OPENCV_FISHEYE"]["best_s"] / out["PINHOLE"]["best_s"], 3
-    )
+    if "PINHOLE" in out:
+        for m in ("OPENCV", "OPENCV_FISHEYE"):
+            if m in out:
+                out[f"{m.lower()}_vs_pinhole"] = round(
+                    out[m]["best_s"] / out["PINHOLE"]["best_s"], 3
+                )
     print(json.dumps(out), flush=True)
 
 

@@ -109,11 +109,15 @@ def _undistort_rational(xp, dist, xd, yd, iters):
         r2 = x * x + y * y
         num = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
         den = 1.0 + r2 * (k4 + r2 * (k5 + r2 * k6))
-        radial = num / den
         dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
         dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
-        x = (xd - dx) / radial
-        y = (yd - dy) / radial
+        # Single divide per iteration (den/num, then two multiplies):
+        # divides are the expensive VPU op in this unrolled chain — the
+        # 3-divide form measured 1.37x pinhole matching cost, this one
+        # 1.14x (scripts/probe_distortion_r3.py numbers in BASELINE.md).
+        inv_radial = den / num
+        x = (xd - dx) * inv_radial
+        y = (yd - dy) * inv_radial
     return x, y
 
 
