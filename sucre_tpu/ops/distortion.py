@@ -227,7 +227,11 @@ def resolve_dist_model(models) -> str:
     stacked program. Pinhole ("none") embeds in a rational stack (the
     zero vector is the exact identity on normalized coordinates); the
     zero-parameter fisheye map is NOT the identity, so fisheye cameras
-    cannot share a stack with anything else."""
+    cannot share a STACK with anything else — the pipeline buckets views
+    into fisheye/non-fisheye stacks and matches across them with
+    per-camera (target_tag, view_tag) tuple tags (matching._split_tags),
+    so mixed rigs still restore; this error is a guard for direct
+    callers who stacked incompatible cameras themselves."""
     models = set(models)
     non_none = models - {"none"}
     if not non_none:
@@ -239,8 +243,27 @@ def resolve_dist_model(models) -> str:
     raise ValueError(
         "views mix incompatible distortion models (fisheye cameras cannot "
         f"share a stack with pinhole/rational ones); got {sorted(models)}. "
-        "Bucket views by camera model first."
+        "Bucket views into fisheye and non-fisheye stacks first."
     )
+
+
+def stack_class(tag: str) -> str:
+    """Which stack a camera can join: fisheye cameras stack only with
+    each other; "none"/"rational" embed together (see resolve_dist_model).
+    Pipeline bucket keys include this class so one survey may carry both."""
+    return "fisheye" if tag == "fisheye" else "std"
+
+
+def pair_tag(t_tag: str, v_tag: str):
+    """Static distortion tag for a (target, view-stack) program: the
+    plain joint tag when one expresses both sides (keeping single-rig
+    trace signatures and their committed compile caches identical),
+    else a per-camera (target_tag, view_tag) tuple (mixed rigs)."""
+    # Differing sides always take per-camera tags: for none + rational
+    # the zero vector WOULD embed pinhole exactly, but per-side tags skip
+    # the pointless 30-iteration identity inversion on the pinhole side
+    # (same math, fewer VPU ops); for fisheye mixes there is no embedding.
+    return t_tag if t_tag == v_tag else (t_tag, v_tag)
 
 
 # --- COLMAP camera-model embedding -----------------------------------------

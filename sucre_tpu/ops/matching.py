@@ -130,6 +130,22 @@ def _offset_grid(H: int, W: int, origin):
     return u1, v1
 
 
+def _split_tags(dist_model) -> tuple[str, str]:
+    """Normalize a distortion tag into per-camera static tags.
+
+    A plain string applies to BOTH cameras (the common one-rig case,
+    keeping every existing trace signature intact); a ``(tag1, tag2)``
+    tuple gives camera 1 (the target) and camera 2 (the view) their own
+    models — the mixed-rig case (e.g. a fisheye navigation camera and a
+    pinhole documentation camera in one COLMAP reconstruction), which a
+    single joint tag cannot express because the zero-parameter fisheye
+    map is not the identity. Tuples are hashable, so they ride the same
+    ``static_argnames`` plumbing as the strings."""
+    if isinstance(dist_model, tuple):
+        return dist_model
+    return dist_model, dist_model
+
+
 def _forward_projection(
     depth1: jnp.ndarray,  # (H, W) target depth, meters
     intr1: jnp.ndarray,
@@ -141,17 +157,18 @@ def _forward_projection(
     origin=None,  # (2,) i32 (row0, col0) of a target rectangle slice
     dist1=None,  # (8,) canonical distortion vectors (ops/distortion.py)
     dist2=None,
-    dist_model: str = "none",
+    dist_model: str | tuple[str, str] = "none",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Continuous forward reprojection of every target pixel into view 2
     — the shared geometry block (target pixel -> world -> view-2 pixel
     candidate). Returns float coordinates (x2, y2)."""
     H, W = depth1.shape
+    tag1, tag2 = _split_tags(dist_model)
     u1, v1 = _offset_grid(H, W, origin)
-    cP1 = _unproject_any(intr1, dist1, dist_model, u1, v1, depth1)
+    cP1 = _unproject_any(intr1, dist1, tag1, u1, v1, depth1)
     wP1 = transform_points(R1, t1, cP1)
     R2i, t2i = pose_inverse(R2, t2)
-    return _project_any(intr2, dist2, dist_model, transform_points(R2i, t2i, wP1))
+    return _project_any(intr2, dist2, tag2, transform_points(R2i, t2i, wP1))
 
 
 def _match_pair_core(
@@ -167,7 +184,7 @@ def _match_pair_core(
     origin=None,  # (2,) i32 (row0, col0) when depth1 is a rectangle slice
     dist1=None,  # (8,) canonical distortion vectors, None = pinhole
     dist2=None,
-    dist_model: str = "none",
+    dist_model: str | tuple[str, str] = "none",  # see _split_tags
 ) -> tuple[PairMatch, jnp.ndarray, jnp.ndarray | None]:
     """The two-way-consistency geometry shared by every matching variant
     (parity-critical: reference sfm.py:115-175 semantics). The only
@@ -197,10 +214,11 @@ def _match_pair_core(
     valid2 = inb2 & (d2 > 0)
 
     # Reverse: view-2 candidate pixel -> world -> back into target view
-    cP2 = _unproject_any(intr2, dist2, dist_model, u2s, v2s, d2)
+    tag1, tag2 = _split_tags(dist_model)
+    cP2 = _unproject_any(intr2, dist2, tag2, u2s, v2s, d2)
     wP2 = transform_points(R2, t2, cP2)
     R1i, t1i = pose_inverse(R1, t1)
-    x1b, y1b = _project_any(intr1, dist1, dist_model,
+    x1b, y1b = _project_any(intr1, dist1, tag1,
                             transform_points(R1i, t1i, wP2))
     u1b, v1b = _trunc_px(x1b, y1b)
     consistent = (u1b == u1) & (v1b == v1)
@@ -246,7 +264,7 @@ def pair_observation(
     intr2: jnp.ndarray,  # (4,)
     rgb2: jnp.ndarray,  # (H2, W2, 3) float32
     dist2=None,
-    dist_model: str = "none",
+    dist_model: str | tuple[str, str] = "none",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Extract (cP, I) for a matched pair, dense on the target grid.
 
@@ -257,7 +275,7 @@ def pair_observation(
     """
     u2s = jnp.maximum(match.u2, 0)
     v2s = jnp.maximum(match.v2, 0)
-    cP = _unproject_any(intr2, dist2, dist_model, u2s, v2s, match.d2)
+    cP = _unproject_any(intr2, dist2, _split_tags(dist_model)[1], u2s, v2s, match.d2)
     I = rgb2[v2s, u2s]  # native dtype gather (u8 stays u8)
     cP = jnp.where(match.valid[..., None], cP, jnp.zeros((), jnp.float32))
     I = jnp.where(match.valid[..., None], I, jnp.zeros((), I.dtype))
@@ -409,7 +427,9 @@ def match_and_observe_chunk(
     origin: jnp.ndarray | None = None,  # (2,) i32 (row0, col0) slice origin
     t_dist: jnp.ndarray | None = None,  # (8,) target distortion vector
     v_dists: jnp.ndarray | None = None,  # (V, 8) view distortion vectors
-    dist_model: str = "none",  # static tag; "none" = exact pinhole program
+    # static tag; "none" = exact pinhole program; a (target_tag, view_tag)
+    # tuple gives each camera side its own lens model (mixed rigs)
+    dist_model: str | tuple[str, str] = "none",
 ) -> tuple[DenseObs, PairMatch]:
     """Match the target against a chunk of V views and build the dense
     observation stack — the jit unit of the matching stage (vmapped over
@@ -430,8 +450,9 @@ def match_and_observe_chunk(
     depth1 = to_f32_depth(depth1)
     # Distortion threads through as trailing vmapped *extra args so the
     # "none" path's traced signature (and its committed compile-cache
-    # entries) stays byte-identical to the pinhole-only program.
-    extra = () if dist_model == "none" else (v_dists,)
+    # entries) stays byte-identical to the pinhole-only program. The
+    # view-side vector stack rides only when the VIEW side is distorted.
+    extra = () if _split_tags(dist_model)[1] == "none" else (v_dists,)
 
     def _d2(d2tail):
         return d2tail[0] if d2tail else None
@@ -511,7 +532,9 @@ def match_survey(
     # denominator)
     t_dists: jnp.ndarray | None = None,  # (T, 8) target distortion vectors
     v_dists: jnp.ndarray | None = None,  # (V, 8) view distortion vectors
-    dist_model: str = "none",  # static tag; "none" = exact pinhole program
+    # static tag; "none" = exact pinhole program; a (target_tag, view_tag)
+    # tuple gives each camera side its own lens model (mixed rigs)
+    dist_model: str | tuple[str, str] = "none",
 ) -> DenseObs:
     """The WHOLE matching stage as one device program: T targets x V
     views -> the (T, V, H, W) observation stack, min-cover filtering
@@ -537,8 +560,10 @@ def match_survey(
 
     # Distortion joins both vmap levels as trailing *extra args so the
     # "none" trace (and its committed compile cache) stays identical.
-    t_extra = () if dist_model == "none" else (t_dists,)
-    v_extra = () if dist_model == "none" else (v_dists,)
+    # Each side's vector stack rides only when that side is distorted.
+    _tag1, _tag2 = _split_tags(dist_model)
+    t_extra = () if _tag1 == "none" else (t_dists,)
+    v_extra = () if _tag2 == "none" else (v_dists,)
 
     def _one(tail):
         return tail[0] if tail else None

@@ -173,7 +173,9 @@ def match_survey_sharded(
     bilinear: bool = False,
     t_dists=None,  # (T, 8) canonical distortion vectors (ops/distortion.py)
     v_dists=None,  # (V, 8)
-    dist_model: str = "none",
+    # static tag, or a per-camera (target_tag, view_tag) tuple for mixed
+    # rigs (see ops.matching._split_tags)
+    dist_model: str | tuple[str, str] = "none",
 ) -> DenseObs:
     """The survey matching stage partitioned over the mesh: view stacks
     shard over the 'view' axis (each chip matches ITS views — every
@@ -220,16 +222,21 @@ def match_survey_sharded(
     t_intrs, t_Rs, t_ts = (
         jax.device_put(x, repl) for x in (t_intrs, t_Rs, t_ts)
     )
-    if dist_model != "none":
-        # distortion vectors shard exactly like the intrinsics they extend
+    from sucre_tpu.ops.matching import _split_tags
+
+    tag1, tag2 = _split_tags(dist_model)
+    # distortion vectors shard exactly like the intrinsics they extend;
+    # each side rides only when that side's camera is distorted
+    if tag2 != "none":
         v_dists = jax.device_put(padv(v_dists), view_axis(v_dists))
+    if tag1 != "none":
         t_dists = jax.device_put(t_dists, repl)
     W = t_depths.shape[2]
     return match_survey(
         t_depths, t_intrs, t_Rs, t_ts, *v_arrays,
         jnp.float32(min_cover), compact=compact, bilinear=bilinear,
-        t_dists=None if dist_model == "none" else t_dists,
-        v_dists=None if dist_model == "none" else v_dists,
+        t_dists=None if tag1 == "none" else t_dists,
+        v_dists=None if tag2 == "none" else v_dists,
         dist_model=dist_model,
         # the UNPADDED pixel count: padded rows have no valid matches but
         # would otherwise inflate the min-cover denominator, silently

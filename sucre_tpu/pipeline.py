@@ -222,13 +222,20 @@ class DeviceViews:
 
     def __init__(self, image_list: list[View], cache: ViewCache, match_chunk: int = 8):
         self.match_chunk = match_chunk
-        by_dims: dict[tuple[int, int], list[View]] = {}
+        from sucre_tpu.ops.distortion import resolve_dist_model, stack_class
+
+        # Buckets split by dims AND stack class: fisheye cameras cannot
+        # share a stacked program with pinhole/rational ones (the zero-
+        # parameter fisheye map is not the identity), so a mixed rig
+        # yields separate stacks that each match every target via
+        # per-camera tags (ops.distortion.pair_tag).
+        by_dims: dict[tuple, list[View]] = {}
         for v in image_list:
-            by_dims.setdefault((v.width, v.height), []).append(v)
-        from sucre_tpu.ops.distortion import resolve_dist_model
+            key = (v.width, v.height, stack_class(v.dist_model))
+            by_dims.setdefault(key, []).append(v)
 
         self.buckets: list[dict] = []
-        for (w2, h2), views in by_dims.items():
+        for (w2, h2, _cls), views in by_dims.items():
             arrays = [cache.get(v) for v in views]
             dist_model = resolve_dist_model(v.dist_model for v in views)
             self.buckets.append(
@@ -404,10 +411,14 @@ def compute_matches(
         Wp = max(W1, max(r[3] for r in view_rects.values()))
         d1p = jnp.pad(d1, [(0, Hp - H1), (0, Wp - W1)])
 
-    # Bucket by camera dims so each dense stack has uniform static shapes.
-    buckets: dict[tuple[int, int], list[View]] = {}
+    # Bucket by camera dims (uniform static shapes per stack) and stack
+    # class (fisheye views cannot stack with pinhole/rational ones; mixed
+    # rigs match via per-camera tags, see ops.distortion.pair_tag).
+    from sucre_tpu.ops.distortion import stack_class
+
+    buckets: dict[tuple, list[View]] = {}
     for v in image_list:
-        buckets.setdefault((v.width, v.height), []).append(v)
+        buckets.setdefault((v.width, v.height, stack_class(v.dist_model)), []).append(v)
 
     kept_names: list[str] = []
     kept_chunks: list[DenseObs] = []  # device-resident, already min-cover-filtered
@@ -448,14 +459,14 @@ def compute_matches(
             log(f"matched {len(kept_names)} kept / {n} in chunk")
         pending.clear()
 
-    from sucre_tpu.ops.distortion import resolve_dist_model
+    from sucre_tpu.ops.distortion import pair_tag, resolve_dist_model
 
-    for (w2, h2), views in buckets.items():
-        # one static distortion tag per (target, bucket) program
-        dist_model = resolve_dist_model(
-            [target.dist_model] + [v.dist_model for v in views]
-        )
-        t_dist = None if dist_model == "none" else jnp.asarray(target.dist)
+    for (w2, h2, _cls), views in buckets.items():
+        # one static distortion tag per (target, bucket) program; a
+        # (target_tag, view_tag) tuple when the sides' lens models differ
+        v_tag = resolve_dist_model(v.dist_model for v in views)
+        dist_model = pair_tag(target.dist_model, v_tag)
+        t_dist = None if target.dist_model == "none" else jnp.asarray(target.dist)
         if cache is not None:
             stream = ((i, *cache.get(v)) for i, v in enumerate(views))
         elif primed_depths:
@@ -494,7 +505,7 @@ def compute_matches(
                     rect = None  # full grid: the plain path, no pad/slice
             dev, v_dists = _upload_view_chunk(
                 [c[2] for c in chunk], [c[1] for c in chunk], sub, match_chunk,
-                dist_model=dist_model,
+                dist_model=v_tag,
             )
             if rect is not None:
                 r0, r1, c0, c1 = rect
@@ -533,8 +544,8 @@ def _upload_view_chunk(depths, rgbs, sub: list[View], match_chunk: int,
                        dist_model: str = "none"):
     """Stack+pad one chunk of decoded views (keeping raw dtypes) and put it
     on device — a single H2D transfer reused by every target matched
-    against this chunk. Returns (arrays5, dists) with dists None for
-    pure-pinhole programs (``dist_model == "none"``)."""
+    against this chunk. ``dist_model`` is the VIEW-side tag; returns
+    (arrays5, dists) with dists None for pinhole view stacks."""
     n = len(sub)
     pad = match_chunk - n
     d0, r0 = depths[0], rgbs[0]
@@ -582,7 +593,7 @@ def match_targets_shared(
     rectangle of target pixels the chunk's views can reach — and SKIPS
     pairings whose every view is fully culled for that target (per-target
     pair culling the whole-survey keep-mask cannot express)."""
-    from sucre_tpu.ops.distortion import resolve_dist_model
+    from sucre_tpu.ops.distortion import pair_tag, resolve_dist_model
 
     tdev = []
     tdists = []
@@ -599,9 +610,9 @@ def match_targets_shared(
                 jnp.asarray(t.t),
             )
         )
-        # always an array: a pinhole target's zero vector is the exact
-        # identity inside a rational program (used only when the chunk's
-        # resolved tag is not "none")
+        # always an array; consumed only when this target's own camera is
+        # distorted (per-camera tags keep pinhole targets on the exact
+        # pinhole path even over distorted view stacks)
         tdists.append(jnp.asarray(np.asarray(t.dist, np.float32)))
         H1, W1 = depth.shape
         tdims.append((H1, W1))
@@ -613,9 +624,11 @@ def match_targets_shared(
             tpads.append(None)
     areas = [float(t.width * t.height) for t in targets]
 
-    buckets: dict[tuple[int, int], list[View]] = {}
+    from sucre_tpu.ops.distortion import stack_class
+
+    buckets: dict[tuple, list[View]] = {}
     for v in image_list:
-        buckets.setdefault((v.width, v.height), []).append(v)
+        buckets.setdefault((v.width, v.height, stack_class(v.dist_model)), []).append(v)
 
     T = len(targets)
     kept_names: list[list[str]] = [[] for _ in range(T)]
@@ -659,7 +672,7 @@ def match_targets_shared(
         chunk_iter = device_views.chunks
     else:
         def _iter_chunks():
-            for (w2, h2), views in buckets.items():
+            for (w2, h2, _cls), views in buckets.items():
                 vtag = resolve_dist_model(v.dist_model for v in views)
                 stream = ((i, *cache.get(v)) for i, v in enumerate(views))
                 for chunk in batched(stream, match_chunk):
@@ -674,17 +687,14 @@ def match_targets_shared(
     for sub, dev, v_dists, vtag in chunk_iter:
         n = len(sub)
         for ti in range(T):
-            # one static tag per (target, chunk) program; raises early on
-            # incompatible mixes (fisheye with pinhole/rational)
-            tag = resolve_dist_model((targets[ti].dist_model, vtag))
-            vd = v_dists
-            if tag != "none" and vd is None:
-                # pinhole views under a distorted target: zero vectors are
-                # the exact identity inside the rational program
-                vd = jnp.zeros((dev[0].shape[0], 8), jnp.float32)
+            # one static tag per (target, chunk) program; per-camera
+            # (target_tag, view_tag) tuple when the sides' models differ
+            # (mixed rigs — e.g. a fisheye target over pinhole views)
+            t_tag_i = targets[ti].dist_model
+            tag = pair_tag(t_tag_i, vtag)
             dist_kw = dict(
-                t_dist=tdists[ti] if tag != "none" else None,
-                v_dists=vd, dist_model=tag,
+                t_dist=tdists[ti] if t_tag_i != "none" else None,
+                v_dists=v_dists, dist_model=tag,
             )
             rect = None
             if view_rects is not None:
@@ -1308,12 +1318,14 @@ def dispatch_survey_batch(
             from sucre_tpu.ops.matching import match_survey
 
             b = device_views.buckets[0]
-            # one static tag for the whole survey program (raises early on
-            # fisheye/pinhole mixes — bucket such surveys by camera)
-            survey_tag = resolve_dist_model((t_tag, b["dist_model"]))
+            # one static tag for the whole survey program; a per-camera
+            # (target_tag, view_tag) tuple when the sides' models differ
+            # (each side's vector stack rides only when that side is
+            # distorted — match_survey gates the extras per side)
+            from sucre_tpu.ops.distortion import pair_tag
+
+            survey_tag = pair_tag(t_tag, b["dist_model"])
             v_dists = b["dists"]
-            if survey_tag != "none" and v_dists is None:
-                v_dists = jnp.zeros((b["intrs"].shape[0], 8), jnp.float32)
             arrays = (b["depths"], b["rgbs"], b["intrs"], b["Rs"], b["ts"])
             if v_dists is not None:
                 arrays = arrays + (v_dists,)
@@ -1336,12 +1348,8 @@ def dispatch_survey_batch(
                 )
             v_dists = arrays[5] if len(arrays) > 5 else None
             arrays = arrays[:5]
-            st_dists = t_dists_dev
-            if survey_tag != "none" and st_dists is None:
-                # pinhole targets inside a rational program: exact identity
-                st_dists = jnp.zeros((len(targets), 8), jnp.float32)
             dist_kw = dict(
-                t_dists=st_dists, v_dists=v_dists, dist_model=survey_tag,
+                t_dists=t_dists_dev, v_dists=v_dists, dist_model=survey_tag,
             )
             t_Rs_dev = jnp.asarray(np.stack([t.R for t in targets]).astype(np.float32))
             t_ts_dev = jnp.asarray(np.stack([t.t for t in targets]).astype(np.float32))
@@ -1734,7 +1742,13 @@ def restore_survey(
     if device_views is None:
         device_views = DeviceViews(image_list, cache, cfg.match_chunk)
 
-    groups: dict[tuple[int, int], list[str]] = {}
+    from sucre_tpu.ops.distortion import stack_class
+
+    # Target batches group by camera dimensions AND stack class: a batch's
+    # targets share one stacked program, and fisheye targets cannot stack
+    # with pinhole/rational ones (mixed rigs restore as separate batches
+    # over the same resident view stacks).
+    groups: dict[tuple, list[str]] = {}
     # Order-preserving dedup: a name listed twice restores once (identical
     # artifacts either way; duplicates in one batch would collide on the
     # shared .h5 cache) — the result list below still mirrors the input.
@@ -1744,7 +1758,7 @@ def restore_survey(
         if v.name in seen:
             continue
         seen.add(v.name)
-        groups.setdefault((v.width, v.height), []).append(name)
+        groups.setdefault((v.width, v.height, stack_class(v.dist_model)), []).append(name)
     batches: list[list[str]] = []
     for names in groups.values():
         batches.extend(batched(_spatial_order(scene, names), batch_targets))

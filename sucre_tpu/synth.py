@@ -112,6 +112,7 @@ def make_scene(
     spread: float = 1.2,
     camera_model: str = "PINHOLE",
     dist_coeffs: tuple | None = None,
+    camera_model2: str | None = None,
 ) -> SyntheticScene:
     """Cameras at z=0 looking down +z at the tilted plane Z = plane_z +
     slope*X, small x/y camera offsets.
@@ -127,6 +128,10 @@ def make_scene(
     ops/distortion.py, so depth maps, images, and the COLMAP model are
     mutually consistent exactly like a real distorted survey).
     ``dist_coeffs`` overrides the per-model default coefficients.
+    ``camera_model2`` gives every odd view a SECOND camera with a
+    different lens model (same dimensions unless ``two_cameras`` also
+    shrinks them) — a mixed rig, e.g. a fisheye navigation camera and a
+    pinhole documentation camera in one COLMAP reconstruction.
     """
     model_dir = tmp_path / "model"
     image_dir = tmp_path / "images"
@@ -154,21 +159,30 @@ def make_scene(
             params=_colmap_params(camera_model, fx, fy, cx, cy, coeffs),
         )
     }
-    if two_cameras:
-        # a second rig with different dimensions (exercises the per-dims
-        # bucketing of the matching stage)
-        w2, h2 = (3 * width) // 4, (3 * height) // 4
+    if two_cameras or camera_model2:
+        # a second rig: different dimensions under ``two_cameras``
+        # (exercises the per-dims bucketing of the matching stage) and/or
+        # a different lens model under ``camera_model2`` (exercises the
+        # per-stack-class bucketing + per-camera-tag matching of mixed rigs)
+        model2 = camera_model2 or camera_model
+        if two_cameras:
+            w2, h2 = (3 * width) // 4, (3 * height) // 4
+        else:
+            w2, h2 = width, height
+        coeffs2 = coeffs if model2 == camera_model else tuple(
+            _DIST_DEFAULTS[model2] if model2 != "PINHOLE" else ()
+        )
         cameras[2] = colmap_io.ColmapCamera(
             camera_id=2,
-            model=camera_model,
+            model=model2,
             width=w2,
             height=h2,
             params=_colmap_params(
-                camera_model, 0.8 * w2, 0.8 * w2, w2 / 2.0, h2 / 2.0, coeffs
+                model2, 0.8 * w2, 0.8 * w2, w2 / 2.0, h2 / 2.0, coeffs2
             ),
         )
-    # Canonical distortion per camera (tag shared; vector may differ only
-    # in principle — here all cameras share the coefficient set).
+    # Canonical distortion of camera 1 (recorded on the returned scene;
+    # the render below re-derives the tag/vector PER CAMERA).
     dist_tag, dist_vec, *_ = distortion_ops.colmap_to_canonical(
         camera_model, cameras[1].params
     )
@@ -193,10 +207,10 @@ def make_scene(
         image_id = i + 1
         name = f"img_{i:03d}.{'jpg' if jpeg else 'png'}"
         names.append(name)
-        cam_id = 2 if (two_cameras and i % 2 == 1) else 1
+        cam_id = 2 if (2 in cameras and i % 2 == 1) else 1
         cam = cameras[cam_id]
         vw, vh = cam.width, cam.height
-        _, _, vfx, vfy, vcx, vcy = distortion_ops.colmap_to_canonical(
+        vtag, vvec, vfx, vfy, vcx, vcy = distortion_ops.colmap_to_canonical(
             cam.model, cam.params
         )
         R_cw = np.eye(3)
@@ -222,11 +236,11 @@ def make_scene(
         uuv, vvv = np.meshgrid(np.arange(vw), np.arange(vh))
         xr = (uuv + 0.5 - vcx) / vfx
         yr = (vvv + 0.5 - vcy) / vfy
-        if dist_tag != "none":
+        if vtag != "none":
             # the recorded pixel grid is DISTORTED: bend each pixel's ray
-            # through the lens model before intersecting the plane
+            # through THIS camera's lens model before intersecting the plane
             xr, yr = distortion_ops.undistort(
-                dist_tag, dist_vec.astype(np.float64), xr, yr, xp=np
+                vtag, vvec.astype(np.float64), xr, yr, xp=np
             )
             bad = ~np.isfinite(xr)
             xr = np.where(bad, 0.0, xr)
