@@ -3,9 +3,10 @@
 The reference hard-asserts PINHOLE (`sfm.py:192`) and tells users to run
 COLMAP's image undistorter first (`sucre.py:270` "undistorted COLMAP
 model directory"). This module removes that pre-processing step: surveys
-reconstructed with SIMPLE_RADIAL / RADIAL / OPENCV / FULL_OPENCV /
-OPENCV_FISHEYE cameras restore directly, with the distortion folded into
-the matching geometry.
+reconstructed with ANY COLMAP camera model — SIMPLE_RADIAL / RADIAL /
+OPENCV / FULL_OPENCV / OPENCV_FISHEYE / SIMPLE_RADIAL_FISHEYE /
+RADIAL_FISHEYE / FOV / THIN_PRISM_FISHEYE — restore directly, with the
+distortion folded into the matching geometry.
 
 TPU-first rationale: matching is bound by the gather engine (~10
 cycles/row, see BASELINE.md) and ALL elementwise reprojection math hides
@@ -13,13 +14,20 @@ behind it — so an inline fixed-point/Newton undistortion (~60 VPU
 ops/pixel) is effectively free. No per-camera LUT (that would add a
 second gather on the bound resource), no dynamic shapes, no host work.
 
-Two canonical models (static tags, one compiled program per tag):
+Four canonical models (static tags, one compiled program per tag):
   - ``"rational"`` — the OpenCV rational polynomial in normalized
     coordinates, parameter vector ``(k1, k2, p1, p2, k3, k4, k5, k6)``
     (cv2 distCoeffs order, so parity tests pass vectors verbatim).
     SIMPLE_RADIAL / RADIAL / OPENCV / FULL_OPENCV all embed into it.
   - ``"fisheye"`` — the OpenCV/COLMAP equidistant fisheye model,
-    parameters ``(k1, k2, k3, k4, 0, 0, 0, 0)``.
+    parameters ``(k1, k2, k3, k4, 0, 0, 0, 0)``; SIMPLE_RADIAL_FISHEYE
+    and RADIAL_FISHEYE embed into it (fewer polynomial terms).
+  - ``"fov"`` — the Devernay-Faugeras FOV model (COLMAP FOV), one
+    parameter ``(omega, 0, ...)``; its inverse is CLOSED FORM.
+  - ``"thin_prism_fisheye"`` — COLMAP's THIN_PRISM_FISHEYE: equidistant
+    angle mapping composed with an r^8 radial + tangential + thin-prism
+    polynomial, parameters ``(k1, k2, p1, p2, k3, k4, sx1, sy1)``
+    (COLMAP's own order).
   - ``"none"`` — the exact pinhole path (callers skip this module).
 
 Inversion is iterative (fixed point for rational, Newton for fisheye) and
@@ -41,7 +49,7 @@ DIST_PARAMS = 8
 
 # Static model tags. "none" is handled by callers (exact pinhole path);
 # passing it to distort/undistort is an error by design.
-DIST_MODELS = ("none", "rational", "fisheye")
+DIST_MODELS = ("none", "rational", "fisheye", "fov", "thin_prism_fisheye")
 
 # Reject an inversion whose forward-distortion roundtrip misses by more
 # than this (normalized units; ~0.5 px at f=500). Interior pixels of
@@ -60,10 +68,10 @@ _NEWTON_ITERS = 15
 
 
 def _check_model(model: str) -> None:
-    if model not in ("rational", "fisheye"):
+    if model == "none" or model not in DIST_MODELS:
         raise ValueError(
-            f"unknown distortion model {model!r} (expected 'rational' or "
-            f"'fisheye'; 'none' must be handled by the caller)"
+            f"unknown distortion model {model!r} (expected one of "
+            f"{DIST_MODELS[1:]}; 'none' must be handled by the caller)"
         )
 
 
@@ -90,6 +98,50 @@ def _distort_fisheye(xp, dist, x, y):
     return x * scale, y * scale
 
 
+def _distort_fov(xp, dist, x, y):
+    # Devernay-Faugeras FOV model (COLMAP FOVCameraModel): one parameter
+    # omega; rd = atan(2 r tan(omega/2)) / omega. Branch-free guards for
+    # the r -> 0 limit (2 tan(omega/2)/omega) and omega -> 0 (identity).
+    omega = dist[..., 0]
+    r = xp.sqrt(x * x + y * y)
+    small_w = xp.abs(omega) < 1e-8
+    safe_w = xp.where(small_w, 1.0, omega)
+    tan_half = xp.tan(0.5 * safe_w)
+    small_r = r < 1e-9
+    safe_r = xp.where(small_r, 1.0, r)
+    factor = xp.arctan(2.0 * safe_r * tan_half) / (safe_r * safe_w)
+    factor = xp.where(small_r, 2.0 * tan_half / safe_w, factor)
+    factor = xp.where(small_w, xp.ones_like(factor), factor)
+    return x * factor, y * factor
+
+
+def _tpf_poly(xp, dist, uu, vv):
+    # The polynomial half of COLMAP's ThinPrismFisheye model: radial to
+    # r^8 + tangential + thin-prism offsets ON THE THETA-SCALED coords.
+    k1, k2, p1, p2, k3, k4, sx1, sy1 = (dist[..., i] for i in range(8))
+    u2 = uu * uu
+    v2 = vv * vv
+    uv = uu * vv
+    r2 = u2 + v2
+    radial = r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
+    du = uu * radial + 2.0 * p1 * uv + p2 * (r2 + 2.0 * u2) + sx1 * r2
+    dv = vv * radial + p1 * (r2 + 2.0 * v2) + 2.0 * p2 * uv + sy1 * r2
+    return du, dv
+
+
+def _distort_tpf(xp, dist, x, y):
+    # COLMAP THIN_PRISM_FISHEYE: equidistant angle mapping first
+    # (uu = theta * x / r), then the thin-prism polynomial on (uu, vv).
+    r2 = x * x + y * y
+    r = xp.sqrt(r2)
+    theta = xp.arctan(r)
+    scale = xp.where(r > 1e-9, theta / xp.where(r > 1e-9, r, 1.0), 1.0)
+    uu = x * scale
+    vv = y * scale
+    du, dv = _tpf_poly(xp, dist, uu, vv)
+    return uu + du, vv + dv
+
+
 def distort(model: str, dist, x, y, xp=np):
     """Normalized undistorted coords -> distorted coords (closed form).
 
@@ -99,6 +151,10 @@ def distort(model: str, dist, x, y, xp=np):
     _check_model(model)
     if model == "rational":
         return _distort_rational(xp, dist, x, y)
+    if model == "fov":
+        return _distort_fov(xp, dist, x, y)
+    if model == "thin_prism_fisheye":
+        return _distort_tpf(xp, dist, x, y)
     return _distort_fisheye(xp, dist, x, y)
 
 
@@ -141,8 +197,44 @@ def _undistort_fisheye(xp, dist, xd, yd, iters):
     return xd * scale, yd * scale
 
 
+def _undistort_fov(xp, dist, xd, yd):
+    # CLOSED-FORM inverse (the FOV model's selling point): ru = tan(rd *
+    # omega) / (2 tan(omega/2)). Out-of-domain pixels (rd*omega beyond
+    # pi/2) produce garbage tan values that fail the roundtrip check.
+    omega = dist[..., 0]
+    rd = xp.sqrt(xd * xd + yd * yd)
+    small_w = xp.abs(omega) < 1e-8
+    safe_w = xp.where(small_w, 1.0, omega)
+    tan_half = xp.tan(0.5 * safe_w)
+    small_r = rd < 1e-9
+    safe_rd = xp.where(small_r, 1.0, rd)
+    factor = xp.tan(safe_rd * safe_w) / (2.0 * tan_half * safe_rd)
+    factor = xp.where(small_r, safe_w / (2.0 * tan_half), factor)
+    factor = xp.where(small_w, xp.ones_like(factor), factor)
+    return xd * factor, yd * factor
+
+
+def _undistort_tpf(xp, dist, xd, yd, iters):
+    # Fixed point on the additive polynomial (uu = xd - poly(uu, vv)),
+    # then the exact equidistant inverse (r = tan(theta)).
+    uu, vv = xd, yd
+    for _ in range(iters):
+        du, dv = _tpf_poly(xp, dist, uu, vv)
+        uu = xd - du
+        vv = yd - dv
+    theta = xp.sqrt(uu * uu + vv * vv)
+    # theta is an ANGLE here; clamp inside (0, pi/2) like the fisheye
+    # Newton — beyond-hemisphere pixels land on the clamp and fail the
+    # roundtrip check below.
+    theta_c = xp.minimum(theta, 1.55)
+    r = xp.tan(theta_c)
+    scale = xp.where(theta > 1e-9, r / xp.where(theta > 1e-9, theta, 1.0), 1.0)
+    return uu * scale, vv * scale
+
+
 def undistort(model: str, dist, xd, yd, xp=np, iters: int | None = None):
-    """Normalized distorted coords -> undistorted coords (iterative).
+    """Normalized distorted coords -> undistorted coords (iterative,
+    except the FOV model whose inverse is closed form).
 
     Non-converged pixels (outside the lens model's invertible domain)
     come back NaN — callers' finite/bounds masks reject them (see module
@@ -152,6 +244,10 @@ def undistort(model: str, dist, xd, yd, xp=np, iters: int | None = None):
     _check_model(model)
     if model == "rational":
         x, y = _undistort_rational(xp, dist, xd, yd, iters or _FIXED_POINT_ITERS)
+    elif model == "fov":
+        x, y = _undistort_fov(xp, dist, xd, yd)
+    elif model == "thin_prism_fisheye":
+        x, y = _undistort_tpf(xp, dist, xd, yd, iters or _FIXED_POINT_ITERS)
     else:
         x, y = _undistort_fisheye(xp, dist, xd, yd, iters or _NEWTON_ITERS)
     xr, yr = distort(model, dist, x, y, xp=xp)
@@ -238,20 +334,24 @@ def resolve_dist_model(models) -> str:
         return "none"
     if non_none == {"rational"}:
         return "rational"
-    if models == {"fisheye"}:
-        return "fisheye"
+    if len(models) == 1:
+        (tag,) = models
+        return tag
     raise ValueError(
-        "views mix incompatible distortion models (fisheye cameras cannot "
-        f"share a stack with pinhole/rational ones); got {sorted(models)}. "
-        "Bucket views into fisheye and non-fisheye stacks first."
+        "views mix incompatible distortion models (only pinhole embeds in "
+        f"a rational stack; every other tag stacks only with itself); got "
+        f"{sorted(models)}. Bucket views by ops.distortion.stack_class "
+        "first."
     )
 
 
 def stack_class(tag: str) -> str:
-    """Which stack a camera can join: fisheye cameras stack only with
-    each other; "none"/"rational" embed together (see resolve_dist_model).
-    Pipeline bucket keys include this class so one survey may carry both."""
-    return "fisheye" if tag == "fisheye" else "std"
+    """Which stack a camera can join: "none"/"rational" embed together
+    (the zero vector is the exact rational identity, see
+    resolve_dist_model); every other lens family stacks only with itself
+    (its zero-parameter map is not the identity). Pipeline bucket keys
+    include this class so one survey may carry several lens families."""
+    return "std" if tag in ("none", "rational") else tag
 
 
 def pair_tag(t_tag: str, v_tag: str):
@@ -276,6 +376,10 @@ COLMAP_DISTORTED_MODELS = (
     "OPENCV",
     "FULL_OPENCV",
     "OPENCV_FISHEYE",
+    "FOV",
+    "SIMPLE_RADIAL_FISHEYE",
+    "RADIAL_FISHEYE",
+    "THIN_PRISM_FISHEYE",
 )
 
 
@@ -312,6 +416,25 @@ def colmap_to_canonical(model_name: str, params) -> tuple[str, np.ndarray, float
         fx, fy, cx, cy, k1, k2, k3, k4 = p
         d[:4] = (k1, k2, k3, k4)
         return "fisheye", d, fx, fy, cx, cy
+    if model_name == "SIMPLE_RADIAL_FISHEYE":
+        # equidistant with one polynomial term: theta_d = theta (1 + k th^2)
+        f, cx, cy, k = p
+        d[0] = k
+        return "fisheye", d, f, f, cx, cy
+    if model_name == "RADIAL_FISHEYE":
+        f, cx, cy, k1, k2 = p
+        d[0], d[1] = k1, k2
+        return "fisheye", d, f, f, cx, cy
+    if model_name == "FOV":
+        fx, fy, cx, cy, omega = p
+        d[0] = omega
+        return "fov", d, fx, fy, cx, cy
+    if model_name == "THIN_PRISM_FISHEYE":
+        # canonical layout keeps COLMAP's own order:
+        # (k1, k2, p1, p2, k3, k4, sx1, sy1) — exactly 8 slots
+        fx, fy, cx, cy = p[:4]
+        d[:] = p[4:]
+        return "thin_prism_fisheye", d, fx, fy, cx, cy
     raise ValueError(
         f"camera model {model_name!r} is not supported (supported: "
         f"PINHOLE, SIMPLE_PINHOLE, {', '.join(COLMAP_DISTORTED_MODELS)})"

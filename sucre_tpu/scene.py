@@ -60,9 +60,10 @@ class View:
     t: np.ndarray  # (3,) float32, cam->world
     # Lens distortion: canonical (8,) vector + static model tag (see
     # ops/distortion.py). "none" = exact pinhole path (reference parity);
-    # "rational"/"fisheye" fold COLMAP's distorted camera models into the
-    # matching geometry (capability beyond the reference, which asserts
-    # PINHOLE at sfm.py:192).
+    # "rational"/"fisheye"/"fov"/"thin_prism_fisheye" fold ALL of
+    # COLMAP's distorted camera models into the matching geometry
+    # (capability beyond the reference, which asserts PINHOLE at
+    # sfm.py:192).
     dist: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(DIST_PARAMS, np.float32)
     )

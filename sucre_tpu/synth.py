@@ -27,17 +27,27 @@ _DIST_DEFAULTS = {
     "OPENCV": (-0.2, 0.05, 8e-4, -6e-4),
     "FULL_OPENCV": (-0.2, 0.05, 8e-4, -6e-4, 0.01, -0.05, 0.011, -0.002),
     "OPENCV_FISHEYE": (-0.04, 0.01, -0.005, 0.001),
+    "SIMPLE_RADIAL_FISHEYE": (-0.04,),
+    "RADIAL_FISHEYE": (-0.04, 0.01),
+    "FOV": (0.9,),
+    "THIN_PRISM_FISHEYE": (
+        -0.03, 0.008, 6e-4, -4e-4, -0.002, 5e-4, 8e-4, -5e-4,
+    ),
 }
+
+_SINGLE_FOCAL = ("SIMPLE_RADIAL", "RADIAL", "SIMPLE_RADIAL_FISHEYE",
+                 "RADIAL_FISHEYE")
 
 
 def _colmap_params(model: str, fx, fy, cx, cy, coeffs) -> np.ndarray:
     """Assemble a COLMAP params vector for the given camera model."""
     if model == "PINHOLE":
         return np.array([fx, fy, cx, cy], np.float64)
-    if model in ("SIMPLE_RADIAL", "RADIAL"):
+    if model in _SINGLE_FOCAL:
         assert fx == fy, f"{model} has a single focal length"
         return np.array([fx, cx, cy, *coeffs], np.float64)
-    if model in ("OPENCV", "FULL_OPENCV", "OPENCV_FISHEYE"):
+    if model in ("OPENCV", "FULL_OPENCV", "OPENCV_FISHEYE", "FOV",
+                 "THIN_PRISM_FISHEYE"):
         return np.array([fx, fy, cx, cy, *coeffs], np.float64)
     raise ValueError(f"unsupported synthetic camera model {model!r}")
 

@@ -11,10 +11,11 @@ problem at once:
       [--image-scale S] [--deep] [--num-workers N] [--json out.json]
 
 Checks (fast mode reads file headers only; ``--deep`` fully decodes):
-  - COLMAP model parses; camera models are supported (PINHOLE /
-    SIMPLE_PINHOLE, or the natively-handled distorted models
-    SIMPLE_RADIAL/RADIAL/OPENCV/FULL_OPENCV/OPENCV_FISHEYE — INFO);
-    intrinsics/poses are finite.
+  - COLMAP model parses; camera models are supported (ALL 11 COLMAP
+    models: PINHOLE / SIMPLE_PINHOLE, plus the natively-handled
+    distorted ones — SIMPLE_RADIAL, RADIAL, OPENCV, FULL_OPENCV,
+    OPENCV_FISHEYE, SIMPLE_RADIAL_FISHEYE, RADIAL_FISHEYE, FOV,
+    THIN_PRISM_FISHEYE — INFO); intrinsics/poses are finite.
   - Duplicate image names (name-keyed lookups would silently collide).
   - Every registered image has an existing, decodable RGB file and
     ``depth_<stem>.png`` depth map.

@@ -83,15 +83,22 @@ def test_roundtrip(tmp_path, fmt):
 
 
 def test_unsupported_camera_model_rejected(tmp_path):
-    """Models outside the supported set (pinhole + the natively-handled
-    distorted ones) fail ingest with an actionable message. SIMPLE_RADIAL
-    et al. are ACCEPTED since round 3 (ops/distortion.py)."""
+    """ALL 11 real COLMAP camera models are accepted since round 3
+    (ops/distortion.py), so format-level rejection is the only rejection
+    left: a model name outside COLMAP's table fails the parse with an
+    actionable message, and colmap_to_canonical (reachable through
+    Scene.from_model_dicts with user-built dicts) rejects unknown names
+    too."""
     cameras = {1: cio.ColmapCamera(
-        1, "FOV", 640, 480, np.array([500.0, 500.0, 320.0, 240.0, 0.9]))}
+        1, "NOT_A_MODEL", 640, 480, np.array([500.0, 320.0, 240.0]))}
     cio.write_cameras_txt(cameras, tmp_path / "cameras.txt")
     cio.write_images_txt({}, tmp_path / "images.txt")
-    with pytest.raises(ValueError, match="not supported"):
+    with pytest.raises(ValueError, match="Unknown COLMAP camera model"):
         Scene.from_colmap(tmp_path, tmp_path, tmp_path)
+
+    from sucre_tpu.ops.distortion import colmap_to_canonical
+    with pytest.raises(ValueError, match="not supported"):
+        colmap_to_canonical("NOT_A_MODEL", [500.0, 320.0, 240.0])
 
 
 def test_distorted_models_ingest(tmp_path):

@@ -157,5 +157,127 @@ def test_colmap_to_canonical_embeddings():
     tag, d, *_ = D.colmap_to_canonical(
         "OPENCV_FISHEYE", [500, 510, 320, 240, -0.04, 0.01, -0.005, 0.001])
     assert tag == "fisheye" and d[3] == np.float32(0.001) and (d[4:] == 0).all()
+    tag, d, fx, fy, *_ = D.colmap_to_canonical(
+        "SIMPLE_RADIAL_FISHEYE", [450, 320, 240, -0.04])
+    assert tag == "fisheye" and fx == fy == 450
+    assert d[0] == np.float32(-0.04) and (d[1:] == 0).all()
+    tag, d, *_ = D.colmap_to_canonical("RADIAL_FISHEYE", [450, 320, 240, -0.04, 0.01])
+    assert tag == "fisheye" and tuple(d[:2]) == (np.float32(-0.04), np.float32(0.01))
+    tag, d, fx, fy, *_ = D.colmap_to_canonical("FOV", [500, 510, 320, 240, 0.9])
+    assert tag == "fov" and d[0] == np.float32(0.9) and (d[1:] == 0).all()
+    assert (fx, fy) == (500, 510)
+    tag, d, *_ = D.colmap_to_canonical(
+        "THIN_PRISM_FISHEYE",
+        [500, 510, 320, 240, -0.03, 0.008, 6e-4, -4e-4, -0.002, 5e-4, 8e-4, -5e-4])
+    assert tag == "thin_prism_fisheye"
+    np.testing.assert_allclose(
+        d, np.float32([-0.03, 0.008, 6e-4, -4e-4, -0.002, 5e-4, 8e-4, -5e-4]))
     with pytest.raises(ValueError, match="not supported"):
-        D.colmap_to_canonical("FOV", [500, 320, 240, 0.9])
+        D.colmap_to_canonical("NOT_A_MODEL", [500, 320, 240, 0.9])
+
+
+# --- FOV and THIN_PRISM_FISHEYE (no cv2 analog: the oracle is COLMAP's
+# documented math, written out independently below in straight-line f64) --
+
+FOV_W = np.array([0.9, 0, 0, 0, 0, 0, 0, 0], np.float64)
+TPF_8 = np.array([-0.03, 0.008, 6e-4, -4e-4, -0.002, 5e-4, 8e-4, -5e-4],
+                 np.float64)
+
+
+def _fov_forward_oracle(omega, x, y):
+    # Devernay-Faugeras: rd = atan(2 ru tan(omega/2)) / omega, per
+    # COLMAP's FOVCameraModel::Distortion.
+    ru = np.sqrt(x * x + y * y)
+    factor = np.arctan(2.0 * ru * np.tan(omega / 2.0)) / (ru * omega)
+    return x * factor, y * factor
+
+
+def _tpf_forward_oracle(d, x, y):
+    # COLMAP ThinPrismFisheyeCameraModel::WorldToImage: equidistant angle
+    # mapping, then radial(r^8) + tangential + thin prism on the
+    # theta-scaled coordinates.
+    k1, k2, p1, p2, k3, k4, sx1, sy1 = d
+    r = np.sqrt(x * x + y * y)
+    theta = np.arctan(r)
+    uu = theta * x / r
+    vv = theta * y / r
+    r2 = uu * uu + vv * vv
+    radial = k1 * r2 + k2 * r2**2 + k3 * r2**3 + k4 * r2**4
+    du = uu * radial + 2 * p1 * uu * vv + p2 * (r2 + 2 * uu * uu) + sx1 * r2
+    dv = vv * radial + p1 * (r2 + 2 * vv * vv) + 2 * p2 * uu * vv + sy1 * r2
+    return uu + du, vv + dv
+
+
+def test_fov_forward_matches_colmap_formula():
+    x, y = _norm_grid(rmax=1.2)
+    keep = x * x + y * y > 1e-18  # the oracle divides by r; our r -> 0
+    x, y = x[keep], y[keep]       # guard is covered by the roundtrips
+    xd, yd = D.distort("fov", FOV_W, x, y, xp=np)
+    xo, yo = _fov_forward_oracle(0.9, x, y)
+    np.testing.assert_allclose(xd, xo, rtol=0, atol=1e-14)
+    np.testing.assert_allclose(yd, yo, rtol=0, atol=1e-14)
+
+
+def test_tpf_forward_matches_colmap_formula():
+    x, y = _norm_grid(rmax=1.2)
+    keep = x * x + y * y > 1e-18
+    x, y = x[keep], y[keep]
+    xd, yd = D.distort("thin_prism_fisheye", TPF_8, x, y, xp=np)
+    xo, yo = _tpf_forward_oracle(TPF_8, x, y)
+    np.testing.assert_allclose(xd, xo, rtol=0, atol=1e-14)
+    np.testing.assert_allclose(yd, yo, rtol=0, atol=1e-14)
+
+
+def test_fov_inverse_is_closed_form_exact():
+    """The FOV inverse is analytic — the f64 roundtrip hits machine
+    epsilon, not an iteration tolerance."""
+    x, y = _norm_grid(rmax=1.2)
+    xd, yd = D.distort("fov", FOV_W, x, y, xp=np)
+    xu, yu = D.undistort("fov", FOV_W, xd, yd, xp=np)
+    np.testing.assert_allclose(xu, x, rtol=0, atol=1e-13)
+    np.testing.assert_allclose(yu, y, rtol=0, atol=1e-13)
+
+
+def test_tpf_undistort_inverts_forward():
+    x, y = _norm_grid(rmax=1.0)
+    xd, yd = D.distort("thin_prism_fisheye", TPF_8, x, y, xp=np)
+    xu, yu = D.undistort("thin_prism_fisheye", TPF_8, xd, yd, xp=np)
+    assert np.isfinite(xu).all(), "interior pixels must invert"
+    np.testing.assert_allclose(xu, x, rtol=0, atol=1e-10)
+    np.testing.assert_allclose(yu, y, rtol=0, atol=1e-10)
+
+
+@pytest.mark.parametrize(
+    "model,dist", [("fov", FOV_W), ("thin_prism_fisheye", TPF_8)],
+    ids=["fov", "tpf"],
+)
+def test_roundtrip_jnp_f32_new_models(model, dist):
+    x, y = _norm_grid(rmax=0.65)
+    d32 = jnp.asarray(dist, jnp.float32)
+
+    @jax.jit
+    def rt(x, y):
+        xd, yd = D.distort(model, d32, x, y, xp=jnp)
+        return D.undistort(model, d32, xd, yd, xp=jnp)
+
+    xu, yu = rt(jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32))
+    np.testing.assert_allclose(np.asarray(xu), x, rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(yu), y, rtol=0, atol=2e-5)
+
+
+def test_fov_out_of_domain_becomes_nan():
+    # rd * omega beyond pi/2 is outside the model's image: tan blows up
+    # and the roundtrip check must poison, not hallucinate.
+    xu, yu = D.undistort("fov", FOV_W, np.array([2.0]), np.array([0.0]), xp=np)
+    assert np.isnan(xu).all() and np.isnan(yu).all()
+
+
+def test_new_tags_stack_rules():
+    assert D.stack_class("fov") == "fov"
+    assert D.stack_class("thin_prism_fisheye") == "thin_prism_fisheye"
+    assert D.resolve_dist_model(["fov", "fov"]) == "fov"
+    assert D.resolve_dist_model(["thin_prism_fisheye"]) == "thin_prism_fisheye"
+    for mix in (["none", "fov"], ["rational", "fov"],
+                ["fov", "fisheye"], ["none", "thin_prism_fisheye"]):
+        with pytest.raises(ValueError, match="stack"):
+            D.resolve_dist_model(mix)

@@ -189,6 +189,56 @@ def test_chunk_driver_accepts_tuple_tags():
         np.testing.assert_array_equal(np.asarray(m.u2[k]), np.asarray(mk.u2))
 
 
+def test_match_survey_sharded_tuple_tag():
+    """The (view x row)-sharded survey program with a per-camera
+    ("none", "fisheye") tuple tag equals the single-device program:
+    pinhole targets over a fisheye view stack, view-side vectors sharding
+    with the intrinsics and NO target-side vectors at all."""
+    import jax
+
+    from sucre_tpu.ops.matching import match_survey
+    from sucre_tpu.parallel import match_survey_sharded
+    from sucre_tpu.parallel.mesh import make_mesh
+
+    W, H, V = 64, 48, 4
+    intr = np.array([0.8 * W, 0.8 * W, W / 2, H / 2], np.float32)
+    rng = np.random.default_rng(3)
+    v_depths, v_ts = [], []
+    for k in range(V):
+        t2 = np.array([0.15 * (k + 1), 0.01 * k, 0.02 * k])
+        zc, _, _ = _fisheye_plane_depth(intr, W, H, t2)
+        v_depths.append(zc.astype(np.float32))
+        v_ts.append(t2.astype(np.float32))
+    t_depths = np.stack(
+        [_pinhole_plane_depth(intr, W, H, np.array([0.05 * i, 0, 0]))[0]
+         for i in range(2)]
+    ).astype(np.float32)
+    eye = np.tile(np.eye(3, dtype=np.float32), (V, 1, 1))
+    t_ts = np.stack([[0.05 * i, 0, 0] for i in range(2)]).astype(np.float32)
+    args = (
+        jnp.asarray(t_depths), jnp.asarray(np.tile(intr, (2, 1))),
+        jnp.asarray(eye[:2]), jnp.asarray(t_ts),
+        jnp.asarray(np.stack(v_depths)),
+        jnp.asarray(rng.integers(0, 255, (V, H, W, 3), dtype=np.uint8)),
+        jnp.asarray(np.tile(intr, (V, 1))), jnp.asarray(eye),
+        jnp.asarray(np.stack(v_ts)),
+    )
+    v_dists = jnp.asarray(np.tile(FISHEYE, (V, 1)))
+    ref = match_survey(*args, jnp.float32(1e-6), compact=True,
+                       v_dists=v_dists, dist_model=("none", "fisheye"))
+    assert int(np.asarray(ref.valid).sum()) > 0
+    out = match_survey_sharded(
+        make_mesh(2, 4), *args, v_dists=v_dists,
+        dist_model=("none", "fisheye"),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.valid[:, :V, :H]), np.asarray(ref.valid))
+    np.testing.assert_allclose(
+        np.asarray(out.z[:, :V, :H]), np.asarray(ref.z), atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(out.I[:, :V, :H]), np.asarray(ref.I))
+
+
 @pytest.fixture(scope="module")
 def mixed_scene(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("mixed_rig")

@@ -25,7 +25,9 @@ def _psnr(a, b, mask):
     return 10 * np.log10(1.0 / mse)
 
 
-@pytest.fixture(scope="module", params=["OPENCV", "OPENCV_FISHEYE"])
+@pytest.fixture(scope="module",
+                params=["OPENCV", "OPENCV_FISHEYE", "FOV",
+                        "THIN_PRISM_FISHEYE"])
 def dist_scene(request, tmp_path_factory):
     tmp = tmp_path_factory.mktemp(f"scene_{request.param}")
     return make_scene(tmp, n_views=5, width=64, height=48,
@@ -110,6 +112,30 @@ def test_fisheye_cannot_mix_with_pinhole(tmp_path):
         resolve_dist_model(["none", "fisheye"])
     with pytest.raises(ValueError, match="fisheye"):
         resolve_dist_model(["rational", "fisheye"])
+
+
+def test_distorted_image_scale_recovers_ground_truth(tmp_path):
+    """--image-scale 0.5 on a DISTORTED survey: the lens model acts on
+    normalized coordinates, so it is invariant to the pixel-grid rescale
+    — only the intrinsics scale. The reference cannot run this at all;
+    the oracle is the downscaled ground-truth texture."""
+    import cv2
+
+    s = make_scene(tmp_path / "scene", n_views=5, width=128, height=96,
+                   camera_model="OPENCV_FISHEYE")
+    scene = Scene.from_colmap(s.model_dir, s.image_dir, s.depth_dir,
+                              image_scale=0.5)
+    res = restore_image(
+        scene, "img_002.png", tmp_path / "out",
+        RestoreConfig(num_iter=200, verbose=False, store="memory"),
+    )
+    assert res.J.shape == (48, 64, 3)
+    J_true = cv2.resize(s.J_views[2].astype(np.float32), (64, 48),
+                        interpolation=cv2.INTER_AREA)
+    valid = res.valid & ~np.isnan(res.J).any(axis=-1)
+    assert valid.mean() > 0.8
+    psnr = _psnr(res.J, J_true, valid)
+    assert psnr > 22.0, f"scaled distorted PSNR {psnr:.2f} dB"
 
 
 def test_distorted_transect_with_culling_quality(tmp_path):

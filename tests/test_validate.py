@@ -102,7 +102,7 @@ def test_image_scale_suppresses_dim_warnings(sd):
     assert not [f for f in findings if f.code in ("rgb-dims", "depth-dims")]
 
 
-def test_bad_camera_does_not_abort(sd):
+def test_bad_camera_does_not_abort(sd, monkeypatch):
     """One unsupported camera (or an image referencing a missing one) is
     a reported finding — the REST of the dataset still gets validated
     (the whole point of pre-flight vs the ingest's raise)."""
@@ -110,9 +110,15 @@ def test_bad_camera_does_not_abort(sd):
 
     from sucre_tpu.io import colmap as cio
 
+    # ALL 11 real COLMAP models are supported since round 3, so the
+    # unsupported-model branch is only reachable for models COLMAP gains
+    # in the future — simulate one by shrinking the supported set.
+    import sucre_tpu.ops.distortion as dist_mod
+    monkeypatch.setattr(
+        dist_mod, "COLMAP_DISTORTED_MODELS",
+        tuple(m for m in dist_mod.COLMAP_DISTORTED_MODELS if m != "FOV"))
+
     cams, imgs, _ = cio.read_model(sd.model_dir)
-    # FOV is NOT among the natively-supported distorted models (those are
-    # accepted with an INFO finding since round 3) — still an ERROR
     cams[99] = cio.ColmapCamera(99, "FOV", 64, 48,
                                 np.array([50.0, 50.0, 32.0, 24.0, 0.9]))
     first = min(imgs)
