@@ -106,8 +106,8 @@ def main() -> None:
 
     out["shape"] = f"4x{V}x{H}x{W}@1it"
     if "PINHOLE" in out:
-        for m in ("OPENCV", "OPENCV_FISHEYE"):
-            if m in out:
+        for m in models:
+            if m != "PINHOLE" and m in out:
                 out[f"{m.lower()}_vs_pinhole"] = round(
                     out[m]["best_s"] / out["PINHOLE"]["best_s"], 3
                 )

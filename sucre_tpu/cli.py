@@ -28,7 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--depth-dir", required=True, type=Path,
                         help="path to depth maps directory.")
     parser.add_argument("--model-dir", required=True, type=Path,
-                        help="path to undistorted COLMAP model directory.")
+                        help="path to COLMAP model directory (any COLMAP "
+                        "camera model, distorted or not — no undistorter "
+                        "pass needed, unlike the reference).")
     parser.add_argument("--output-dir", required=True, type=Path,
                         help="path to output directory.")
     group = parser.add_mutually_exclusive_group(required=True)
