@@ -109,6 +109,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--params-format", choices=["npz", "pt"], default="npz",
                         help="parameter-checkpoint format: native .npz or the "
                              "reference's torch .pt state-dict (interop).")
+    parser.add_argument("--undistort-output", action="store_true",
+                        help="distorted cameras: also write "
+                             "<stem>_rgb_undistorted.png — the restored image "
+                             "resampled onto the ideal pinhole camera (same "
+                             "intrinsics/dims) via the closed-form forward "
+                             "distortion map. The reference-style deliverable "
+                             "without COLMAP's image undistorter; no-op for "
+                             "pinhole targets.")
     parser.add_argument("--cull-tiles", type=int, default=4,
                         help="tile-granular culling: split each target into "
                              "NxN tiles and match each view chunk only "
@@ -280,6 +288,7 @@ def main(argv: list[str] | None = None) -> int:
         joint_params=args.joint_params,
         bilinear_colors=args.bilinear_colors,
         params_format=args.params_format,
+        undistort_output=args.undistort_output,
         checkpoint_interval=args.checkpoint_interval,
         verbose=not args.quiet,
     )

@@ -112,6 +112,12 @@ class RestoreConfig:
     # parameter-checkpoint artifact format: native .npz or the
     # reference's torch .pt state-dict layout (readable by the reference)
     params_format: str = "npz"
+    # Distorted targets: also export <stem>_rgb_undistorted.png — the
+    # restored image resampled onto the ideal pinhole camera (same
+    # intrinsics/dims) via the closed-form forward distortion map
+    # (utils/undistort.py). The reference-style deliverable without
+    # COLMAP's image undistorter; no-op for pinhole targets.
+    undistort_output: bool = False
     verbose: bool = True
 
 
@@ -933,6 +939,7 @@ def restore_image(
                 output_dir, target.name, p, np.asarray(J_snap), valid_snap,
                 target.intrinsics, target_depth, iteration=iteration,
                 dist=target.dist, dist_model=target.dist_model,
+                undistort=cfg.undistort_output,
             )
 
     ckpt_dir = None
@@ -1014,6 +1021,7 @@ def restore_image(
         output_dir, target.name, res.params, J, valid, target.intrinsics,
         target_depth, reconstruction=np.asarray(rec_u8), rgb_plot=np.asarray(rgb_u8),
         dist=target.dist, dist_model=target.dist_model,
+        undistort=cfg.undistort_output,
     )
     params_out = (output_dir / target.name).with_suffix("." + cfg.params_format)
     ckpt.save_params(params_out, res.params, J=J, valid=valid)
@@ -1611,6 +1619,7 @@ def _export_batch(b: BatchInFlight, fetched) -> list[RestoreResult]:
             reconstruction=rec_t,
             rgb_plot=None if rgb_plots is None else rgb_plots[t],
             dist=target.dist, dist_model=target.dist_model,
+            undistort=cfg.undistort_output,
         )
         params_out = (output_dir / target.name).with_suffix("." + cfg.params_format)
         ckpt.save_params(params_out, p_t, J=J_t, valid=valid)

@@ -278,11 +278,16 @@ def save_plots(
     rgb_plot: np.ndarray | None = None,
     dist: np.ndarray | None = None,
     dist_model: str = "none",
+    undistort: bool = False,
 ) -> list[Path]:
     """Write the artifact set with reference-parity filenames
     (sucre.py:115-121). Precomputed ``reconstruction`` / ``rgb_plot``
     arrays (from the batched device export path) skip the per-target
-    render dispatch / host percentile-normalize."""
+    render dispatch / host percentile-normalize. ``undistort`` adds
+    ``<stem>_rgb_undistorted.png`` for distorted cameras — the restored
+    image resampled onto the ideal pinhole grid (same intrinsics/dims;
+    see utils/undistort.py) — the reference-style deliverable without
+    COLMAP's image undistorter; a no-op on pinhole targets."""
     # Mirror the reference's path semantics (sucre.py:116 with_stem):
     # image names with subdirectories keep them, so 'cam0/x.png' and
     # 'cam1/x.png' never overwrite each other's artifacts.
@@ -299,6 +304,16 @@ def save_plots(
     else:
         _write_png(p, np.asarray(plot_J(J, valid)))
     written.append(p)
+
+    if undistort and dist_model != "none":
+        from sucre_tpu.utils.undistort import undistort_image
+
+        J_und, valid_und = undistort_image(
+            np.asarray(J, np.float32), valid, intrinsics, dist, dist_model
+        )
+        p = save_dir / f"{stem}_rgb_undistorted{suffix}.png"
+        _write_png(p, np.asarray(plot_J(J_und, valid_und)))
+        written.append(p)
 
     p = save_dir / f"{stem}_reconstruction{suffix}.png"
     rec = (
