@@ -123,6 +123,7 @@ def make_scene(
     camera_model: str = "PINHOLE",
     dist_coeffs: tuple | None = None,
     camera_model2: str | None = None,
+    n_points3d: int = 0,
 ) -> SyntheticScene:
     """Cameras at z=0 looking down +z at the tilted plane Z = plane_z +
     slope*X, small x/y camera offsets.
@@ -142,6 +143,10 @@ def make_scene(
     different lens model (same dimensions unless ``two_cameras`` also
     shrinks them) — a mixed rig, e.g. a fisheye navigation camera and a
     pinhole documentation camera in one COLMAP reconstruction.
+    ``n_points3d`` additionally populates the sparse map the way COLMAP
+    would: that many plane points become points3D entries with 2D
+    keypoint tracks (``xys`` + ``point3D_ids``) in every image that sees
+    them — the ground truth for the validator's SfM-consistency check.
     """
     model_dir = tmp_path / "model"
     image_dir = tmp_path / "images"
@@ -294,14 +299,77 @@ def make_scene(
         # reference's millimeter 16-bit convention (loader.py:166-170)
         cv2.imwrite(str(depth_dir / f"depth_img_{i:03d}.png"), depth_mm)
 
+    points3d: dict[int, colmap_io.ColmapPoint3D] = {}
+    if n_points3d:
+        # A COLMAP-style sparse map over the same plane: world points with
+        # 2D keypoint tracks in every image that sees them, projected
+        # through each camera's OWN lens model — mutually consistent with
+        # the rendered depth maps by construction (the oracle for the
+        # validator's SfM-consistency check).
+        from sucre_tpu.scene import _qvec_to_rotmat_np
+
+        rngp = np.random.default_rng(12345)
+        Px = rngp.uniform(offsets.min() - 0.8, offsets.max() + 0.8, n_points3d)
+        Py = rngp.uniform(-1.0, 1.0, n_points3d)
+        Pw = np.stack([Px, Py, plane_z + slope * Px], axis=-1)
+        rgb_pts = np.clip(texture(Px, Py) * 255, 0, 255).astype(np.uint8)
+        per_xys: dict[int, list] = {iid: [] for iid in images}
+        per_pid: dict[int, list] = {iid: [] for iid in images}
+        tracks: dict[int, list] = {pid: [] for pid in range(1, n_points3d + 1)}
+        for iid, im in images.items():
+            cam = cameras[im.camera_id]
+            vtag, vvec, vfx, vfy, vcx, vcy = distortion_ops.colmap_to_canonical(
+                cam.model, cam.params
+            )
+            R_wc = _qvec_to_rotmat_np(im.qvec)
+            Pc = Pw @ R_wc.T + np.asarray(im.tvec, np.float64)
+            z = Pc[:, 2]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xn = Pc[:, 0] / z
+                yn = Pc[:, 1] / z
+            if vtag != "none":
+                xd, yd = distortion_ops.distort(
+                    vtag, vvec.astype(np.float64), xn, yn, xp=np
+                )
+            else:
+                xd, yd = xn, yn
+            pu = vfx * xd + vcx  # continuous +0.5-center pixel coords,
+            pv = vfy * yd + vcy  # COLMAP's keypoint convention
+            ok = (
+                (z > 0.1) & np.isfinite(pu) & np.isfinite(pv)
+                & (pu >= 0) & (pu < cam.width) & (pv >= 0) & (pv < cam.height)
+            )
+            for k in np.flatnonzero(ok):
+                tracks[k + 1].append((iid, len(per_pid[iid])))
+                per_xys[iid].append((pu[k], pv[k]))
+                per_pid[iid].append(k + 1)
+        for pid, tr in tracks.items():
+            if len(tr) < 2:  # COLMAP only triangulates multi-view tracks
+                continue
+            points3d[pid] = colmap_io.ColmapPoint3D(
+                point3D_id=pid, xyz=Pw[pid - 1], rgb=rgb_pts[pid - 1],
+                error=0.5,
+                image_ids=np.array([a for a, _ in tr], np.int32),
+                point2D_idxs=np.array([b for _, b in tr], np.int32),
+            )
+        for iid in images:
+            pids = np.asarray(per_pid[iid], np.int64)
+            images[iid] = dataclasses.replace(
+                images[iid],
+                xys=np.asarray(per_xys[iid], np.float64).reshape(-1, 2),
+                point3D_ids=np.where(
+                    np.isin(pids, list(points3d)), pids, -1
+                ).astype(np.int64),
+            )
+
     if binary:
         colmap_io.write_cameras_bin(cameras, model_dir / "cameras.bin")
         colmap_io.write_images_bin(images, model_dir / "images.bin")
-        colmap_io.write_points3D_bin({}, model_dir / "points3D.bin")
+        colmap_io.write_points3D_bin(points3d, model_dir / "points3D.bin")
     else:
         colmap_io.write_cameras_txt(cameras, model_dir / "cameras.txt")
         colmap_io.write_images_txt(images, model_dir / "images.txt")
-        colmap_io.write_points3D_txt({}, model_dir / "points3D.txt")
+        colmap_io.write_points3D_txt(points3d, model_dir / "points3D.txt")
 
     return SyntheticScene(
         model_dir=model_dir,

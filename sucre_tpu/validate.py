@@ -26,6 +26,12 @@ Checks (fast mode reads file headers only; ``--deep`` fully decodes):
     uint8 fast path, so it is surfaced as a warning).
   - ``--deep``: depth maps decode and contain positive depths (a view
     with none contributes zero observations).
+  - ``--deep``: depth maps are METRICALLY CONSISTENT with the
+    reconstruction itself — triangulated points3D pin the true Z-depth
+    at their keypoint pixels, catching unit mistakes, unscaled
+    monocular depth, and misaligned/mis-exported maps that every
+    per-file check passes (see ``sfm_consistency``); also
+    cross-checks point reprojection through the ingested camera model.
 
 Exit code 0 when runnable (warnings allowed), 1 when any ERROR was
 found, 2 when the model itself cannot be ingested.
@@ -268,6 +274,183 @@ def _check_view(view, deep: bool, scaled: bool) -> list[Finding]:
     return findings
 
 
+def sfm_consistency(
+    scene,
+    raw_cameras: dict,
+    raw_images: dict,
+    points3d: dict | None,
+    max_samples_per_image: int = 500,
+) -> tuple[list[Finding], dict | None]:
+    """Depth maps vs the reconstruction itself (``--deep`` only).
+
+    SUCRe's whole geometry rests on a contract the reference never
+    checks: the depth PNGs must be METRIC Z-depth in the SAME coordinate
+    scale as the COLMAP poses. Monocular-network depth (unknown scale),
+    centimeter/meter unit mistakes, or maps exported from a different
+    reconstruction all satisfy every per-file check yet silently break
+    matching — reprojections land on the wrong pixels and the restored
+    output degrades with no error anywhere. The reconstruction carries
+    its own oracle: each triangulated point3D observed in an image pins
+    the true Z-depth at its keypoint pixel. This pass samples those
+    tracks and compares (a) the depth-map value at the keypoint against
+    the point's camera-frame Z (``z_map / z_sfm`` ratio — scale/unit
+    errors), and (b) the point's reprojection through OUR camera model
+    against the stored keypoint (pixel error — pose/intrinsics/lens
+    convention mismatches, e.g. a model edited by hand).
+
+    Returns (findings, stats) — stats is None when the model has no
+    usable tracks (empty points3D is common for exported models; an INFO
+    finding says the check was skipped).
+    """
+    import numpy as np
+
+    from sucre_tpu.io.images import load_depth_map
+    from sucre_tpu.ops import distortion as distortion_ops
+
+    findings: list[Finding] = []
+    if not points3d:
+        findings.append(Finding(
+            "INFO", "sfm-consistency", "",
+            "points3D is absent or empty — depth-vs-reconstruction "
+            "consistency cannot be checked (only the sparse map carries "
+            "independent metric depth evidence)"))
+        return findings, None
+
+    xyz = {pid: np.asarray(p.xyz, np.float64) for pid, p in points3d.items()}
+    known_ids = np.fromiter(xyz.keys(), np.int64, len(xyz))
+    rng = np.random.default_rng(0)
+    per_image: list[tuple[str, float, float, int]] = []  # name, ratio, reproj, n
+    all_ratios: list[np.ndarray] = []
+    all_errs: list[np.ndarray] = []
+
+    for iid, im in raw_images.items():
+        view = scene.views.get(iid)
+        raw_cam = raw_cameras.get(im.camera_id)
+        if view is None or raw_cam is None or len(im.point3D_ids) == 0:
+            continue
+        ids = np.asarray(im.point3D_ids)
+        sel = np.flatnonzero((ids >= 0) & np.isin(ids, known_ids))
+        if len(sel) == 0:
+            continue
+        if len(sel) > max_samples_per_image:
+            sel = rng.choice(sel, max_samples_per_image, replace=False)
+        X = np.stack([xyz[int(p)] for p in np.asarray(im.point3D_ids)[sel]])
+        kp = np.asarray(im.xys, np.float64)[sel]
+        # keypoints are stored at the ORIGINAL resolution; continuous
+        # +0.5-center coords scale linearly with the pixel grid
+        kp = kp * [view.width / raw_cam.width, view.height / raw_cam.height]
+
+        # world -> camera through OUR ingested pose (R/t are cam->world)
+        R_cw = np.asarray(view.R, np.float64)
+        t_cw = np.asarray(view.t, np.float64)
+        Pc = (X - t_cw) @ R_cw  # == R_cw.T @ (X - t)
+        z_sfm = Pc[:, 2]
+        front = z_sfm > 1e-6
+        if not front.any():
+            continue
+
+        # (b) reprojection through our full camera model (lens included)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xn = Pc[:, 0] / np.where(front, z_sfm, 1.0)
+            yn = Pc[:, 1] / np.where(front, z_sfm, 1.0)
+        if view.dist_model != "none":
+            xd, yd = distortion_ops.distort(
+                view.dist_model, np.asarray(view.dist, np.float64), xn, yn,
+                xp=np,
+            )
+        else:
+            xd, yd = xn, yn
+        pu = view.fx * xd + view.cx
+        pv = view.fy * yd + view.cy
+        err = np.hypot(pu - kp[:, 0], pv - kp[:, 1])
+
+        # (a) depth-map Z at the keypoint pixel vs the point's Z
+        try:
+            depth = load_depth_map(view.depth_path, view.width, view.height)
+        except Exception:
+            continue  # missing/corrupt depth is already its own finding
+        ui = np.floor(kp[:, 0]).astype(np.int64)
+        vi = np.floor(kp[:, 1]).astype(np.int64)
+        inb = (
+            front & (ui >= 0) & (ui < view.width) & (vi >= 0) & (vi < view.height)
+        )
+        z_map = np.where(inb, depth[np.clip(vi, 0, view.height - 1),
+                                    np.clip(ui, 0, view.width - 1)], 0.0)
+        good = inb & (z_map > 0)
+        errs = err[inb & np.isfinite(err)]
+        ratios = z_map[good] / z_sfm[good]
+        if len(errs):
+            all_errs.append(errs)
+        if len(ratios):
+            all_ratios.append(ratios)
+        if len(ratios) >= 20:
+            per_image.append((
+                im.name, float(np.median(ratios)),
+                float(np.median(errs)) if len(errs) else float("nan"),
+                len(ratios),
+            ))
+
+    if not all_ratios:
+        findings.append(Finding(
+            "INFO", "sfm-consistency", "",
+            "no usable point3D tracks land on valid depth pixels — "
+            "depth-vs-reconstruction consistency not checked"))
+        return findings, None
+
+    ratio = float(np.median(np.concatenate(all_ratios)))
+    reproj = float(np.median(np.concatenate(all_errs))) if all_errs else float("nan")
+    n = int(sum(len(r) for r in all_ratios))
+    stats = {
+        "median_depth_ratio": ratio,
+        "median_reproj_px": reproj,
+        "n_samples": n,
+        "n_images": len(per_image),
+    }
+
+    if not (0.5 <= ratio <= 2.0):
+        findings.append(Finding(
+            "ERROR", "depth-scale", "",
+            f"depth maps disagree with the reconstruction: median "
+            f"z_depthmap/z_points3D = {ratio:.3f} over {n} sampled tracks. "
+            f"The pipeline requires metric Z-depth in the model's "
+            f"coordinate scale (16-bit millimeters); this looks like a "
+            f"unit mistake or unscaled monocular depth — matching would "
+            f"silently reproject to wrong pixels"))
+    elif not (0.9 <= ratio <= 1.1):
+        findings.append(Finding(
+            "WARN", "depth-scale", "",
+            f"depth maps are {abs(ratio - 1) * 100:.0f}% off the "
+            f"reconstruction scale (median z_depthmap/z_points3D = "
+            f"{ratio:.3f} over {n} tracks) — expect degraded matching "
+            f"consistency near the two-way rounding tolerance"))
+    else:
+        findings.append(Finding(
+            "INFO", "sfm-consistency", "",
+            f"depth maps agree with the reconstruction: median "
+            f"z_depthmap/z_points3D = {ratio:.3f}, median reprojection "
+            f"error {reproj:.2f} px over {n} tracks in "
+            f"{len(per_image)} images"))
+
+    if np.isfinite(reproj) and reproj > 2.0:
+        findings.append(Finding(
+            "WARN", "sfm-reproj", "",
+            f"median reprojection error of triangulated points through "
+            f"the ingested cameras is {reproj:.2f} px — poses, intrinsics "
+            f"or the lens model disagree with the reconstruction's own "
+            f"keypoints (hand-edited model? wrong camera file?)"))
+
+    # per-image outliers against the global scale: a single misaligned /
+    # mis-exported depth map hides inside a healthy global median
+    for name, r_img, e_img, n_img in per_image:
+        if ratio != 0 and not (0.8 <= r_img / ratio <= 1.25):
+            findings.append(Finding(
+                "WARN", "depth-scale", name,
+                f"this view's depth is {r_img / ratio:.2f}x the survey's "
+                f"global depth/reconstruction ratio ({n_img} tracks) — "
+                f"likely a misaligned or mis-exported depth map"))
+    return findings, stats
+
+
 def validate(
     model_dir: Path,
     image_dir: Path,
@@ -286,7 +469,9 @@ def validate(
     findings: list[Finding] = []
 
     try:
-        raw_cameras, raw_images, _ = colmap_io.read_model(model_dir)
+        raw_cameras, raw_images, raw_points = colmap_io.read_model(
+            model_dir, with_points3D=deep
+        )
     except Exception as e:
         raise ValueError(f"COLMAP model at {model_dir} failed to parse: {e}")
 
@@ -380,6 +565,13 @@ def validate(
                             scene.view_list() + rejected_views):
             findings.extend(sub)
 
+    sfm_stats = None
+    if deep:
+        sfm_findings, sfm_stats = sfm_consistency(
+            scene, raw_cameras, raw_images, raw_points
+        )
+        findings.extend(sfm_findings)
+
     dims: dict[tuple[int, int], int] = {}
     for v in scene.view_list():
         dims[(v.width, v.height)] = dims.get((v.width, v.height), 0) + 1
@@ -392,6 +584,7 @@ def validate(
         "deep": deep,
         "n_errors": n_err,
         "n_warnings": n_warn,
+        "sfm_consistency": sfm_stats,
         "findings": [dataclasses.asdict(f) for f in findings],
     }
     return findings, summary

@@ -229,3 +229,86 @@ def test_distorted_camera_models_accepted_with_info(tmp_path, capsys):
                "--image-dir", str(sd.image_dir),
                "--depth-dir", str(sd.depth_dir)])
     assert rc == 0
+
+
+class TestSfmConsistency:
+    """--deep depth-vs-reconstruction check: triangulated points3D pin
+    the true Z-depth at their keypoints, catching scale/unit mistakes
+    and misaligned maps that every per-file check passes."""
+
+    def _scene(self, tmp_path, **kw):
+        return make_scene(tmp_path / "s", n_views=4, width=48, height=32,
+                          n_points3d=300, **kw)
+
+    def test_consistent_scene_reports_info(self, tmp_path):
+        sd = self._scene(tmp_path)
+        findings, summary = validate(sd.model_dir, sd.image_dir,
+                                     sd.depth_dir, deep=True)
+        assert summary["n_errors"] == 0 and summary["n_warnings"] == 0
+        stats = summary["sfm_consistency"]
+        assert stats is not None and stats["n_samples"] > 100
+        assert abs(stats["median_depth_ratio"] - 1.0) < 0.02
+        # our projection of the map's own points lands on its keypoints:
+        # sub-pixel reprojection through the full ingested camera model
+        assert stats["median_reproj_px"] < 0.5
+        assert any(f.code == "sfm-consistency" and f.level == "INFO"
+                   and "agree" in f.message for f in findings)
+
+    def test_distorted_camera_reprojects_through_lens(self, tmp_path):
+        """Keypoints in a fisheye reconstruction only reproject cleanly if
+        the validator pushes points through the lens model — a pinhole
+        shortcut would WARN here."""
+        sd = self._scene(tmp_path, camera_model="OPENCV_FISHEYE")
+        findings, summary = validate(sd.model_dir, sd.image_dir,
+                                     sd.depth_dir, deep=True)
+        stats = summary["sfm_consistency"]
+        assert stats["median_reproj_px"] < 0.5
+        assert not any(f.code == "sfm-reproj" for f in findings)
+
+    def test_unit_mistake_is_error(self, tmp_path):
+        """Centimeter depth maps (10x off): every per-file check passes,
+        only the reconstruction cross-check catches it."""
+        import cv2
+
+        sd = self._scene(tmp_path)
+        for p in sd.depth_dir.glob("depth_*.png"):
+            d = cv2.imread(str(p), cv2.IMREAD_UNCHANGED)
+            cv2.imwrite(str(p), (d // 10).astype(np.uint16))
+        findings, summary = validate(sd.model_dir, sd.image_dir,
+                                     sd.depth_dir, deep=True)
+        err = [f for f in findings if f.code == "depth-scale"
+               and f.level == "ERROR"]
+        assert err and "unit mistake" in err[0].message
+
+    def test_single_misaligned_map_warns_that_image(self, tmp_path):
+        """One mis-exported depth map hides inside a healthy global
+        median — the per-image outlier check names it."""
+        import cv2
+
+        sd = self._scene(tmp_path)
+        p = sd.depth_dir / "depth_img_001.png"
+        d = cv2.imread(str(p), cv2.IMREAD_UNCHANGED)
+        cv2.imwrite(str(p), (d.astype(np.uint32) * 3 // 2).astype(np.uint16))
+        findings, summary = validate(sd.model_dir, sd.image_dir,
+                                     sd.depth_dir, deep=True)
+        assert any(f.code == "depth-scale" and f.image == "img_001.png"
+                   and f.level == "WARN" for f in findings)
+
+    def test_empty_points3d_skips_with_info(self, sd):
+        findings, summary = validate(sd.model_dir, sd.image_dir,
+                                     sd.depth_dir, deep=True)
+        assert summary["sfm_consistency"] is None
+        assert any(f.code == "sfm-consistency" and f.level == "INFO"
+                   and "cannot be checked" in f.message for f in findings)
+        assert summary["n_errors"] == 0
+
+    def test_image_scale_scales_keypoints(self, tmp_path):
+        """Keypoints are stored at the original resolution; at
+        image_scale 0.5 the check must still line up."""
+        sd = self._scene(tmp_path)
+        findings, summary = validate(sd.model_dir, sd.image_dir,
+                                     sd.depth_dir, image_scale=0.5, deep=True)
+        stats = summary["sfm_consistency"]
+        assert stats is not None
+        assert abs(stats["median_depth_ratio"] - 1.0) < 0.05
+        assert not any(f.code == "depth-scale" for f in findings)
