@@ -1,0 +1,148 @@
+"""Depth-map input formats beyond the reference's 16-bit PNG.
+
+The reference reads exactly one depth format — 16-bit millimeter PNG
+(loader.py:166-170) — so its README's "data processing pipeline" ends
+with users hand-converting whatever their dense-reconstruction stack
+produced. Real COLMAP workflows already *have* dense depth:
+``colmap patch_match_stereo`` writes
+``stereo/depth_maps/<image name>.geometric.bin`` in COLMAP's dense
+array format. This module reads those directly, plus the common float
+containers (``.npy``, float TIFF/EXR), so ``--depth-dir`` can point
+straight at a COLMAP dense workspace with zero conversion scripts.
+
+Unit semantics: integer sources are MILLIMETERS (reference parity);
+float sources are METERS (COLMAP reconstruction units). Float maps are
+quantized to whole millimeters at decode when they fit uint16 — exactly
+the ``np.round(d * 1000)`` conversion a user targeting the reference
+format would run — so results are bit-identical to a converted-to-PNG
+run and the packed single-gather matching fast path stays active. Maps
+with depths beyond 65.535 m stay float32 meters and route through the
+generic (two-gather) matching path automatically. Non-finite values
+(NaN/Inf — geometric-filtered COLMAP maps use them for "no depth") and
+negatives become 0, the reference's invalid-depth marker.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+# Suffixes read by this module (everything else goes to the PNG path).
+ALT_DEPTH_SUFFIXES = (".bin", ".npy", ".tif", ".tiff", ".exr")
+
+
+def read_colmap_array_header(path: Path | str) -> tuple[int, int, int, int]:
+    """(width, height, channels, data_offset) of a COLMAP dense array.
+
+    The format is an ASCII ``{width}&{height}&{channels}&`` header
+    followed by the raw little-endian float32 payload.
+    """
+    with Path(path).open("rb") as f:
+        head = f.read(64)
+    parts = head.split(b"&", 3)
+    if len(parts) < 4:
+        raise ValueError(f"{path}: not a COLMAP dense array (no w&h&c& header)")
+    try:
+        w, h, c = (int(p) for p in parts[:3])
+    except ValueError:
+        raise ValueError(
+            f"{path}: not a COLMAP dense array (non-integer header)"
+        ) from None
+    if w <= 0 or h <= 0 or c <= 0:
+        raise ValueError(f"{path}: bad COLMAP dense array dims {w}x{h}x{c}")
+    offset = len(parts[0]) + len(parts[1]) + len(parts[2]) + 3
+    return w, h, c, offset
+
+
+def read_colmap_array(path: Path | str) -> np.ndarray:
+    """Read a COLMAP dense array (.bin) as (H, W) or (H, W, C) float32.
+
+    The payload orders x fastest, then y, then channel — i.e. C-order
+    (C, H, W) — matching COLMAP's ``read_array`` (reshape((w, h, c),
+    order="F") + transpose).
+    """
+    w, h, c, offset = read_colmap_array_header(path)
+    data = np.fromfile(path, dtype="<f4", offset=offset)
+    if data.size != w * h * c:
+        raise ValueError(
+            f"{path}: COLMAP dense array payload is {data.size} floats, "
+            f"header says {w}x{h}x{c} = {w * h * c}"
+        )
+    arr = data.reshape(c, h, w)
+    return arr[0] if c == 1 else np.moveaxis(arr, 0, -1)
+
+
+def write_colmap_array(path: Path | str, arr: np.ndarray) -> None:
+    """Write (H, W[, C]) float32 in COLMAP's dense array format."""
+    arr = np.asarray(arr, dtype=np.float32)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, c = arr.shape
+    with Path(path).open("wb") as f:
+        f.write(f"{w}&{h}&{c}&".encode())
+        np.ascontiguousarray(np.moveaxis(arr, -1, 0)).astype("<f4").tofile(f)
+
+
+def _finalize_meters(depth: np.ndarray) -> np.ndarray:
+    """Sanitize float meters and quantize to u16 millimeters when exact.
+
+    Quantization is the same np.round(d*1000) every reference-format
+    converter applies, so downstream results match a PNG-converted run
+    bit for bit; out-of-u16-range maps stay float32 (see module doc).
+    """
+    depth = np.asarray(depth, dtype=np.float32)
+    depth = np.where(np.isfinite(depth) & (depth > 0), depth, np.float32(0))
+    mm = np.round(depth.astype(np.float64) * 1000.0)
+    if np.max(mm, initial=0.0) <= np.iinfo(np.uint16).max:
+        return mm.astype(np.uint16)
+    return np.ascontiguousarray(depth)
+
+
+def _finalize_mm_int(mm: np.ndarray) -> np.ndarray:
+    """Integer millimeters -> u16 mm, or float32 meters when out of range."""
+    mm = np.where(mm > 0, mm, 0)
+    if np.max(mm, initial=0) <= np.iinfo(np.uint16).max:
+        return mm.astype(np.uint16)
+    return (mm.astype(np.float64) / 1000.0).astype(np.float32)
+
+
+def read_depth_any(path: Path | str) -> np.ndarray:
+    """Decode a non-PNG depth map to (H, W) uint16 millimeters (when the
+    range fits) or float32 meters. See module doc for unit rules."""
+    path = Path(path)
+    suffix = path.suffix.lower()
+    if suffix == ".bin":
+        arr = read_colmap_array(path)
+        if arr.ndim != 2:
+            raise ValueError(
+                f"{path}: COLMAP dense array has {arr.shape[-1]} channels; "
+                f"depth maps have 1 (this looks like a normal map)"
+            )
+        return _finalize_meters(arr)
+    if suffix == ".npy":
+        arr = np.load(path, allow_pickle=False)
+        if arr.ndim == 3 and arr.shape[2] == 1:
+            arr = arr[..., 0]
+        if arr.ndim != 2:
+            raise ValueError(f"{path}: depth .npy must be (H, W), got {arr.shape}")
+        if np.issubdtype(arr.dtype, np.integer):
+            return _finalize_mm_int(arr)
+        return _finalize_meters(arr)
+    if suffix in (".tif", ".tiff", ".exr"):
+        import cv2
+
+        arr = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+        if arr is None:
+            hint = (
+                " (EXR decode needs OpenCV built with OPENCV_IO_ENABLE_OPENEXR=1)"
+                if suffix == ".exr"
+                else ""
+            )
+            raise FileNotFoundError(f"Cannot decode depth map {path}{hint}")
+        if arr.ndim == 3:
+            arr = arr[..., 0]  # single-plane float exporters pad to RGB(A)
+        if np.issubdtype(arr.dtype, np.integer):
+            return _finalize_mm_int(arr)
+        return _finalize_meters(arr)
+    raise ValueError(f"Unsupported depth format: {path}")

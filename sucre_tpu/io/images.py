@@ -22,6 +22,8 @@ from typing import Iterable, Iterator, Sequence
 import cv2
 import numpy as np
 
+from sucre_tpu.io.depth_formats import ALT_DEPTH_SUFFIXES as _ALT_DEPTH_SUFFIXES
+
 
 def load_rgb(rgb_path: Path | str, width: int, height: int) -> np.ndarray:
     """Decode an RGB image to float32 (H, W, 3) in [0, 1], resized to
@@ -40,12 +42,24 @@ def load_rgb(rgb_path: Path | str, width: int, height: int) -> np.ndarray:
 
 
 def load_depth_map(depth_map_path: Path | str, width: int, height: int) -> np.ndarray:
-    """Decode a 16-bit depth PNG (millimeters) to float32 meters (H, W),
-    resized with INTER_NEAREST."""
-    raw = cv2.imread(str(depth_map_path), cv2.IMREAD_UNCHANGED)
-    if raw is None:
-        raise FileNotFoundError(f"Cannot decode depth map {depth_map_path}")
-    depth = raw / 1000
+    """Decode a depth map to float32 meters (H, W), resized with
+    INTER_NEAREST.
+
+    16-bit millimeter PNG is the reference format (loader.py:166-170,
+    exact parity); COLMAP dense ``.bin`` / ``.npy`` / float TIFF/EXR are
+    read via io.depth_formats (meters for float sources, quantized to
+    whole millimeters when the range fits uint16 — see that module)."""
+    suffix = Path(depth_map_path).suffix.lower()
+    if suffix in _ALT_DEPTH_SUFFIXES:
+        from sucre_tpu.io.depth_formats import read_depth_any
+
+        raw = read_depth_any(depth_map_path)
+        depth = raw / 1000 if np.issubdtype(raw.dtype, np.integer) else raw
+    else:
+        raw = cv2.imread(str(depth_map_path), cv2.IMREAD_UNCHANGED)
+        if raw is None:
+            raise FileNotFoundError(f"Cannot decode depth map {depth_map_path}")
+        depth = raw / 1000
     if (depth.shape[0] != height) or (depth.shape[1] != width):
         depth = cv2.resize(depth, (width, height), interpolation=cv2.INTER_NEAREST)
     return np.ascontiguousarray(depth, dtype=np.float32)
@@ -103,8 +117,19 @@ def load_depth_raw(depth_map_path: Path | str, width: int, height: int) -> np.nd
     """Decode depth keeping uint16 millimeters (INTER_NEAREST resampling
     commutes with the /1000 scale, so this is always exact parity).
 
-    Native libpng 16-bit decode when built; cv2 otherwise.
+    Native libpng 16-bit decode when built; cv2 otherwise. Non-PNG
+    formats (COLMAP dense .bin, .npy, float TIFF/EXR) come back uint16
+    millimeters when their range fits, float32 meters otherwise (the
+    float case routes matching off the packed fast path automatically).
     """
+    suffix = Path(depth_map_path).suffix.lower()
+    if suffix in _ALT_DEPTH_SUFFIXES:
+        from sucre_tpu.io.depth_formats import read_depth_any
+
+        raw = read_depth_any(depth_map_path)
+        if raw.shape[0] != height or raw.shape[1] != width:
+            raw = cv2.resize(raw, (width, height), interpolation=cv2.INTER_NEAREST)
+        return np.ascontiguousarray(raw)
     nat = _native()
     if nat is not None:
         try:

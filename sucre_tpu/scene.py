@@ -12,7 +12,9 @@ Parity notes (sfm.py:186-238):
     sfm.py:219-222).
   - Depth path = (depth_dir / name).with_stem('depth_' + stem)
     .with_suffix('.png') — subdirectories in image names are preserved
-    (sfm.py:214).
+    (sfm.py:214). When that file is absent, alternative depth formats
+    resolve (COLMAP dense .bin / .npy / float TIFF/EXR — see
+    resolve_depth_path and io/depth_formats.py; beyond the reference).
   - ``scene[name]`` looks up views by image name (sfm.py:226-234).
 """
 
@@ -25,6 +27,38 @@ import numpy as np
 
 from sucre_tpu.io import colmap as colmap_io
 from sucre_tpu.ops.distortion import DIST_PARAMS, colmap_to_canonical
+
+
+# Alternative depth-map spellings tried (in order) when the reference's
+# depth_<stem>.png is absent: same stem in the formats io.depth_formats
+# reads, then COLMAP dense-workspace naming (patch_match_stereo writes
+# stereo/depth_maps/<full image name>.geometric.bin) — so --depth-dir can
+# point straight at a COLMAP dense workspace's depth_maps directory.
+_ALT_DEPTH_SUFFIXES = (".npy", ".tif", ".tiff", ".exr", ".bin")
+_COLMAP_DENSE_TAGS = (".geometric.bin", ".photometric.bin")
+
+
+def resolve_depth_path(depth_dir: Path, name: str) -> Path:
+    """Depth-map path for image ``name``: the reference derivation
+    (depth_<stem>.png preserving subdirectories, sfm.py:214) when that
+    file exists — else the first alternative format present. Falls back
+    to the reference path when nothing exists, so the missing-file error
+    (and the validator's depth-missing finding) points at the canonical
+    name."""
+    base = (depth_dir / name).parent
+    stem = Path(name).stem
+    default = base / f"depth_{stem}.png"
+    if default.is_file():
+        return default
+    for suffix in _ALT_DEPTH_SUFFIXES:
+        p = base / f"depth_{stem}{suffix}"
+        if p.is_file():
+            return p
+    for tag in _COLMAP_DENSE_TAGS:
+        p = depth_dir / f"{name}{tag}"
+        if p.is_file():
+            return p
+    return default
 
 
 def _qvec_to_rotmat_np(q: np.ndarray) -> np.ndarray:
@@ -199,8 +233,10 @@ class Scene:
             # with_stem semantics (sfm.py:214): nested names like
             # 'cam0/img.jpg' keep their subdirectory ->
             # depth_dir/cam0/depth_img.png (flattening would collide
-            # same-basename images from different subdirs).
-            depth_path = (depth_dir / im.name).parent / f"depth_{Path(im.name).stem}.png"
+            # same-basename images from different subdirs). Alternative
+            # formats (COLMAP dense .bin, .npy, float TIFF/EXR) resolve
+            # when the reference PNG is absent.
+            depth_path = resolve_depth_path(depth_dir, im.name)
             views[im.image_id] = View(
                 image_id=im.image_id,
                 name=im.name,

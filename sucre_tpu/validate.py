@@ -18,8 +18,10 @@ Checks (fast mode reads file headers only; ``--deep`` fully decodes):
     THIN_PRISM_FISHEYE — INFO); intrinsics/poses are finite.
   - Duplicate image names (name-keyed lookups would silently collide).
   - Every registered image has an existing, decodable RGB file and
-    ``depth_<stem>.png`` depth map.
-  - Depth maps are 16-bit PNGs (8-bit depth is almost certainly a unit
+    depth map (``depth_<stem>.png``, or the natively-read alternatives:
+    ``depth_<stem>.npy/.tif/.exr/.bin`` and COLMAP dense
+    ``<name>.geometric.bin`` — INFO when used).
+  - Depth PNGs are 16-bit (8-bit depth is almost certainly a unit
     mistake: max 255 mm) with dimensions matching the camera.
   - RGB dimensions match the camera (mismatch is legal — the pipeline
     resizes, reference loader.py:158-162 — but disqualifies the raw
@@ -46,6 +48,8 @@ import json
 import struct
 import sys
 from pathlib import Path
+
+from sucre_tpu.io.depth_formats import ALT_DEPTH_SUFFIXES
 
 
 @dataclasses.dataclass
@@ -176,6 +180,33 @@ def exif_orientation(path: Path) -> int:
         return 0
 
 
+def alt_depth_dims(path: Path) -> tuple[int, int] | None:
+    """(width, height) from a COLMAP-dense-.bin or .npy header, None for
+    formats without a cheap header read (float TIFF/EXR — the deep pass
+    decodes those fully)."""
+    try:
+        suffix = path.suffix.lower()
+        if suffix == ".bin":
+            from sucre_tpu.io.depth_formats import read_colmap_array_header
+
+            w, h, _, _ = read_colmap_array_header(path)
+            return w, h
+        if suffix == ".npy":
+            import numpy as np
+
+            with open(path, "rb") as f:
+                version = np.lib.format.read_magic(f)
+                if version == (1, 0):
+                    shape, _, _ = np.lib.format.read_array_header_1_0(f)
+                else:
+                    shape, _, _ = np.lib.format.read_array_header_2_0(f)
+            if len(shape) >= 2:
+                return int(shape[1]), int(shape[0])
+    except Exception:
+        return None
+    return None
+
+
 def _check_view(view, deep: bool, scaled: bool) -> list[Finding]:
     """Per-view checks. ``scaled`` = image_scale != 1: file dims are then
     EXPECTED to differ from the (scaled) camera dims, so dim warnings
@@ -233,28 +264,46 @@ def _check_view(view, deep: bool, scaled: bool) -> list[Finding]:
         findings.append(Finding("ERROR", "depth-missing", name,
                                 f"depth map not found: {view.depth_path} "
                                 f"(expected depth_<stem>.png next to the "
-                                f"image's relative path)"))
+                                f"image's relative path; depth_<stem>"
+                                f".npy/.tif/.exr/.bin and COLMAP dense "
+                                f"<name>.geometric.bin are also accepted)"))
         return findings
 
-    probe = probe_headers(view.depth_path)
-    if probe is not None:
-        w, h, bit_depth, kind = probe
-        if kind != "png":
-            findings.append(Finding("WARN", "depth-format", name,
-                                    f"depth map is {kind}, expected 16-bit PNG"))
-        elif bit_depth != 16:
-            findings.append(Finding(
-                "WARN", "depth-bitdepth", name,
-                f"depth PNG is {bit_depth}-bit, expected 16-bit millimeters "
-                f"(8-bit caps at 0.255 m — almost certainly a unit mistake)"))
-        if (w, h) != (view.width, view.height) and not scaled:
+    suffix = view.depth_path.suffix.lower()
+    if suffix in ALT_DEPTH_SUFFIXES:
+        findings.append(Finding(
+            "INFO", "depth-format", name,
+            f"depth map is {suffix} (read natively: float sources are "
+            f"METERS, quantized to whole millimeters when under 65.535 m "
+            f"— reference-PNG-conversion parity; see io/depth_formats.py)"))
+        dims = alt_depth_dims(view.depth_path)
+        if dims is not None and dims != (view.width, view.height) and not scaled:
+            w, h = dims
             findings.append(Finding(
                 "WARN", "depth-dims", name,
                 f"depth is {w}x{h}, camera is {view.width}x{view.height}; "
                 f"INTER_NEAREST resize applies (reference parity) but a "
                 f"mismatch usually means the map came from another model"))
+    else:
+        probe = probe_headers(view.depth_path)
+        if probe is not None:
+            w, h, bit_depth, kind = probe
+            if kind != "png":
+                findings.append(Finding("WARN", "depth-format", name,
+                                        f"depth map is {kind}, expected 16-bit PNG"))
+            elif bit_depth != 16:
+                findings.append(Finding(
+                    "WARN", "depth-bitdepth", name,
+                    f"depth PNG is {bit_depth}-bit, expected 16-bit millimeters "
+                    f"(8-bit caps at 0.255 m — almost certainly a unit mistake)"))
+            if (w, h) != (view.width, view.height) and not scaled:
+                findings.append(Finding(
+                    "WARN", "depth-dims", name,
+                    f"depth is {w}x{h}, camera is {view.width}x{view.height}; "
+                    f"INTER_NEAREST resize applies (reference parity) but a "
+                    f"mismatch usually means the map came from another model"))
     if deep:
-        from sucre_tpu.io.images import load_depth_map
+        from sucre_tpu.io.images import load_depth_map, load_depth_raw
 
         try:
             depth = load_depth_map(view.depth_path, view.width, view.height)
@@ -268,6 +317,16 @@ def _check_view(view, deep: bool, scaled: bool) -> list[Finding]:
                         "WARN", "depth-empty", name,
                         "no positive depths — this view contributes zero "
                         "observations (and is unrestorable as a target)"))
+            if suffix in ALT_DEPTH_SUFFIXES:
+                raw = load_depth_raw(view.depth_path, view.width, view.height)
+                if not np.issubdtype(raw.dtype, np.integer):
+                    findings.append(Finding(
+                        "WARN", "depth-range", name,
+                        f"depths reach {float(depth.max()):.1f} m — beyond "
+                        f"uint16 millimeters, so this view stays float32 "
+                        f"and its match batches leave the packed "
+                        f"single-gather fast path (correct, ~2x slower "
+                        f"matching)"))
         except Exception as e:
             findings.append(Finding("ERROR", "depth-decode", name,
                                     f"cannot decode {view.depth_path}: {e}"))

@@ -1,0 +1,255 @@
+"""Alternative depth-map input formats (COLMAP dense .bin, .npy, float
+TIFF/EXR): decode semantics, depth-path resolution, validator findings,
+and end-to-end equality with the reference 16-bit-PNG pipeline.
+
+The reference reads only depth_<stem>.png in uint16 millimeters
+(loader.py:166-170); these formats are a capability extension letting
+--depth-dir point straight at a COLMAP dense workspace."""
+
+import shutil
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+from sucre_tpu.io.depth_formats import (
+    read_colmap_array,
+    read_colmap_array_header,
+    read_depth_any,
+    write_colmap_array,
+)
+from sucre_tpu.io.images import load_depth_map, load_depth_raw
+from sucre_tpu.pipeline import RestoreConfig, restore_image
+from sucre_tpu.scene import Scene, resolve_depth_path
+from sucre_tpu.validate import validate
+from tests.synthetic import make_scene
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    return make_scene(tmp_path_factory.mktemp("scene"), n_views=4, width=48, height=36)
+
+
+def _png_depths(scene_def):
+    """[(image_name, depth_png_path, u16 mm array)] of the scene."""
+    out = []
+    for png in sorted(scene_def.depth_dir.rglob("depth_*.png")):
+        name = png.stem[len("depth_"):] + ".png"
+        mm = cv2.imread(str(png), cv2.IMREAD_UNCHANGED)
+        out.append((name, png, mm))
+    return out
+
+
+class TestColmapArray:
+    def test_roundtrip_2d(self, tmp_path):
+        rng = np.random.default_rng(0)
+        arr = rng.uniform(0, 10, size=(7, 11)).astype(np.float32)
+        p = tmp_path / "d.bin"
+        write_colmap_array(p, arr)
+        w, h, c, _ = read_colmap_array_header(p)
+        assert (w, h, c) == (11, 7, 1)
+        np.testing.assert_array_equal(read_colmap_array(p), arr)
+
+    def test_roundtrip_3channel(self, tmp_path):
+        rng = np.random.default_rng(1)
+        arr = rng.normal(size=(5, 4, 3)).astype(np.float32)
+        p = tmp_path / "n.bin"
+        write_colmap_array(p, arr)
+        np.testing.assert_array_equal(read_colmap_array(p), arr)
+
+    def test_layout_matches_colmap_read_array(self, tmp_path):
+        # Oracle: COLMAP's scripts/python/read_write_dense.py read_array
+        # reshapes F-order (w, h, c) then transposes (1, 0, 2).
+        arr = np.arange(2 * 3 * 2, dtype=np.float32).reshape(3, 2, 2)  # (H, W, C)
+        p = tmp_path / "x.bin"
+        write_colmap_array(p, arr)
+        with open(p, "rb") as f:
+            header = b""
+            while header.count(b"&") < 3:
+                header += f.read(1)
+            data = np.fromfile(f, np.float32)
+        w, h, c = (int(v) for v in header.split(b"&")[:3])
+        oracle = np.transpose(data.reshape((w, h, c), order="F"), (1, 0, 2))
+        np.testing.assert_array_equal(oracle, arr)
+
+    def test_bad_header_raises(self, tmp_path):
+        p = tmp_path / "bad.bin"
+        p.write_bytes(b"\x00\x01\x02\x03" * 8)
+        with pytest.raises(ValueError, match="COLMAP dense array"):
+            read_colmap_array(p)
+
+    def test_truncated_payload_raises(self, tmp_path):
+        p = tmp_path / "t.bin"
+        write_colmap_array(p, np.ones((4, 4), np.float32))
+        p.write_bytes(p.read_bytes()[:-8])
+        with pytest.raises(ValueError, match="payload"):
+            read_colmap_array(p)
+
+    def test_normal_map_rejected_as_depth(self, tmp_path):
+        p = tmp_path / "img.png.geometric.bin"
+        write_colmap_array(p, np.ones((4, 4, 3), np.float32))
+        with pytest.raises(ValueError, match="normal map"):
+            read_depth_any(p)
+
+
+class TestReadDepthAny:
+    def test_float_meters_quantize_to_reference_mm(self, tmp_path):
+        mm = np.array([[0, 1, 999], [1000, 12345, 65535]], np.uint16)
+        p = tmp_path / "d.bin"
+        write_colmap_array(p, mm.astype(np.float32) / 1000.0)
+        got = read_depth_any(p)
+        assert got.dtype == np.uint16
+        np.testing.assert_array_equal(got, mm)
+
+    def test_nonfinite_and_negative_become_invalid(self, tmp_path):
+        d = np.array([[np.nan, np.inf], [-2.0, 1.5]], np.float32)
+        p = tmp_path / "d.bin"
+        write_colmap_array(p, d)
+        got = read_depth_any(p)
+        np.testing.assert_array_equal(got, np.array([[0, 0], [0, 1500]], np.uint16))
+
+    def test_beyond_u16_range_stays_float_meters(self, tmp_path):
+        d = np.array([[1.0, 70.0]], np.float32)  # 70 m > 65.535 m
+        p = tmp_path / "d.bin"
+        write_colmap_array(p, d)
+        got = read_depth_any(p)
+        assert got.dtype == np.float32
+        np.testing.assert_array_equal(got, d)
+
+    def test_npy_integer_is_millimeters(self, tmp_path):
+        mm = np.array([[5, 70000]], np.int32)  # 70 m in mm, beyond u16
+        p = tmp_path / "d.npy"
+        np.save(p, mm)
+        got = read_depth_any(p)
+        assert got.dtype == np.float32
+        np.testing.assert_allclose(got, [[0.005, 70.0]])
+        np.save(p, mm.clip(0, 60000))
+        got = read_depth_any(p)
+        assert got.dtype == np.uint16
+
+    def test_npy_float_is_meters(self, tmp_path):
+        p = tmp_path / "d.npy"
+        np.save(p, np.array([[1.2344999]], np.float64))
+        np.testing.assert_array_equal(read_depth_any(p), [[1234]])
+
+    def test_float_tiff(self, tmp_path):
+        d = np.array([[0.5, 2.25]], np.float32)
+        p = tmp_path / "d.tif"
+        assert cv2.imwrite(str(p), d)
+        got = read_depth_any(p)
+        assert got.dtype == np.uint16
+        np.testing.assert_array_equal(got, [[500, 2250]])
+
+
+class TestResolutionAndLoaders:
+    def test_png_wins_over_alternatives(self, tmp_path):
+        (tmp_path / "depth_img.png").write_bytes(b"")
+        np.save(tmp_path / "depth_img.npy", np.ones((2, 2)))
+        assert resolve_depth_path(tmp_path, "img.jpg").name == "depth_img.png"
+
+    def test_alt_stem_resolution(self, tmp_path):
+        np.save(tmp_path / "depth_img.npy", np.ones((2, 2)))
+        assert resolve_depth_path(tmp_path, "img.jpg").suffix == ".npy"
+
+    def test_colmap_dense_naming(self, tmp_path):
+        write_colmap_array(tmp_path / "img.jpg.geometric.bin", np.ones((2, 2), np.float32))
+        assert resolve_depth_path(tmp_path, "img.jpg").name == "img.jpg.geometric.bin"
+
+    def test_nested_names(self, tmp_path):
+        (tmp_path / "cam0").mkdir()
+        np.save(tmp_path / "cam0" / "depth_img.npy", np.ones((2, 2)))
+        got = resolve_depth_path(tmp_path, "cam0/img.jpg")
+        assert got == tmp_path / "cam0" / "depth_img.npy"
+
+    def test_missing_falls_back_to_reference_path(self, tmp_path):
+        got = resolve_depth_path(tmp_path, "img.jpg")
+        assert got.name == "depth_img.png"
+        assert not got.exists()
+
+    def test_loaders_agree_with_png(self, scene_dir, tmp_path):
+        name, png, mm = _png_depths(scene_dir)[0]
+        p = tmp_path / "d.bin"
+        write_colmap_array(p, mm.astype(np.float32) / 1000.0)
+        h, w = mm.shape
+        np.testing.assert_array_equal(
+            load_depth_raw(p, w, h), load_depth_raw(png, w, h)
+        )
+        np.testing.assert_array_equal(
+            load_depth_map(p, w, h), load_depth_map(png, w, h)
+        )
+        # resize path (INTER_NEAREST) agrees too
+        np.testing.assert_array_equal(
+            load_depth_map(p, w // 2, h // 2), load_depth_map(png, w // 2, h // 2)
+        )
+
+
+class TestEndToEnd:
+    def _scene_with_bin_depths(self, scene_dir, tmp_path):
+        ddir = tmp_path / "dense_depths"
+        ddir.mkdir()
+        for name, _, mm in _png_depths(scene_dir):
+            write_colmap_array(
+                ddir / f"{name}.geometric.bin", mm.astype(np.float32) / 1000.0
+            )
+        return Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, ddir)
+
+    def test_bin_pipeline_bit_identical_to_png(self, scene_dir, tmp_path):
+        scene_png = Scene.from_colmap(
+            scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir
+        )
+        scene_bin = self._scene_with_bin_depths(scene_dir, tmp_path)
+        assert scene_bin["img_001.png"].depth_path.name == "img_001.png.geometric.bin"
+
+        cfg = RestoreConfig(num_iter=3, verbose=False)
+        res_png = restore_image(scene_png, "img_001.png", tmp_path / "a", cfg)
+        res_bin = restore_image(scene_bin, "img_001.png", tmp_path / "b", cfg)
+        assert res_bin.n_obs == res_png.n_obs
+        np.testing.assert_array_equal(
+            np.asarray(res_bin.params.beta), np.asarray(res_png.params.beta)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_bin.J), np.asarray(res_png.J)
+        )
+
+    def test_validator_reports_info_not_error(self, scene_dir, tmp_path):
+        scene_bin = self._scene_with_bin_depths(scene_dir, tmp_path)
+        ddir = scene_bin["img_000.png"].depth_path.parent
+        findings, summary = validate(
+            scene_dir.model_dir, scene_dir.image_dir, ddir, deep=True
+        )
+        errors = [f for f in findings if f.level == "ERROR"]
+        assert errors == []
+        codes = {f.code for f in findings}
+        assert "depth-format" in codes
+        assert all(f.level == "INFO" for f in findings if f.code == "depth-format")
+
+    def test_validator_warns_beyond_u16_range(self, scene_dir, tmp_path):
+        ddir = tmp_path / "deep"
+        ddir.mkdir()
+        for name, _, mm in _png_depths(scene_dir):
+            d = mm.astype(np.float32) / 1000.0
+            d[d > 0] += 100.0  # push past 65.535 m
+            write_colmap_array(ddir / f"{name}.geometric.bin", d)
+        findings, _ = validate(
+            scene_dir.model_dir, scene_dir.image_dir, ddir, deep=True
+        )
+        assert any(f.code == "depth-range" and f.level == "WARN" for f in findings)
+        assert not any(f.level == "ERROR" for f in findings)
+
+    def test_deep_survey_restores_via_float_path(self, scene_dir, tmp_path):
+        # Depths beyond u16 keep float32 and must still restore correctly
+        # through the generic matching path. Shift the whole scene 100 m
+        # away is not possible without re-rendering; instead just check
+        # the float stack loads and matches: scale depths by 1 (float
+        # passthrough) via a >65.535 m sentinel in one corner pixel.
+        ddir = tmp_path / "float_depths"
+        ddir.mkdir()
+        for name, _, mm in _png_depths(scene_dir):
+            d = mm.astype(np.float32) / 1000.0
+            d[0, 0] = 70.0  # force the float path; corner is texture edge
+            write_colmap_array(ddir / f"{name}.geometric.bin", d)
+        scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, ddir)
+        cfg = RestoreConfig(num_iter=3, verbose=False)
+        res = restore_image(scene, "img_001.png", tmp_path / "out", cfg)
+        assert res.n_obs > 0
