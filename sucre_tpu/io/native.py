@@ -9,6 +9,8 @@ Provides:
     into numpy buffers (csrc/image_codec.cpp).
   - ``decode_batch`` — thread-pooled batched decode (GIL released for
     the whole batch).
+  - ``raster_depth`` — threaded z-buffer mesh rasterizer
+    (csrc/depth_raster.cpp) backing sucre_tpu.depth_from_mesh.
 
 All entry points raise ``NativeUnavailable`` when the shared library is
 absent; callers fall back to the pure-Python/cv2 paths. Build with
@@ -89,6 +91,25 @@ def _lib() -> ctypes.CDLL:
                     ctypes.c_int32,
                     ctypes.c_int32,
                     ctypes.c_int32,
+                ]
+            except AttributeError:
+                pass
+            try:  # absent from .so builds older than the rasterizer
+                lib.sucre_raster_depth.restype = ctypes.c_int32
+                lib.sucre_raster_depth.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int64,
+                    ctypes.c_double,
+                    ctypes.c_double,
+                    ctypes.c_double,
+                    ctypes.c_double,
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ctypes.c_double,
+                    ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_float),
                 ]
             except AttributeError:
                 pass
@@ -274,3 +295,47 @@ def decode_batch(
         bad = [(str(jobs[i][0]), statuses[i]) for i in range(n) if statuses[i] != 0]
         raise IOError(f"native batch decode: {failures} failures: {bad[:5]}")
     return outs
+
+
+def raster_depth(
+    verts_cam: np.ndarray,
+    faces: np.ndarray,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    width: int,
+    height: int,
+    znear: float = 0.05,
+    n_threads: int = 4,
+) -> np.ndarray:
+    """Z-buffer rasterize camera-frame triangles to an (H, W) float32
+    Z-depth map (0 = no hit) on the C++ thread pool
+    (csrc/depth_raster.cpp). Pixel (u, v) samples the ray through
+    (u + 0.5, v + 0.5); 1/z interpolates linearly in screen space."""
+    lib = _lib()
+    if not hasattr(lib, "sucre_raster_depth"):
+        raise NativeUnavailable("libsucre_native.so predates the rasterizer; "
+                                "rebuild with `make -C csrc`")
+    verts_cam = np.ascontiguousarray(verts_cam, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    out = np.empty((height, width), np.float32)
+    rc = lib.sucre_raster_depth(
+        verts_cam.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(verts_cam),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(faces),
+        fx,
+        fy,
+        cx,
+        cy,
+        width,
+        height,
+        znear,
+        n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        raise ValueError("sucre_raster_depth: bad arguments (face index out "
+                         "of range, non-positive dims, or znear <= 0)")
+    return out
