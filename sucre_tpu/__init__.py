@@ -52,6 +52,9 @@ _API = {
     "FitConfig": ("sucre_tpu.solve", "FitConfig"),
     "fit": ("sucre_tpu.solve", "fit"),
     "validate_dataset": ("sucre_tpu.validate", "validate"),
+    "read_mesh": ("sucre_tpu.io.mesh", "read_mesh"),
+    "render_view_depth": ("sucre_tpu.depth_from_mesh", "render_view_depth"),
+    "generate_depth_maps": ("sucre_tpu.depth_from_mesh", "generate_depth_maps"),
 }
 __all__ = ["__version__", *_API]
 
