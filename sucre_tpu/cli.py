@@ -341,6 +341,11 @@ def main(argv: list[str] | None = None) -> int:
         mode = "none"
     mesh = None
     batch_targets = args.batch_targets
+    if args.joint_params:
+        # ONE shared water model across ALL targets = one batch (the
+        # batched fit sums shared-global gradients over the whole stack);
+        # restore_survey rejects multi-batch joint runs.
+        batch_targets = max(batch_targets, len(targets))
     if mode == "batch":
         import numpy as np
 

@@ -1772,6 +1772,21 @@ def restore_survey(
     for names in groups.values():
         batches.extend(batched(_spatial_order(scene, names), batch_targets))
 
+    if cfg.joint_params and len(batches) > 1:
+        # Joint semantics are ONE shared water model across ALL targets;
+        # fitting per batch would silently produce several models. The
+        # CLI raises batch_targets to the target count automatically —
+        # library callers must do the same (and joint cannot span
+        # mixed-dimension / mixed-lens-class target groups, which can
+        # never share one stacked program).
+        raise ValueError(
+            f"joint_params fits one shared water model across ALL targets, "
+            f"which requires a single batch — got {len(batches)} batches "
+            f"({'mixed target dims/lens classes' if len(groups) > 1 else f'batch_targets={batch_targets} < {len(seen)} targets'}). "
+            f"Raise batch_targets to cover every target; for HBM, shard "
+            f"the stack over a (view x row) mesh (--shard-mode view-row)."
+        )
+
     results: list[RestoreResult] = []
 
     def fetch_timed(b: BatchInFlight):

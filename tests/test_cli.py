@@ -118,6 +118,25 @@ def test_joint_params_mode(scene_dir, tmp_path):
     np.testing.assert_array_equal(a["beta"], b["beta"])
 
 
+def test_joint_params_spans_batches(scene_dir, tmp_path):
+    """--joint-params fits ONE model across ALL targets even when the
+    target list exceeds --batch-targets: the CLI folds the whole list
+    into a single batch (per-batch models would silently diverge)."""
+    out = tmp_path / "ojb"
+    lst = tmp_path / "jb.txt"
+    lst.write_text("".join(f"img_{i:03d}.png\n" for i in range(4)))
+    rc = main(_base_args(scene_dir, out) + [
+        "--image-list", str(lst), "--joint-params", "--use-closed-form",
+        "--batch-targets", "2",
+    ])
+    assert rc == 0
+    ref = np.load(out / "img_000.npz")
+    for i in range(1, 4):
+        got = np.load(out / f"img_{i:03d}.npz")
+        np.testing.assert_array_equal(ref["B"], got["B"])
+        np.testing.assert_array_equal(ref["beta"], got["beta"])
+
+
 def test_profile_dir_and_compile_cache(scene_dir, tmp_path):
     """--profile-dir captures a jax.profiler trace; --compile-cache sets
     the persistent XLA cache directory (both produce files)."""

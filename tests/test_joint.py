@@ -103,3 +103,24 @@ def test_joint_kernel_equals_xla(rng):
             np.asarray(pa.beta), np.asarray(pb.beta), atol=1e-4
         )
         np.testing.assert_allclose(np.asarray(Ja), np.asarray(Jb), atol=1e-3)
+
+
+def test_restore_survey_rejects_multi_batch_joint(tmp_path):
+    """joint_params = ONE shared water model across ALL targets; a batch
+    split would silently fit one model per batch, so restore_survey
+    refuses it (the CLI avoids it by raising batch_targets)."""
+    import pytest
+
+    from sucre_tpu.pipeline import RestoreConfig, restore_survey
+    from sucre_tpu.scene import Scene
+    from tests.synthetic import make_scene
+
+    sd = make_scene(tmp_path, n_views=4, width=48, height=36)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    with pytest.raises(ValueError, match="single batch"):
+        restore_survey(
+            scene, sd.names, tmp_path / "out",
+            RestoreConfig(num_iter=1, verbose=False, store="memory",
+                          joint_params=True),
+            batch_targets=2,
+        )
