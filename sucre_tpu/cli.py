@@ -196,6 +196,16 @@ def main(argv: list[str] | None = None) -> int:
     # the process group; each host then restores a disjoint strided slice
     # of the target list (no cross-host communication during restores).
     multihost = bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if multihost and args.joint_params:
+        # same reason --skip-existing rejects joint: hosts restore
+        # disjoint strided slices, so each would fit its own "shared"
+        # water model on a fraction of the targets
+        raise SystemExit(
+            "--joint-params cannot combine with multi-host target "
+            "striding (each host would fit a separate shared model on "
+            "its slice); run the joint fit single-host — its stack can "
+            "still shard over that host's chips (--shard-mode view-row)"
+        )
     if multihost:
         from sucre_tpu.parallel.multihost import initialize_distributed
 

@@ -118,6 +118,16 @@ def test_joint_params_mode(scene_dir, tmp_path):
     np.testing.assert_array_equal(a["beta"], b["beta"])
 
 
+def test_joint_params_rejects_multihost(scene_dir, tmp_path, monkeypatch):
+    """Multi-host striding + joint would fit one 'shared' model per
+    host slice — refused before jax.distributed even initializes."""
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+    with pytest.raises(SystemExit, match="multi-host"):
+        main(_base_args(scene_dir, tmp_path / "o") + [
+            "--image-ids", "0", "4", "--joint-params",
+        ])
+
+
 def test_joint_params_spans_batches(scene_dir, tmp_path):
     """--joint-params fits ONE model across ALL targets even when the
     target list exceeds --batch-targets: the CLI folds the whole list
