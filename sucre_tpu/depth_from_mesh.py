@@ -113,20 +113,27 @@ def rasterize_depth_numpy(
             y1 = min(height - 1, int(np.ceil(py.max() - 0.5)))
             if x0 > x1 or y0 > y1:
                 continue
-            us, vs = np.meshgrid(
-                np.arange(x0, x1 + 1) + 0.5, np.arange(y0, y1 + 1) + 0.5
-            )
-            w0 = ((px[1] - us) * (py[2] - vs) - (py[1] - vs) * (px[2] - us)) / area
-            w1 = ((px[2] - us) * (py[0] - vs) - (py[2] - vs) * (px[0] - us)) / area
-            w2 = 1.0 - w0 - w1
-            inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-            if not inside.any():
-                continue
-            invz = w0 / tri[0, 2] + w1 / tri[1, 2] + w2 / tri[2, 2]
-            with np.errstate(divide="ignore"):
-                zt = np.where(inside, 1.0 / invz, np.inf)
-            sub = zbuf[y0 : y1 + 1, x0 : x1 + 1]
-            np.minimum(sub, zt, out=sub)
+            # Row-chunk the bbox: a near-clipped triangle can span the
+            # whole (possibly supersampled) frame, and the ~6 bbox-sized
+            # float64 temporaries below would otherwise transiently cost
+            # gigabytes on large grids.
+            rows_per = max(1, 1_000_000 // (x1 - x0 + 1))
+            for yc in range(y0, y1 + 1, rows_per):
+                ye = min(y1, yc + rows_per - 1)
+                us, vs = np.meshgrid(
+                    np.arange(x0, x1 + 1) + 0.5, np.arange(yc, ye + 1) + 0.5
+                )
+                w0 = ((px[1] - us) * (py[2] - vs) - (py[1] - vs) * (px[2] - us)) / area
+                w1 = ((px[2] - us) * (py[0] - vs) - (py[2] - vs) * (px[0] - us)) / area
+                w2 = 1.0 - w0 - w1
+                inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+                if not inside.any():
+                    continue
+                invz = w0 / tri[0, 2] + w1 / tri[1, 2] + w2 / tri[2, 2]
+                with np.errstate(divide="ignore"):
+                    zt = np.where(inside, 1.0 / invz, np.inf)
+                sub = zbuf[yc : ye + 1, x0 : x1 + 1]
+                np.minimum(sub, zt, out=sub)
 
     return np.where(np.isfinite(zbuf), zbuf, 0.0).astype(np.float32)
 
@@ -265,26 +272,34 @@ def generate_depth_maps(
         )
 
     stats: list[dict] = []
+
+    def consume(results) -> None:
+        for s in results:
+            stats.append(s)
+            if verbose:
+                extra = (
+                    f"  [{s['clipped_u16']} px beyond 65.535 m -> invalid]"
+                    if s["clipped_u16"]
+                    else ""
+                )
+                print(
+                    f"{s['name']}: coverage {100 * s['coverage']:.1f}%  "
+                    f"z [{s['z_min']:.2f}, {s['z_max']:.2f}] m{extra}",
+                    flush=True,
+                )
+
     if workers == 1:
-        results = map(one, views)
+        consume(map(one, views))
     else:
-        pool = cf.ThreadPoolExecutor(max_workers=workers)
-        results = pool.map(one, views)
-    for s in results:
-        stats.append(s)
-        if verbose:
-            extra = (
-                f"  [{s['clipped_u16']} px beyond 65.535 m -> invalid]"
-                if s["clipped_u16"]
-                else ""
-            )
-            print(
-                f"{s['name']}: coverage {100 * s['coverage']:.1f}%  "
-                f"z [{s['z_min']:.2f}, {s['z_max']:.2f}] m{extra}",
-                flush=True,
-            )
-    if workers > 1:
-        pool.shutdown()
+        # cancel_futures: one failed view (unwritable output, bad file)
+        # must not leave worker threads rasterizing the rest of a large
+        # survey after the exception propagates
+        with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            try:
+                consume(pool.map(one, views))
+            except BaseException:
+                pool.shutdown(wait=False, cancel_futures=True)
+                raise
     return stats
 
 

@@ -29,7 +29,9 @@ from pathlib import Path
 import numpy as np
 
 # Suffixes read by this module (everything else goes to the PNG path).
-ALT_DEPTH_SUFFIXES = (".bin", ".npy", ".tif", ".tiff", ".exr")
+# Order = scene.resolve_depth_path's candidate order after the reference
+# depth_<stem>.png default; keep the single-channel containers first.
+ALT_DEPTH_SUFFIXES = (".npy", ".tif", ".tiff", ".exr", ".bin")
 
 
 def read_colmap_array_header(path: Path | str) -> tuple[int, int, int, int]:

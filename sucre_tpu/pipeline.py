@@ -247,7 +247,7 @@ class DeviceViews:
             self.buckets.append(
                 dict(
                     views=views,
-                    depths=jnp.asarray(np.stack([a[1] for a in arrays])),
+                    depths=jnp.asarray(_stack_depths([a[1] for a in arrays])),
                     rgbs=jnp.asarray(np.stack([a[0] for a in arrays])),
                     intrs=jnp.asarray(
                         np.stack([v.intrinsics for v in views]).astype(np.float32)
@@ -546,6 +546,19 @@ def compute_matches(
     return dense, kept_names
 
 
+def _stack_depths(depths: list[np.ndarray]) -> np.ndarray:
+    """Stack per-view depth maps whose dtypes may disagree (alt-format
+    sources beyond 65.535 m decode to float32 METERS while the rest stay
+    uint16 MILLIMETERS — io/depth_formats.py). A bare np.stack would
+    promote the u16 maps to float32 unconverted, and the device-side
+    dtype dispatch (to_f32_depth) would then read millimeters as meters
+    — a silent 1000x depth error. Convert everything to meters first
+    when units are mixed."""
+    if len({a.dtype for a in depths}) > 1:
+        depths = [depth_to_f32(a) for a in depths]
+    return np.stack(depths)
+
+
 def _upload_view_chunk(depths, rgbs, sub: list[View], match_chunk: int,
                        dist_model: str = "none"):
     """Stack+pad one chunk of decoded views (keeping raw dtypes) and put it
@@ -555,7 +568,7 @@ def _upload_view_chunk(depths, rgbs, sub: list[View], match_chunk: int,
     n = len(sub)
     pad = match_chunk - n
     d0, r0 = depths[0], rgbs[0]
-    depths = np.stack(depths + [np.zeros_like(d0)] * pad)
+    depths = _stack_depths(depths + [np.zeros_like(d0)] * pad)
     rgbs = np.stack(rgbs + [np.zeros_like(r0)] * pad)
     intrs = np.stack([v.intrinsics for v in sub] + [sub[-1].intrinsics] * pad)
     Rs = np.stack([v.R for v in sub] + [sub[-1].R] * pad)
@@ -1279,7 +1292,9 @@ def dispatch_survey_batch(
     def target_depth_stack():
         nonlocal t_depth_stack
         if t_depth_stack is None:
-            t_depth_stack = jnp.asarray(np.stack([cache.get(t)[1] for t in targets]))
+            t_depth_stack = jnp.asarray(
+                _stack_depths([cache.get(t)[1] for t in targets])
+            )
         return t_depth_stack
 
     stacked_obs = None

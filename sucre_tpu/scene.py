@@ -34,7 +34,8 @@ from sucre_tpu.ops.distortion import DIST_PARAMS, colmap_to_canonical
 # reads, then COLMAP dense-workspace naming (patch_match_stereo writes
 # stereo/depth_maps/<full image name>.geometric.bin) — so --depth-dir can
 # point straight at a COLMAP dense workspace's depth_maps directory.
-_ALT_DEPTH_SUFFIXES = (".npy", ".tif", ".tiff", ".exr", ".bin")
+from sucre_tpu.io.depth_formats import ALT_DEPTH_SUFFIXES as _ALT_DEPTH_SUFFIXES
+
 _COLMAP_DENSE_TAGS = (".geometric.bin", ".photometric.bin")
 
 

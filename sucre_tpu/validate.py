@@ -303,10 +303,14 @@ def _check_view(view, deep: bool, scaled: bool) -> list[Finding]:
                     f"INTER_NEAREST resize applies (reference parity) but a "
                     f"mismatch usually means the map came from another model"))
     if deep:
-        from sucre_tpu.io.images import load_depth_map, load_depth_raw
+        from sucre_tpu.io.images import depth_to_f32, load_depth_raw
 
         try:
-            depth = load_depth_map(view.depth_path, view.width, view.height)
+            # One decode serves both checks: the raw dtype tells the
+            # fast-path story, and /1000 on integer sources is exactly
+            # load_depth_map's float result (INTER_NEAREST commutes).
+            raw = load_depth_raw(view.depth_path, view.width, view.height)
+            depth = depth_to_f32(raw)
             if not np.isfinite(depth).all():
                 findings.append(Finding("ERROR", "depth-nonfinite", name,
                                         "decoded depth contains non-finite values"))
@@ -317,16 +321,16 @@ def _check_view(view, deep: bool, scaled: bool) -> list[Finding]:
                         "WARN", "depth-empty", name,
                         "no positive depths — this view contributes zero "
                         "observations (and is unrestorable as a target)"))
-            if suffix in ALT_DEPTH_SUFFIXES:
-                raw = load_depth_raw(view.depth_path, view.width, view.height)
-                if not np.issubdtype(raw.dtype, np.integer):
-                    findings.append(Finding(
-                        "WARN", "depth-range", name,
-                        f"depths reach {float(depth.max()):.1f} m — beyond "
-                        f"uint16 millimeters, so this view stays float32 "
-                        f"and its match batches leave the packed "
-                        f"single-gather fast path (correct, ~2x slower "
-                        f"matching)"))
+            if suffix in ALT_DEPTH_SUFFIXES and not np.issubdtype(
+                raw.dtype, np.integer
+            ):
+                findings.append(Finding(
+                    "WARN", "depth-range", name,
+                    f"depths reach {float(depth.max()):.1f} m — beyond "
+                    f"uint16 millimeters, so this view stays float32 "
+                    f"and its match batches leave the packed "
+                    f"single-gather fast path (correct, ~2x slower "
+                    f"matching)"))
         except Exception as e:
             findings.append(Finding("ERROR", "depth-decode", name,
                                     f"cannot decode {view.depth_path}: {e}"))

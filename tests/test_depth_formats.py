@@ -237,6 +237,48 @@ class TestEndToEnd:
         assert any(f.code == "depth-range" and f.level == "WARN" for f in findings)
         assert not any(f.level == "ERROR" for f in findings)
 
+    def test_stack_depths_converts_mixed_units(self):
+        """np.stack would promote u16 MILLIMETERS to float32 unconverted
+        next to a float32 METERS map — _stack_depths converts first."""
+        from sucre_tpu.pipeline import _stack_depths
+
+        mm = np.array([[2000, 3000]], np.uint16)
+        m = np.array([[66.0, 70.0]], np.float32)
+        out = _stack_depths([mm, m])
+        assert out.dtype == np.float32
+        np.testing.assert_allclose(out[0], [[2.0, 3.0]])  # meters, not 2000
+        np.testing.assert_allclose(out[1], m)
+        # uniform input keeps the raw dtype (packed fast path)
+        assert _stack_depths([mm, mm]).dtype == np.uint16
+
+    def test_mixed_u16_and_float_views_keep_units(self, scene_dir, tmp_path):
+        """A single beyond-u16 view must not corrupt its bucket-mates'
+        units when the view stack mixes dtypes (regression: a bare
+        np.stack read their millimeters as meters — 1000x depths)."""
+        ddir = tmp_path / "mixed"
+        ddir.mkdir()
+        for i, (name, _, mm) in enumerate(_png_depths(scene_dir)):
+            d = mm.astype(np.float32) / 1000.0
+            if i == 0:
+                d[0, 0] = 70.0  # only view 0 exceeds uint16 range
+            write_colmap_array(ddir / f"{name}.geometric.bin", d)
+        scene_mix = Scene.from_colmap(
+            scene_dir.model_dir, scene_dir.image_dir, ddir
+        )
+        scene_png = Scene.from_colmap(
+            scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir
+        )
+        cfg = RestoreConfig(num_iter=3, verbose=False)
+        res_png = restore_image(scene_png, "img_001.png", tmp_path / "a", cfg)
+        res_mix = restore_image(scene_mix, "img_001.png", tmp_path / "b", cfg)
+        # only view 0's single poisoned corner pixel may drop out
+        assert abs(res_mix.n_obs - res_png.n_obs) <= 1
+        np.testing.assert_allclose(
+            np.asarray(res_mix.params.beta),
+            np.asarray(res_png.params.beta),
+            atol=1e-4,
+        )
+
     def test_deep_survey_restores_via_float_path(self, scene_dir, tmp_path):
         # Depths beyond u16 keep float32 and must still restore correctly
         # through the generic matching path. Shift the whole scene 100 m
