@@ -153,7 +153,11 @@ def main() -> None:
     cfg_f16 = _dc.replace(cfg, export_dtype="f16")
     fwalls = []
     for rep in range(f16_reps):
-        perturb(1 + rep)
+        # perturb indices the e2e phase (0..reps-1) and the device phase
+        # (reps+1..) never touch: reusing an already-seen index recreates
+        # byte-identical device inputs and the tunnel serves the
+        # matching/fit executions from its cache, overstating value_f16.
+        perturb(64 + rep)
         t0 = time.perf_counter()
         restore_survey(
             scene, targets, tmp / f"f16out{rep}", cfg_f16, batch_targets=B,

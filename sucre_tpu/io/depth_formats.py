@@ -132,12 +132,19 @@ def read_depth_any(path: Path | str) -> np.ndarray:
             return _finalize_mm_int(arr)
         return _finalize_meters(arr)
     if suffix in (".tif", ".tiff", ".exr"):
+        import os
+
+        # cv2 reads this env var at import; harmless if already imported
+        # with it set (sucre_tpu.io.images sets it before its import)
+        os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
         import cv2
 
         arr = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
         if arr is None:
             hint = (
-                " (EXR decode needs OpenCV built with OPENCV_IO_ENABLE_OPENEXR=1)"
+                " (EXR decode needs the OPENCV_IO_ENABLE_OPENEXR=1 "
+                "environment variable set before OpenCV is first "
+                "imported — export it before launch)"
                 if suffix == ".exr"
                 else ""
             )

@@ -16,9 +16,13 @@ A C++ libjpeg/libpng fast path (csrc/) can be swapped in transparently.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import os
 from pathlib import Path
 from typing import Iterable, Iterator, Sequence
 
+# OpenCV gates EXR decode behind this env var AT IMPORT TIME; without it
+# cv2.imread returns None for .exr depth maps (io/depth_formats.py).
+os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
 import cv2
 import numpy as np
 

@@ -603,11 +603,14 @@ def validate(
         cam = raw_cameras.get(im.camera_id)
         if cam is None or im.camera_id in ok_cams:
             continue
+        from sucre_tpu.scene import resolve_depth_path
+
         rejected_views.append(types.SimpleNamespace(
             name=im.name,
             rgb_path=Path(image_dir) / im.name,
-            depth_path=(Path(depth_dir) / im.name).parent
-            / f"depth_{Path(im.name).stem}.png",
+            # same lookup the pipeline uses — a rejected camera's depth
+            # map may live in an alternative format (.npy/.bin/...)
+            depth_path=resolve_depth_path(Path(depth_dir), im.name),
             width=int(cam.width * image_scale),
             height=int(cam.height * image_scale),
         ))

@@ -142,6 +142,16 @@ def test_bad_camera_does_not_abort(sd, monkeypatch):
                for f in findings)
     assert summary["n_errors"] >= 4
 
+    # The rejected image's file checks use the SAME depth lookup as the
+    # pipeline: a depth map present in an alternative format (.npy) must
+    # not produce a spurious depth-missing for it.
+    np.save(sd.depth_dir / f"depth_{Path(rejected_name).stem}.npy",
+            np.full((48, 64), 2000, np.uint16))
+    findings2, _ = validate(sd.model_dir, sd.image_dir, sd.depth_dir)
+    assert not any(f.code == "depth-missing" and f.image == rejected_name
+                   for f in findings2)
+    assert any(f.code == "camera-model" for f in findings2)
+
 
 def test_exif_orientation_warn(sd):
     """EXIF-tagged JPEGs get a WARN (pixels are re-oriented at decode —
