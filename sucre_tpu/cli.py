@@ -248,6 +248,24 @@ def main(argv: list[str] | None = None) -> int:
     if args.store == "memory" and args.keep_matches:
         raise SystemExit("--keep-matches requires the hdf5 store "
                          "(--store memory writes no matches cache)")
+    if args.joint_params and len(targets) > 1:
+        # joint fitting needs ONE stacked program over ALL targets, so
+        # they must share camera dimensions and a lens stack class —
+        # surface restore_survey's ValueError as a clean CLI message
+        from sucre_tpu.ops.distortion import stack_class
+
+        tgroups = {
+            (scene[n].width, scene[n].height, stack_class(scene[n].dist_model))
+            for n in targets
+        }
+        if len(tgroups) > 1:
+            raise SystemExit(
+                "--joint-params fits one shared water model across ALL "
+                "targets in a single stacked program, but the targets mix "
+                f"camera dimensions / lens classes: {sorted(tgroups)}. "
+                "Restore each homogeneous group in its own run (per-group "
+                "joint models), or drop --joint-params for per-image fits."
+            )
     if args.skip_existing and args.joint_params:
         # the joint fit's semantics are ONE shared water model across ALL
         # targets; refitting only the unrestored subset would silently

@@ -138,7 +138,11 @@ def rasterize_depth_numpy(
     return np.where(np.isfinite(zbuf), zbuf, 0.0).astype(np.float32)
 
 
+_native_fallback_warned = False
+
+
 def _rasterize(verts_cam, faces, fx, fy, cx, cy, width, height, znear, n_threads):
+    global _native_fallback_warned
     try:
         from sucre_tpu.io import native
 
@@ -147,8 +151,19 @@ def _rasterize(verts_cam, faces, fx, fy, cx, cy, width, height, znear, n_threads
                 verts_cam, faces, fx, fy, cx, cy, width, height,
                 znear=znear, n_threads=max(1, n_threads),
             )
-    except Exception:
-        pass
+    except Exception as e:
+        # A broken/stale libsucre_native.so must not silently turn a
+        # seconds-long survey render into hours of numpy rasterization.
+        if not _native_fallback_warned:
+            _native_fallback_warned = True
+            import sys
+
+            print(
+                f"WARNING: native rasterizer failed ({e!r}); falling back "
+                f"to the pure-numpy rasterizer (orders of magnitude "
+                f"slower). Rebuild with `make -C csrc`.",
+                file=sys.stderr,
+            )
     return rasterize_depth_numpy(
         verts_cam, faces, fx, fy, cx, cy, width, height, znear=znear
     )

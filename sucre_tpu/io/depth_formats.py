@@ -109,6 +109,60 @@ def _finalize_mm_int(mm: np.ndarray) -> np.ndarray:
     return (mm.astype(np.float64) / 1000.0).astype(np.float32)
 
 
+def _collapse_channels(path, arr: np.ndarray) -> np.ndarray:
+    """Multi-channel TIFF/EXR depth -> one (H, W) plane.
+
+    Exporters pad single-plane depth to RGB(A) two ways: replicating the
+    value across channels (take any), or writing it into ONE channel with
+    the rest zero (common for EXR depth passes — often R, which is
+    channel 2 under OpenCV's BGR ordering). Picking a fixed channel would
+    silently decode the zero plane as an all-invalid map, so detect the
+    carrying channel; genuinely conflicting planes raise."""
+    ch = arr[..., :3] if arr.shape[2] == 4 else arr  # drop an alpha plane
+    first = ch[..., 0]
+    if all(np.array_equal(ch[..., i], first) for i in range(1, ch.shape[2])):
+        return first
+    nonzero = [i for i in range(ch.shape[2]) if np.any(ch[..., i])]
+    if len(nonzero) == 1:
+        import sys
+
+        print(
+            f"WARNING: {path}: depth lives in channel {nonzero[0]} of a "
+            f"{arr.shape[2]}-channel image (the others are zero); using it.",
+            file=sys.stderr,
+        )
+        return ch[..., nonzero[0]]
+    raise ValueError(
+        f"{path}: {arr.shape[2]}-channel depth map with differing non-zero "
+        f"channels — ambiguous (export depth as a single plane, or "
+        f"replicate it across channels)"
+    )
+
+
+def source_dtype(path: Path | str) -> np.dtype:
+    """Dtype of the STORED depth payload (before any unit conversion) —
+    the validator's unit-mistake heuristics need the on-disk width, which
+    ``read_depth_any``'s u16-mm normalization erases."""
+    path = Path(path)
+    suffix = path.suffix.lower()
+    if suffix == ".bin":
+        return np.dtype("<f4")
+    if suffix == ".npy":
+        # mmap: header-only read, public API
+        return np.load(path, mmap_mode="r", allow_pickle=False).dtype
+    if suffix in (".tif", ".tiff", ".exr"):
+        import os
+
+        os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+        import cv2
+
+        arr = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+        if arr is None:
+            raise FileNotFoundError(f"Cannot decode depth map {path}")
+        return arr.dtype
+    raise ValueError(f"Unsupported depth format: {path}")
+
+
 def read_depth_any(path: Path | str) -> np.ndarray:
     """Decode a non-PNG depth map to (H, W) uint16 millimeters (when the
     range fits) or float32 meters. See module doc for unit rules."""
@@ -150,7 +204,7 @@ def read_depth_any(path: Path | str) -> np.ndarray:
             )
             raise FileNotFoundError(f"Cannot decode depth map {path}{hint}")
         if arr.ndim == 3:
-            arr = arr[..., 0]  # single-plane float exporters pad to RGB(A)
+            arr = _collapse_channels(path, arr)
         if np.issubdtype(arr.dtype, np.integer):
             return _finalize_mm_int(arr)
         return _finalize_meters(arr)

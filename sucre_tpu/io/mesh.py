@@ -50,6 +50,43 @@ def _fan_triangulate(indices: list[list[int]]) -> np.ndarray:
     return np.asarray(tris, np.int32).reshape(-1, 3)
 
 
+def _read_uniform_list(f, endian: str, prop, count: int) -> np.ndarray | None:
+    """Vectorized read of a binary PLY list element whose rows all share
+    the first row's count (the layout every mesher emits for triangle
+    faces). Returns the (count, n0) index array, or None — with the file
+    position restored — when the layout is variable-count (the caller
+    falls back to the per-row walk)."""
+    if count == 0:
+        return np.zeros((0, 3), np.int64)
+    start = f.tell()
+    cdt = np.dtype(endian + _PLY_DTYPES[prop[1]])
+    idt = np.dtype(endian + _PLY_DTYPES[prop[2]])
+    n0 = int(np.frombuffer(f.read(cdt.itemsize), dtype=cdt)[0])
+    f.seek(start)
+    if n0 < 3:
+        return None
+    row = np.dtype([("n", cdt), ("v", idt, (n0,))])
+    data = np.fromfile(f, dtype=row, count=count)
+    if len(data) != count or not (data["n"] == n0).all():
+        f.seek(start)
+        return None
+    return data["v"].astype(np.int64, copy=False)
+
+
+def _triangulate_uniform(polys: np.ndarray) -> np.ndarray:
+    """Fan-triangulate a uniform (M, n) polygon index array (vectorized
+    form of ``_fan_triangulate``; n == 3 is the identity)."""
+    n = polys.shape[1]
+    if n == 3:
+        return np.ascontiguousarray(polys, np.int32)
+    tris = [
+        np.stack([polys[:, 0], polys[:, k], polys[:, k + 1]], axis=-1)
+        for k in range(1, n - 1)
+    ]
+    # poly-major order, matching _fan_triangulate exactly
+    return np.stack(tris, axis=1).reshape(-1, 3).astype(np.int32)
+
+
 def read_ply(path: Path | str) -> Mesh:
     """Read a PLY mesh (ascii / binary little- or big-endian)."""
     with open(path, "rb") as f:
@@ -115,6 +152,17 @@ def read_ply(path: Path | str) -> Mesh:
                         axis=-1,
                     )
             else:
+                # The canonical OpenMVS/COLMAP layout (a sole
+                # 'property list uchar int vertex_indices' with a uniform
+                # per-row count) reads as ONE vectorized np.fromfile —
+                # dense meshes routinely carry 10M+ faces, and the
+                # per-row walk below costs minutes and gigabytes there.
+                if len(props) == 1:
+                    uniform = _read_uniform_list(f, endian, props[0], count)
+                    if uniform is not None:
+                        if want_face:
+                            faces = _triangulate_uniform(uniform)
+                        continue
                 # list property: per-row variable length — walk the rows.
                 count_fmt = {"i1": "b", "u1": "B", "i2": "h", "u2": "H",
                              "i4": "i", "u4": "I"}

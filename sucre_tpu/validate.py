@@ -321,6 +321,22 @@ def _check_view(view, deep: bool, scaled: bool) -> list[Finding]:
                         "WARN", "depth-empty", name,
                         "no positive depths — this view contributes zero "
                         "observations (and is unrestorable as a target)"))
+            if suffix in ALT_DEPTH_SUFFIXES:
+                # the PNG branch reads bit depth from the header above;
+                # alt formats need the STORED dtype (read_depth_any's
+                # u16-mm normalization widens narrow integers)
+                from sucre_tpu.io.depth_formats import source_dtype
+
+                try:
+                    src = source_dtype(view.depth_path)
+                except Exception:
+                    src = raw.dtype
+                if np.issubdtype(src, np.integer) and src.itemsize < 2:
+                    findings.append(Finding(
+                        "WARN", "depth-bitdepth", name,
+                        f"depth {suffix} stores {np.dtype(src).name} "
+                        f"millimeters (caps at 0.255 m — almost certainly "
+                        f"a unit mistake), expected 16-bit"))
             if suffix in ALT_DEPTH_SUFFIXES and not np.issubdtype(
                 raw.dtype, np.integer
             ):

@@ -128,6 +128,17 @@ def test_joint_params_rejects_multihost(scene_dir, tmp_path, monkeypatch):
         ])
 
 
+def test_joint_params_rejects_mixed_dims(tmp_path):
+    """Joint fitting needs one stacked program; mixed-dimension targets
+    must exit with a clean message, not restore_survey's raw ValueError
+    traceback."""
+    sd = make_scene(tmp_path / "mixed", n_views=4, two_cameras=True)
+    with pytest.raises(SystemExit, match="dimensions / lens classes"):
+        main(_base_args(sd, tmp_path / "o") + [
+            "--image-ids", "0", "4", "--joint-params",
+        ])
+
+
 def test_joint_params_spans_batches(scene_dir, tmp_path):
     """--joint-params fits ONE model across ALL targets even when the
     target list exceeds --batch-targets: the CLI folds the whole list

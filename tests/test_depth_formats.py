@@ -141,6 +141,43 @@ class TestReadDepthAny:
         assert got.dtype == np.uint16
         np.testing.assert_array_equal(got, [[500, 2250]])
 
+    def test_three_channel_replicated(self, tmp_path):
+        d = np.array([[0.5, 2.25]], np.float32)
+        p = tmp_path / "r.tif"
+        assert cv2.imwrite(str(p), np.repeat(d[..., None], 3, axis=-1))
+        np.testing.assert_array_equal(read_depth_any(p), [[500, 2250]])
+
+    def test_three_channel_depth_in_red_plane(self, tmp_path, capsys):
+        """EXR-style exporters write depth into R with zero G/B; cv2
+        loads BGR, so a fixed channel-0 pick would decode the zero Blue
+        plane — the decoder must find the carrying channel (and warn)."""
+        d = np.array([[0.5, 2.25]], np.float32)
+        bgr = np.zeros((1, 2, 3), np.float32)
+        bgr[..., 2] = d  # R in BGR order
+        p = tmp_path / "red.tif"
+        assert cv2.imwrite(str(p), bgr)
+        np.testing.assert_array_equal(read_depth_any(p), [[500, 2250]])
+        assert "channel 2" in capsys.readouterr().err
+
+    def test_three_channel_conflicting_raises(self, tmp_path):
+        bgr = np.zeros((1, 2, 3), np.float32)
+        bgr[..., 0] = 1.0
+        bgr[..., 2] = 2.0
+        p = tmp_path / "conflict.tif"
+        assert cv2.imwrite(str(p), bgr)
+        with pytest.raises(ValueError, match="differing non-zero"):
+            read_depth_any(p)
+
+    def test_source_dtype(self, tmp_path):
+        from sucre_tpu.io.depth_formats import source_dtype
+
+        np.save(tmp_path / "u8.npy", np.ones((2, 2), np.uint8))
+        assert source_dtype(tmp_path / "u8.npy") == np.uint8
+        np.save(tmp_path / "f32.npy", np.ones((2, 2), np.float32))
+        assert source_dtype(tmp_path / "f32.npy") == np.float32
+        write_colmap_array(tmp_path / "d.bin", np.ones((2, 2), np.float32))
+        assert source_dtype(tmp_path / "d.bin") == np.float32
+
 
 class TestResolutionAndLoaders:
     def test_png_wins_over_alternatives(self, tmp_path):
@@ -223,6 +260,24 @@ class TestEndToEnd:
         codes = {f.code for f in findings}
         assert "depth-format" in codes
         assert all(f.level == "INFO" for f in findings if f.code == "depth-format")
+
+    def test_validator_warns_narrow_integer(self, scene_dir, tmp_path):
+        """A uint8 .npy depth map (caps at 0.255 m — a unit mistake) gets
+        the same depth-bitdepth WARN an 8-bit PNG triggers; read_depth_any
+        widens it to u16 so only the STORED dtype can tell."""
+        ddir = tmp_path / "narrow"
+        ddir.mkdir()
+        for name, _, mm in _png_depths(scene_dir):
+            np.save(
+                ddir / f"depth_{Path(name).stem}.npy",
+                np.minimum(mm, 255).astype(np.uint8),
+            )
+        findings, _ = validate(
+            scene_dir.model_dir, scene_dir.image_dir, ddir, deep=True
+        )
+        assert any(
+            f.code == "depth-bitdepth" and f.level == "WARN" for f in findings
+        )
 
     def test_validator_warns_beyond_u16_range(self, scene_dir, tmp_path):
         ddir = tmp_path / "deep"

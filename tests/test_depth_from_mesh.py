@@ -139,12 +139,91 @@ class TestMeshIO:
         with pytest.raises(ValueError, match="face indices"):
             read_obj(p)
 
+    def test_ply_binary_uniform_quads_fast_path(self, tmp_path):
+        """The vectorized uniform-list read handles non-triangle counts
+        (fan order identical to the row walk's _fan_triangulate)."""
+        p = tmp_path / "q.ply"
+        verts = np.array(
+            [[0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1], [2, 0, 1], [2, 1, 1]],
+            np.float32,
+        )
+        quads = np.array([[0, 1, 2, 3], [1, 4, 5, 2]], "<i4")
+        with open(p, "wb") as f:
+            f.write(
+                b"ply\nformat binary_little_endian 1.0\n"
+                b"element vertex 6\n"
+                b"property float x\nproperty float y\nproperty float z\n"
+                b"element face 2\n"
+                b"property list uchar int vertex_indices\n"
+                b"end_header\n"
+            )
+            verts.astype("<f4").tofile(f)
+            for q in quads:
+                f.write(bytes([4]) + q.tobytes())
+        mesh = read_ply(p)
+        from sucre_tpu.io.mesh import _fan_triangulate
+
+        np.testing.assert_array_equal(
+            mesh.faces, _fan_triangulate(quads.tolist())
+        )
+
+    def test_ply_binary_variable_counts_fallback(self, tmp_path):
+        """Mixed tri+quad rows defeat the vectorized fast path; the
+        per-row walk (after the fast path's seek-back) must still parse
+        the element correctly."""
+        p = tmp_path / "v.ply"
+        verts = np.array(
+            [[0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1], [2, 0, 1]], np.float32
+        )
+        with open(p, "wb") as f:
+            f.write(
+                b"ply\nformat binary_little_endian 1.0\n"
+                b"element vertex 5\n"
+                b"property float x\nproperty float y\nproperty float z\n"
+                b"element face 2\n"
+                b"property list uchar int vertex_indices\n"
+                b"end_header\n"
+            )
+            verts.astype("<f4").tofile(f)
+            f.write(bytes([3]) + np.array([0, 1, 2], "<i4").tobytes())
+            f.write(bytes([4]) + np.array([0, 2, 3, 4], "<i4").tobytes())
+        mesh = read_ply(p)
+        np.testing.assert_array_equal(
+            mesh.faces, [[0, 1, 2], [0, 2, 3], [0, 3, 4]]
+        )
+
     def test_read_mesh_dispatch(self, tmp_path):
         mesh = plane_mesh(2.0, 0.0)
         write_ply(tmp_path / "m.ply", mesh)
         assert len(read_mesh(tmp_path / "m.ply").faces) == 2
         with pytest.raises(ValueError, match="Unsupported mesh"):
             read_mesh(tmp_path / "m.stl")
+
+
+def test_broken_native_rasterizer_warns_once(monkeypatch, capsys):
+    """A stale/broken libsucre_native.so must not silently turn survey
+    renders into hours of numpy rasterization: the fallback warns (once)
+    with the caught exception."""
+    import sucre_tpu.depth_from_mesh as dfm
+    from sucre_tpu.io import native
+
+    monkeypatch.setattr(native, "available", lambda: True)
+
+    def boom(*a, **k):
+        raise OSError("stale .so")
+
+    monkeypatch.setattr(native, "raster_depth", boom)
+    monkeypatch.setattr(dfm, "_native_fallback_warned", False)
+    mesh = plane_mesh(3.0, 0.0)
+    verts = mesh.vertices.astype(np.float32)
+    out = dfm._rasterize(verts, mesh.faces, 51.2, 51.2, 32.0, 24.0,
+                         64, 48, 0.05, 1)
+    assert out.shape == (48, 64) and (out > 0).any()
+    err = capsys.readouterr().err
+    assert "stale .so" in err and "numpy" in err
+    # second call: no duplicate warning
+    dfm._rasterize(verts, mesh.faces, 51.2, 51.2, 32.0, 24.0, 64, 48, 0.05, 1)
+    assert capsys.readouterr().err == ""
 
 
 @pytest.mark.parametrize("backend", BACKENDS)
