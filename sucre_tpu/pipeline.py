@@ -1662,6 +1662,30 @@ def _export_batch(b: BatchInFlight, fetched) -> list[RestoreResult]:
     return [export_one(t) for t in keep]
 
 
+def _warn_dropped_batched_config(cfg: RestoreConfig) -> None:
+    """The batched fit runs all iterations inside one device program, so
+    the per-iteration host callbacks behind ``save_interval`` (artifact
+    snapshots, sucre.py:153-154) and ``checkpoint_interval`` (mid-fit
+    solver resume) have no hook on this path. The CLI guards itself by
+    falling back to the sequential path (cli.py); library callers get an
+    explicit warning instead of a silent config drop — use
+    ``restore_image`` when those features matter."""
+    dropped = [
+        n for n in ("save_interval", "checkpoint_interval") if getattr(cfg, n)
+    ]
+    if dropped:
+        import warnings
+
+        warnings.warn(
+            f"restore_many/restore_survey ignore {' and '.join(dropped)}: "
+            f"the batched fit has no per-iteration host callbacks. Use "
+            f"restore_image (sequential) for snapshots or mid-fit "
+            f"checkpoints.",
+            UserWarning,
+            stacklevel=3,
+        )
+
+
 def restore_many(
     scene: Scene,
     image_names: list[str],
@@ -1684,6 +1708,7 @@ def restore_many(
     compute of the next.
     """
     cfg = cfg or RestoreConfig()
+    _warn_dropped_batched_config(cfg)
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     logger = get_logger()
@@ -1746,6 +1771,7 @@ def restore_survey(
     import concurrent.futures as cf
 
     cfg = cfg or RestoreConfig()
+    _warn_dropped_batched_config(cfg)
     if cfg.rgb_plot_on_device is None:
         # pipelined: host normalize in the exporter thread beats paying
         # for the extra u8 image transfer on the serialized device link

@@ -200,6 +200,29 @@ class TestRestoreMany:
         assert not (tmp_path / "m" / "img_000.h5").exists()
         assert (tmp_path / "m" / "img_000.npz").exists()
 
+    def test_warns_on_dropped_snapshot_config(self, scene_dir, tmp_path):
+        """The batched paths have no per-iteration host callbacks, so a
+        RestoreConfig carrying save_interval/checkpoint_interval must warn
+        library callers instead of dropping the fields silently (the CLI
+        falls back to the sequential path on its own, cli.py)."""
+        import pytest as _pytest
+
+        from sucre_tpu.pipeline import restore_many, restore_survey
+
+        scene = Scene.from_colmap(
+            scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir
+        )
+        cfg = RestoreConfig(
+            num_iter=2, verbose=False, store="memory", save_interval=1
+        )
+        with _pytest.warns(UserWarning, match="save_interval"):
+            restore_many(scene, ["img_000.png"], tmp_path / "w1", cfg)
+        cfg2 = RestoreConfig(
+            num_iter=2, verbose=False, store="memory", checkpoint_interval=1
+        )
+        with _pytest.warns(UserWarning, match="checkpoint_interval"):
+            restore_survey(scene, ["img_000.png"], tmp_path / "w2", cfg2)
+
     def test_h5_cache_reused(self, scene_dir, tmp_path):
         from sucre_tpu.pipeline import restore_many
 
