@@ -142,6 +142,18 @@ def build_parser() -> argparse.ArgumentParser:
                         help="estimate ONE shared set of water parameters "
                              "(B, beta, gamma[, light]) jointly across all targets "
                              "of a batch instead of per-image fits.")
+    parser.add_argument("--stop-tol", type=float, default=None,
+                        help="measured-convergence early stop: end the fit "
+                             "once the relative cost improvement per "
+                             "--stop-check-iteration window falls below this "
+                             "for every target (off by default — the "
+                             "reference always runs exactly --num-iter "
+                             "iterations). Typical: 0.01-0.05; num-iter "
+                             "stays the hard cap.")
+    parser.add_argument("--stop-check", type=int, default=25,
+                        help="iterations per convergence-check window for "
+                             "--stop-tol (each check costs one small device "
+                             "round trip).")
     parser.add_argument("--checkpoint-interval", type=int,
                         help="snapshot full solver state (params + Adam moments + "
                              "iteration) every N iterations; an interrupted restore "
@@ -318,6 +330,8 @@ def main(argv: list[str] | None = None) -> int:
         params_format=args.params_format,
         undistort_output=args.undistort_output,
         checkpoint_interval=args.checkpoint_interval,
+        stop_tol=args.stop_tol,
+        stop_check=args.stop_check,
         verbose=not args.quiet,
     )
 
@@ -498,6 +512,8 @@ def _write_report(path, args, results, shard_mode: str, wall_s: float,
         e = {
             "image": r.image_name,
             "n_obs": int(r.n_obs),
+            # < num_iter when --stop-tol ended the fit early
+            "iters": int(cost.shape[0]),
             # None when no iterations ran (--num-iter 0 / exhausted resume)
             "final_cost": finite(cost[-1].sum()) if cost.shape[0] else None,
             "B": np.asarray(r.params.B).ravel().tolist(),

@@ -14,6 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -122,11 +123,14 @@ def prepare_batched_obs(obs: DenseObs, cfg: FitConfig, mesh: Mesh | None):
 
 @partial(
     jax.jit,
-    static_argnames=("num_iter", "use_closed_form", "lr", "pallas_mode", "chunked"),
-    donate_argnums=(0,),
+    static_argnames=(
+        "num_iter", "use_closed_form", "lr", "pallas_mode", "chunked", "finalize"
+    ),
+    donate_argnums=(0, 1),
 )
 def _fit_many_jit(
     params: SucreParams,  # leaves with leading T axis
+    opt_state,  # vmapped Adam state, or None to initialize fresh
     obs: DenseObs,  # (T, V, H, W, ...) or (T, nc, c, H, W, ...) chunked
     n_obs: jnp.ndarray,  # (T,)
     num_iter: int,
@@ -134,9 +138,11 @@ def _fit_many_jit(
     lr: float,
     pallas_mode: str = "off",
     chunked: bool = False,
+    finalize: bool = True,  # False: segment of a stop_tol run — skip J/observed
 ):
     opt = optax.adam(lr)
-    opt_state = jax.vmap(opt.init)(params)
+    if opt_state is None:
+        opt_state = jax.vmap(opt.init)(params)
 
     light_kernel = pallas_mode.startswith("light")
     interpret = pallas_mode.endswith("interpret")
@@ -199,16 +205,32 @@ def _fit_many_jit(
         params = jax.vmap(optax.apply_updates)(params, updates)
         return (params, opt_state), (cost, params.B, params.beta, params.gamma)
 
-    (params, _), ys = jax.lax.scan(step, (params, opt_state), None, length=num_iter)
+    (params, opt_state), ys = jax.lax.scan(
+        step, (params, opt_state), None, length=num_iter
+    )
+    J = observed = None
+    if finalize:
+        J, observed = _finalize_many(params, obs, use_closed_form, chunked)
+    return params, opt_state, J, observed, FitTelemetry(*ys)
+
+
+def _finalize_many(params, obs: DenseObs, use_closed_form: bool, chunked: bool):
+    """Final (J, observed) of a batched fit — inside _fit_many_jit on the
+    single-program path, a separate jit after the last segment of a
+    stop_tol run."""
+    from sucre_tpu.solve import _closed_form
+
     if use_closed_form:
-        J, observed = jax.vmap(lambda p, o: _closed_form(p, o, chunked))(params, obs)
-    else:
-        J = params.J
-        observed = jnp.any(
-            obs.valid.reshape(obs.valid.shape[:1] + (-1,) + obs.valid.shape[-2:]),
-            axis=1,
-        )
-    return params, J, observed, FitTelemetry(*ys)
+        return jax.vmap(lambda p, o: _closed_form(p, o, chunked))(params, obs)
+    return params.J, jnp.any(
+        obs.valid.reshape(obs.valid.shape[:1] + (-1,) + obs.valid.shape[-2:]),
+        axis=1,
+    )
+
+
+_finalize_many_jit = jax.jit(
+    _finalize_many, static_argnames=("use_closed_form", "chunked")
+)
 
 
 def fit_many(
@@ -259,7 +281,45 @@ def fit_many(
     # mesh, replicated on a (view x row) mesh (GSPMD psums the gradient
     # reductions), untouched without a mesh.
     params = jax.tree.map(batch_put, params)
-    return _fit_many_jit(
-        params, obs, n_obs, cfg.num_iter, cfg.use_closed_form, cfg.lr,
+    static = dict(
+        use_closed_form=cfg.use_closed_form, lr=cfg.lr,
         pallas_mode=pallas_mode, chunked=chunked,
     )
+    if cfg.stop_tol is None:
+        params, _, J, observed, tel = _fit_many_jit(
+            params, None, obs, n_obs, cfg.num_iter, **static
+        )
+        return params, J, observed, tel
+
+    # Measured-convergence early stop: run stop_check-iteration segments,
+    # fetching the per-target cost tail between them (one small host round
+    # trip per segment), until EVERY target's windowed improvement falls
+    # below stop_tol (solve.improvement_converged) or num_iter is reached.
+    from sucre_tpu.solve import improvement_converged
+
+    opt_state = None
+    tel_parts = []
+    it = 0
+    prev_cost = None
+    while it < cfg.num_iter:
+        n = min(max(1, cfg.stop_check), cfg.num_iter - it)
+        params, opt_state, _, _, tel = _fit_many_jit(
+            params, opt_state, obs, n_obs, n, finalize=False, **static
+        )
+        tel_parts.append(jax.device_get(tel))
+        it += n
+        cost = tel_parts[-1].cost[-1]  # (T,)
+        if improvement_converged(prev_cost, cost, n, cfg.stop_check, cfg.stop_tol):
+            break
+        prev_cost = cost
+    J, observed = _finalize_many_jit(params, obs, cfg.use_closed_form, chunked)
+    if tel_parts:
+        tel = jax.tree.map(lambda *xs: np.concatenate(xs), *tel_parts)
+    else:  # num_iter == 0
+        T = n_obs.shape[0]
+        tel = FitTelemetry(
+            cost=np.zeros((0, T), np.float32), B=np.zeros((0, T, 3), np.float32),
+            beta=np.zeros((0, T, 3), np.float32),
+            gamma=np.zeros((0, T, 3), np.float32),
+        )
+    return params, J, observed, tel

@@ -75,11 +75,14 @@ def init_joint_params(
 
 @partial(
     jax.jit,
-    static_argnames=("num_iter", "use_closed_form", "lr", "chunked", "pallas_mode"),
-    donate_argnums=(0,),
+    static_argnames=(
+        "num_iter", "use_closed_form", "lr", "chunked", "pallas_mode", "finalize"
+    ),
+    donate_argnums=(0, 1),
 )
 def _fit_joint_jit(
     params: JointParams,
+    opt_state,  # Adam state, or None to initialize fresh
     obs: DenseObs,  # (T, V, H, W, ...) or (T, nc, c, H, W, ...) chunked
     n_obs: jnp.ndarray,  # (T,)
     num_iter: int,
@@ -87,11 +90,13 @@ def _fit_joint_jit(
     lr: float,
     chunked: bool = False,
     pallas_mode: str = "off",
+    finalize: bool = True,  # False: segment of a stop_tol run — skip J/observed
 ):
     from sucre_tpu.solve import _closed_form, _loss
 
     opt = optax.adam(lr)
-    opt_state = opt.init(params)
+    if opt_state is None:
+        opt_state = opt.init(params)
 
     T = obs.valid.shape[0]
     light_kernel = pallas_mode.startswith("light")
@@ -175,24 +180,13 @@ def _fit_joint_jit(
         params = optax.apply_updates(params, updates)
         return (params, opt_state), (cost, params.B, params.beta, params.gamma)
 
-    (params, _), ys = jax.lax.scan(step, (params, opt_state), None, length=num_iter)
+    (params, opt_state), ys = jax.lax.scan(
+        step, (params, opt_state), None, length=num_iter
+    )
 
-    def final_J(p):
-        if use_closed_form:
-            return jax.vmap(
-                lambda o: _closed_form(
-                    SucreParams(B=p.B, beta=p.beta, gamma=p.gamma, J=None,
-                                cam2light=p.cam2light, sigma=p.sigma),
-                    o, chunked,
-                )
-            )(obs)
-        observed = jnp.any(
-            obs.valid.reshape(obs.valid.shape[:1] + (-1,) + obs.valid.shape[-2:]),
-            axis=1,
-        )
-        return p.J, observed
-
-    J, observed = final_J(params)
+    J = observed = None
+    if finalize:
+        J, observed = _finalize_joint(params, obs, use_closed_form, chunked)
     # telemetry parity with the per-target fit: globals are shared, but
     # exports slice per target — broadcast to (num_iter, T, 3)
     cost_tr, B_tr, beta_tr, gamma_tr = ys
@@ -205,7 +199,35 @@ def _fit_joint_jit(
         cost=cost_tr, B=per_target(B_tr),
         beta=per_target(beta_tr), gamma=per_target(gamma_tr),
     )
-    return params, J, observed, tel
+    return params, opt_state, J, observed, tel
+
+
+def _finalize_joint(params: JointParams, obs: DenseObs,
+                    use_closed_form: bool, chunked: bool):
+    """Final (J, observed) of a joint fit — inside _fit_joint_jit on the
+    single-program path, a separate jit after a stop_tol run's last
+    segment."""
+    from sucre_tpu.solve import _closed_form
+
+    p = params
+    if use_closed_form:
+        return jax.vmap(
+            lambda o: _closed_form(
+                SucreParams(B=p.B, beta=p.beta, gamma=p.gamma, J=None,
+                            cam2light=p.cam2light, sigma=p.sigma),
+                o, chunked,
+            )
+        )(obs)
+    observed = jnp.any(
+        obs.valid.reshape(obs.valid.shape[:1] + (-1,) + obs.valid.shape[-2:]),
+        axis=1,
+    )
+    return p.J, observed
+
+
+_finalize_joint_jit = jax.jit(
+    _finalize_joint, static_argnames=("use_closed_form", "chunked")
+)
 
 
 def fit_joint(params: JointParams, obs: DenseObs, cfg: FitConfig, mesh=None):
@@ -245,7 +267,47 @@ def fit_joint(params: JointParams, obs: DenseObs, cfg: FitConfig, mesh=None):
         cam2light=None if params.cam2light is None else repl_put(params.cam2light),
         sigma=None if params.sigma is None else repl_put(params.sigma),
     )
-    return _fit_joint_jit(
-        params, obs, n_obs, cfg.num_iter, cfg.use_closed_form, cfg.lr,
+    static = dict(
+        use_closed_form=cfg.use_closed_form, lr=cfg.lr,
         chunked=chunked, pallas_mode=pallas_mode,
     )
+    if cfg.stop_tol is None:
+        params, _, J, observed, tel = _fit_joint_jit(
+            params, None, obs, n_obs, cfg.num_iter, **static
+        )
+        return params, J, observed, tel
+
+    # stop_tol segmentation (same scheme as fit_many): every target's
+    # windowed cost improvement must fall below tol — the shared water
+    # model keeps moving until its weakest-constrained target settles.
+    import numpy as np
+
+    from sucre_tpu.solve import improvement_converged
+
+    opt_state = None
+    tel_parts = []
+    it = 0
+    prev_cost = None
+    while it < cfg.num_iter:
+        n = min(max(1, cfg.stop_check), cfg.num_iter - it)
+        params, opt_state, _, _, tel = _fit_joint_jit(
+            params, opt_state, obs, n_obs, n, finalize=False, **static
+        )
+        tel_parts.append(jax.device_get(tel))
+        it += n
+        cost = tel_parts[-1].cost[-1]
+        if improvement_converged(prev_cost, cost, n, cfg.stop_check, cfg.stop_tol):
+            break
+        prev_cost = cost
+    J, observed = _finalize_joint_jit(params, obs, cfg.use_closed_form, chunked)
+    if tel_parts:
+        tel = jax.tree.map(lambda *xs: np.concatenate(xs), *tel_parts)
+    else:  # num_iter == 0
+        T0 = n_obs.shape[0]
+        tel = FitTelemetry(
+            cost=np.zeros((0, T0), np.float32),
+            B=np.zeros((0, T0, 3), np.float32),
+            beta=np.zeros((0, T0, 3), np.float32),
+            gamma=np.zeros((0, T0, 3), np.float32),
+        )
+    return params, J, observed, tel

@@ -286,8 +286,8 @@ def fit_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
 
 
 @partial(jax.jit, static_argnames=("mesh", "light", "lr", "num_iter", "interpret"))
-def _run_sharded_kernel(params, X, It, n_obs, *, mesh, light, lr, num_iter,
-                        interpret):
+def _run_sharded_kernel(params, X, It, n_obs, opt_state=None, *, mesh, light,
+                        lr, num_iter, interpret):
     """The batched per-shard-kernel Adam program, jitted ONCE per
     (mesh, mode, lr, num_iter, platform, shapes) — repeated survey
     batches reuse the compiled program instead of retracing per call.
@@ -348,7 +348,8 @@ def _run_sharded_kernel(params, X, It, n_obs, *, mesh, light, lr, num_iter,
             return cost, dJ, dB, dbeta, dgamma
 
     opt = optax.adam(lr)
-    opt_state = jax.vmap(opt.init)(params)
+    if opt_state is None:
+        opt_state = jax.vmap(opt.init)(params)
 
     def step(carry, _):
         p, s = carry
@@ -384,10 +385,10 @@ def _run_sharded_kernel(params, X, It, n_obs, *, mesh, light, lr, num_iter,
         p = jax.vmap(optax.apply_updates)(p, updates)
         return (p, s), (cost, p.B, p.beta, p.gamma)
 
-    (params, _), ys = jax.lax.scan(
+    (params, opt_state), ys = jax.lax.scan(
         step, (params, opt_state), None, length=num_iter
     )
-    return params, FitTelemetry(*ys)
+    return params, opt_state, FitTelemetry(*ys)
 
 
 def prepare_sharded_kernel_inputs(params, obs: DenseObs, mesh: Mesh,
@@ -455,11 +456,47 @@ def fit_many_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
         params, obs, mesh, light
     )
 
-    params, tel = _run_sharded_kernel(
-        params, X, It, n_obs,
-        mesh=mesh, light=light, lr=cfg.lr, num_iter=cfg.num_iter,
-        interpret=interpret,
+    static = dict(
+        mesh=mesh, light=light, lr=cfg.lr, interpret=interpret,
     )
+    if cfg.stop_tol is None:
+        params, _, tel = _run_sharded_kernel(
+            params, X, It, n_obs, num_iter=cfg.num_iter, **static
+        )
+    else:
+        # stop_tol segmentation, same scheme as fit_many: stop_check-long
+        # scans with the per-target cost tail checked between them.
+        import numpy as np
+
+        from sucre_tpu.solve import FitTelemetry, improvement_converged
+
+        opt_state = None
+        tel_parts = []
+        it = 0
+        prev_cost = None
+        while it < cfg.num_iter:
+            n = min(max(1, cfg.stop_check), cfg.num_iter - it)
+            params, opt_state, tel = _run_sharded_kernel(
+                params, X, It, n_obs, opt_state, num_iter=n, **static
+            )
+            tel_parts.append(jax.device_get(tel))
+            it += n
+            cost = tel_parts[-1].cost[-1]
+            if improvement_converged(
+                prev_cost, cost, n, cfg.stop_check, cfg.stop_tol
+            ):
+                break
+            prev_cost = cost
+        if tel_parts:
+            tel = jax.tree.map(lambda *xs: np.concatenate(xs), *tel_parts)
+        else:  # num_iter == 0
+            T0 = n_obs.shape[0]
+            tel = FitTelemetry(
+                cost=np.zeros((0, T0), np.float32),
+                B=np.zeros((0, T0, 3), np.float32),
+                beta=np.zeros((0, T0, 3), np.float32),
+                gamma=np.zeros((0, T0, 3), np.float32),
+            )
     J = params.J[:, :H, :W]
     observed = jnp.any(obs.valid, axis=1)
     return params._replace(J=J), J, observed, tel

@@ -95,6 +95,15 @@ class RestoreConfig:
     # npz J is not the deliverable. PNG renders are u8 either way.
     export_dtype: str = "f32"
     checkpoint_interval: int | None = None  # mid-fit solver snapshots
+    # Measured-convergence early stop (solve.FitConfig.stop_tol): OFF by
+    # default — the reference runs exactly num_iter iterations
+    # (sucre.py:291). When set, every fit path (sequential, batched,
+    # joint, sharded-kernel) stops once the relative cost improvement per
+    # stop_check-iteration window falls below stop_tol for every target.
+    # Segmented checking adds ~1 small host round trip per window, so on
+    # high-latency links the win appears when whole windows are skipped.
+    stop_tol: float | None = None
+    stop_check: int = 25
     # Where the _rgb artifact's percentile-normalize runs. Device keeps
     # host work off the critical path of a single blocking restore;
     # host (from the already-fetched J, inside the exporter thread) saves
@@ -969,6 +978,8 @@ def restore_image(
         save_interval=cfg.save_interval,
         checkpoint_dir=ckpt_dir,
         checkpoint_interval=cfg.checkpoint_interval,
+        stop_tol=cfg.stop_tol,
+        stop_check=cfg.stop_check,
     )
     # drop None callbacks: fit_sharded treats "no kwargs" as eligibility
     # for the fused-kernel route
@@ -1480,6 +1491,7 @@ def dispatch_survey_batch(
     fit_cfg = FitConfig(
         lr=cfg.lr, num_iter=cfg.num_iter, use_closed_form=cfg.use_closed_form,
         view_chunk=cfg.batch_size,
+        stop_tol=cfg.stop_tol, stop_check=cfg.stop_check,
     )
     if cfg.joint_params:
         from sucre_tpu.parallel.joint import JointParams, fit_joint
