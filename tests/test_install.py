@@ -90,6 +90,41 @@ def test_installed_package_is_the_wheel_not_the_checkout(install, tmp_path):
     assert str(site) in r.stdout, r.stdout
 
 
+def test_wheel_ships_native_fast_paths(install, tmp_path):
+    """On a toolchain-equipped host (this image: g++ + libpng/libjpeg)
+    the wheel must CONTAIN the native shared object and the installed
+    package must load it — the fast paths may not silently vanish from a
+    pip install (setup.py's optional skip is for hosts without the
+    toolchain, where the Python fallbacks take over)."""
+    site, _ = install
+    so = site / "sucre_tpu" / "io" / "libsucre_native.so"
+    assert so.exists(), (
+        "wheel built where csrc compiles must ship "
+        "sucre_tpu/io/libsucre_native.so"
+    )
+    # the installed package (no checkout csrc/ on the path) finds and
+    # exercises ITS OWN .so
+    code = (
+        "import numpy as np, cv2, tempfile\n"
+        "from sucre_tpu.io import native\n"
+        "assert native.available(), 'wheel .so not found by io.native'\n"
+        "d = (np.arange(12, dtype=np.uint16).reshape(3, 4) * 100)\n"
+        "p = tempfile.mktemp(suffix='.png')\n"
+        "cv2.imwrite(p, d)\n"
+        "out = native.decode_depth_png16(p, 4, 3)\n"
+        "assert (out == d).all()\n"
+        "print('NATIVE_OK')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, env=_clean_env(site),
+        cwd=str(tmp_path), timeout=120,
+    )
+    assert r.returncode == 0 and "NATIVE_OK" in r.stdout, (
+        r.stdout + r.stderr
+    )[-2000:]
+
+
 def test_declared_dependencies_cover_runtime_imports():
     """Every third-party module sucre_tpu imports unconditionally must be
     a declared dependency (a wheel that cannot import is not a product)."""
