@@ -1,44 +1,54 @@
 """End-to-end restoration benchmark.
 
 Measures steady-state end-to-end throughput (decode + match + fit +
-export) restoring a synthetic survey via the pipelined restore_survey
-driver (BENCH_TARGETS targets in batches of BENCH_BATCH), on whatever
-platform JAX selects (the real TPU chip under the driver).
+export) restoring synthetic surveys via the pipelined restore_survey
+driver, on whatever platform JAX selects (the real TPU chip under the
+driver). Two workload geometries:
+
+  - **all-overlap** (the headline `value`): BENCH_TARGETS targets,
+    BENCH_VIEWS views, every view overlaps every target — culling is
+    inert by construction, the matching worst case.
+  - **transect** (`value_transect`): BENCH_TRANSECT_VIEWS views spread
+    along a long survey line (spread=BENCH_SPREAD) with
+    BENCH_TRANSECT_TARGETS targets across it — the partial-overlap
+    geometry real surveys (BASELINE.json config 4) actually have, where
+    surface culling cuts the effective view count per batch.
 
 Prints ONE JSON line:
   {"metric": "restore_throughput", "value": <Mpix/s>, "unit": "Mpix/s",
-   "vs_baseline": <value / 50.0>, "device_mpix_s": <Mpix/s>,
-   "value_f16": <Mpix/s>}
+   "vs_baseline": <value / 50.0>, "device_mpix_s": ..., "value_f16": ...,
+   "value_transect": ..., "device_mpix_s_transect": ...,
+   "reps": {<metric>: <n steady-state samples>, ...}}
 
-``value_f16`` is the same end-to-end run with export_dtype="f16" (the
-documented transfer trade: half the J fetch bytes on link-bound hosts,
-~5e-4 relative rounding in the npz checkpoint).
+``value_f16`` is the all-overlap end-to-end run with export_dtype="f16"
+(half the J fetch bytes on link-bound hosts, ~5e-4 relative rounding in
+the npz checkpoint). ``device_mpix_s*`` are device-compute-only
+(dispatch -> scalar sync, no bulk transfer/export): the numbers
+transfer-free hosts approach, and the ones to regress against when the
+link quality varies run to run.
 
-The baseline denominator is the driver-set north star from BASELINE.json
-(>= 50 Mpix/s on a v5e-8 slice); this harness runs on a single chip, so
-vs_baseline ~ 0.125 equals the per-chip north-star share.
-``device_mpix_s`` is the device-compute-only throughput (dispatch ->
-device-sync, no bulk device->host transfer, no artifact export): the
-number that transfers-free hosts approach, and the one to regress
-against when the link quality varies run to run.
+Stall immunity (VERDICT r3): every phase has its own rep floor — at
+least BENCH_MIN_MEAS (3) post-warmup measurements — that a time budget
+cannot starve; the per-phase budget only trims EXTRA reps. One
+multi-minute tunnel stall (r03: 1280 s in rep 0) can no longer reduce
+any metric to n=1.
 
 Validity: the device tunnel in this environment caches executions with
 identical input buffers, so every rep perturbs the view stack (depth
 +1 mm * rep, RGB LSB xor) — same workload shape, different buffer
 contents — to force real executions.
 
-Detail goes to stderr (the per-stage marks are the FIRST batch's:
-*_dispatch are host async-dispatch times; fetch_render/export are that
-batch's blocking transfer and artifact-write walls). Configuration via
-env: BENCH_VIEWS (default 16), BENCH_W (960), BENCH_H (544),
-  BENCH_TARGETS (12), BENCH_BATCH (4), BENCH_ITERS (200),
-  BENCH_REPS (6), BENCH_DEV_REPS (3), BENCH_BUDGET_S (480).
-The scene is generated with max(BENCH_VIEWS, BENCH_TARGETS) views
-(targets are themselves survey views).
+Detail goes to stderr. Configuration via env: BENCH_VIEWS (default 16),
+BENCH_W (960), BENCH_H (544), BENCH_TARGETS (12), BENCH_BATCH (4),
+BENCH_ITERS (200), BENCH_REPS (6), BENCH_DEV_REPS (4), BENCH_F16_REPS
+(4), BENCH_MIN_MEAS (3), BENCH_PHASE_BUDGET_S (240),
+BENCH_TRANSECT_VIEWS (48), BENCH_TRANSECT_TARGETS (8), BENCH_SPREAD
+(40), BENCH_SKIP_TRANSECT=1 to drop the transect phases.
 """
 
 from __future__ import annotations
 
+import dataclasses as dc
 import json
 import os
 import sys
@@ -51,6 +61,128 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+class Workload:
+    """One synthetic survey: scene on disk, decoded cache, device-resident
+    view stacks, and a perturbation knob giving every rep distinct input
+    buffer contents (the tunnel caches identical-input executions)."""
+
+    def __init__(self, label, n_views, width, height, targets, batch, iters,
+                 spread=None):
+        import jax.numpy as jnp
+
+        from sucre_tpu.pipeline import DeviceViews, RestoreConfig, ViewCache
+        from sucre_tpu.scene import Scene
+        from sucre_tpu.synth import make_scene
+
+        self.label = label
+        self.jnp = jnp
+        tmp = Path(tempfile.mkdtemp(prefix=f"sucre_bench_{label}_"))
+        self.tmp = tmp
+        t0 = time.perf_counter()
+        kw = {} if spread is None else {"spread": spread}
+        sd = make_scene(tmp, n_views=max(n_views, targets), width=width,
+                        height=height, **kw)
+        log(f"[{label}] scene gen: {time.perf_counter() - t0:.2f}s "
+            f"({max(n_views, targets)} views {width}x{height}"
+            f"{f', spread={spread}' if spread else ''})")
+        self.scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+        if spread is None:
+            self.targets = sd.names[:targets]
+        else:
+            # targets spread across the transect (edge + middle coverage)
+            n = max(n_views, targets)
+            idx = [round((i + 0.5) * n / targets) for i in range(targets)]
+            self.targets = [sd.names[min(i, n - 1)] for i in idx]
+        self.batch = batch
+        self.mpix = targets * width * height / 1e6
+        self.cfg = RestoreConfig(
+            num_iter=iters, store="memory", verbose=False, num_workers=4,
+            match_chunk=8,
+        )
+        t0 = time.perf_counter()
+        self.cache = ViewCache()
+        self.cache.prefill(self.scene.view_list(), num_workers=4)
+        log(f"[{label}] decode (cached once): {time.perf_counter() - t0:.2f}s")
+        t0 = time.perf_counter()
+        self.device_views = DeviceViews(
+            self.scene.view_list(), self.cache, self.cfg.match_chunk
+        )
+        log(f"[{label}] device view stack upload (once): "
+            f"{time.perf_counter() - t0:.2f}s")
+        self.base_buckets = [dict(b) for b in self.device_views.buckets]
+
+    def perturb(self, rep: int) -> None:
+        """Distinct buffer CONTENTS per rep: shift valid depths by rep
+        millimeters, flip RGB low bits. rep 0 = the pristine stack."""
+        jnp = self.jnp
+        for b, bb in zip(self.device_views.buckets, self.base_buckets):
+            if rep == 0:
+                b["depths"], b["rgbs"] = bb["depths"], bb["rgbs"]
+            else:
+                d = bb["depths"]
+                b["depths"] = jnp.where(d > 0, d + jnp.uint16(rep), d)
+                b["rgbs"] = jnp.bitwise_xor(bb["rgbs"], jnp.uint8(rep & 0xFF))
+
+    def run_e2e(self, out: Path, cfg=None) -> float:
+        from sucre_tpu.pipeline import restore_survey
+
+        t0 = time.perf_counter()
+        self._last_results = restore_survey(
+            self.scene, self.targets, out, cfg or self.cfg,
+            batch_targets=self.batch, cache=self.cache,
+            device_views=self.device_views,
+        )
+        return time.perf_counter() - t0
+
+    def run_device_only(self, out: Path, cfg=None) -> float:
+        """Dispatch the full match+fit pipeline per batch, sync with a
+        tiny scalar fetch (no bulk device->host transfer, no export).
+        Both on-device render flags forced off exactly as restore_survey
+        forces them, so this reuses the e2e phase's compiled programs."""
+        import jax
+        import numpy as np
+
+        from sucre_tpu.pipeline import dispatch_survey_batch
+
+        cfg = dc.replace(
+            cfg or self.cfg,
+            rgb_plot_on_device=False, reconstruction_on_device=False,
+        )
+        batches = [
+            self.targets[i: i + self.batch]
+            for i in range(0, len(self.targets), self.batch)
+        ]
+        t0 = time.perf_counter()
+        for names in batches:
+            bf = dispatch_survey_batch(
+                self.scene, list(names), out, cfg, self.scene.view_list(),
+                self.cache, self.device_views,
+            )
+            # scalar fetch completes only after the whole batch program
+            # ran (block_until_ready is unreliable on the tunnel)
+            float(np.asarray(jax.device_get(bf.J_dev[0, 0, 0, 0])))
+        return time.perf_counter() - t0
+
+
+def run_phase(label, fn, perturb, *, reps, min_meas, budget_s, pbase):
+    """Run one metric's reps with stall immunity: rep 0 is warmup, then
+    at least ``min_meas`` measured reps ALWAYS run; the budget only trims
+    reps beyond the floor. Returns (best_wall, n_measured)."""
+    walls = []
+    t0 = time.perf_counter()
+    for rep in range(reps):
+        perturb(pbase + rep)
+        w = fn(rep)
+        walls.append(w)
+        log(f"[{label}] rep {rep}: {w:.2f}s")
+        measured = len(walls) - 1
+        if measured >= min_meas and time.perf_counter() - t0 > budget_s:
+            log(f"[{label}] budget reached after {measured} measured reps")
+            break
+    steady = walls[1:] if len(walls) > 1 else walls
+    return min(steady), len(walls) - 1 if len(walls) > 1 else 1
+
+
 def main() -> None:
     V = int(os.environ.get("BENCH_VIEWS", 16))
     W = int(os.environ.get("BENCH_W", 960))
@@ -58,6 +190,15 @@ def main() -> None:
     T = int(os.environ.get("BENCH_TARGETS", 12))
     B = int(os.environ.get("BENCH_BATCH", 4))
     ITERS = int(os.environ.get("BENCH_ITERS", 200))
+    REPS = int(os.environ.get("BENCH_REPS", 6))
+    DEV_REPS = int(os.environ.get("BENCH_DEV_REPS", 4))
+    F16_REPS = int(os.environ.get("BENCH_F16_REPS", 4))
+    MIN_MEAS = int(os.environ.get("BENCH_MIN_MEAS", 3))
+    PHASE_BUDGET = float(os.environ.get("BENCH_PHASE_BUDGET_S", 240))
+    TV = int(os.environ.get("BENCH_TRANSECT_VIEWS", 48))
+    TT = int(os.environ.get("BENCH_TRANSECT_TARGETS", 8))
+    SPREAD = float(os.environ.get("BENCH_SPREAD", 40.0))
+    SKIP_TRANSECT = os.environ.get("BENCH_SKIP_TRANSECT") == "1"
 
     import jax
 
@@ -69,152 +210,66 @@ def main() -> None:
     # Persistent compile cache: first-ever compile of the big programs can
     # take minutes (remote-compile environments); cached binaries make
     # subsequent benchmark runs start in seconds.
-    jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
+    jax.config.update(
+        "jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache")
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     log(f"devices: {jax.devices()}")
 
-    from sucre_tpu.pipeline import DeviceViews, RestoreConfig, ViewCache, restore_survey
-    from sucre_tpu.scene import Scene
-    from sucre_tpu.synth import make_scene
+    out: dict = {"metric": "restore_throughput", "unit": "Mpix/s"}
+    nreps: dict = {}
 
-    tmp = Path(tempfile.mkdtemp(prefix="sucre_bench_"))
-    t0 = time.perf_counter()
-    sd = make_scene(tmp, n_views=max(V, T), width=W, height=H)
-    log(f"scene gen: {time.perf_counter() - t0:.2f}s ({max(V, T)} views {W}x{H})")
+    # ---- all-overlap workload: value / value_f16 / device_mpix_s -------
+    wl = Workload("overlap", V, W, H, T, B, ITERS)
 
-    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
-    targets = sd.names[:T]
-    cfg = RestoreConfig(
-        num_iter=ITERS, store="memory", verbose=False, num_workers=4, match_chunk=8
+    best, n = run_phase(
+        "e2e", lambda rep: wl.run_e2e(wl.tmp / f"out{rep}"), wl.perturb,
+        reps=REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET, pbase=0,
     )
+    out["value"] = round(wl.mpix / best, 3)
+    out["vs_baseline"] = round(out["value"] / 50.0, 4)
+    nreps["value"] = n
 
-    t0 = time.perf_counter()
-    cache = ViewCache()
-    cache.prefill(scene.view_list(), num_workers=4)
-    log(f"decode (cached once): {time.perf_counter() - t0:.2f}s")
-    t0 = time.perf_counter()
-    device_views = DeviceViews(scene.view_list(), cache, cfg.match_chunk)
-    log(f"device view stack upload (once): {time.perf_counter() - t0:.2f}s")
-
-    import jax.numpy as jnp
-    import numpy as np
-
-    base_buckets = [dict(b) for b in device_views.buckets]
-
-    def perturb(rep: int) -> None:
-        """Give every rep distinct input buffer CONTENTS (the tunnel
-        caches executions of identical inputs): shift valid depths by
-        rep millimeters and flip RGB low bits — same workload, real
-        executions. rep 0 = the pristine stack."""
-        for b, bb in zip(device_views.buckets, base_buckets):
-            if rep == 0:
-                b["depths"], b["rgbs"] = bb["depths"], bb["rgbs"]
-            else:
-                d = bb["depths"]
-                b["depths"] = jnp.where(d > 0, d + jnp.uint16(rep), d)
-                b["rgbs"] = jnp.bitwise_xor(bb["rgbs"], jnp.uint8(rep & 0xFF))
-
-    # Timed steady-state runs: full end-to-end (matching + fit + export)
-    # with the decode cache warm (surveys decode each view once). Rep 0
-    # doubles as compile/first-execution warmup; the reported value is the
-    # best rep (this environment's device link stalls nondeterministically
-    # on first executions, and run-to-run variance is high). Reps continue
-    # until the count or the time budget is exhausted — at least 2 so one
-    # post-warmup measurement always exists.
-    reps = int(os.environ.get("BENCH_REPS", 6))
-    budget = float(os.environ.get("BENCH_BUDGET_S", 480))
-    bench_start = time.perf_counter()
-    walls = []
-    for rep in range(reps):
-        perturb(rep)
-        t0 = time.perf_counter()
-        results = restore_survey(
-            scene, targets, tmp / f"out{rep}", cfg, batch_targets=B,
-            cache=cache, device_views=device_views,
-        )
-        walls.append(time.perf_counter() - t0)
-        stages = " ".join(f"{k}={v:.2f}s" for k, v in results[0].timings.items())
-        log(
-            f"rep {rep}: restored {T} x {W}x{H} (batches of {B}, pipelined) "
-            f"in {walls[-1]:.2f}s ({stages}), n_obs[0]={results[0].n_obs}"
-        )
-        if rep >= 1 and time.perf_counter() - bench_start > budget:
-            break
-    wall = min(walls[1:]) if len(walls) > 1 else walls[0]
-
-    import dataclasses as _dc
-
-    # f16-export phase: the documented J-fetch trade, measured (same
-    # device work; the fetch dtype halves — the win shows on
-    # transfer-bound links). 2 reps: warmup (one new compiled export
-    # cast) + one measurement.
-    f16_reps = int(os.environ.get("BENCH_F16_REPS", 2))
-    cfg_f16 = _dc.replace(cfg, export_dtype="f16")
-    fwalls = []
-    for rep in range(f16_reps):
-        # perturb indices the e2e phase (0..reps-1) and the device phase
-        # (reps+1..) never touch: reusing an already-seen index recreates
-        # byte-identical device inputs and the tunnel serves the
-        # matching/fit executions from its cache, overstating value_f16.
-        perturb(64 + rep)
-        t0 = time.perf_counter()
-        restore_survey(
-            scene, targets, tmp / f"f16out{rep}", cfg_f16, batch_targets=B,
-            cache=cache, device_views=device_views,
-        )
-        fwalls.append(time.perf_counter() - t0)
-        log(f"f16 rep {rep}: {fwalls[-1]:.2f}s")
-        if time.perf_counter() - bench_start > budget + 60:
-            break
-    fwall = min(fwalls[1:]) if len(fwalls) > 1 else fwalls[0]
-
-    # Device-compute-only phase: dispatch the full match+fit pipeline per
-    # batch and sync with a tiny scalar fetch (the bulk J / render
-    # transfer and artifact export never happen). Both on-device render
-    # flags are forced off exactly as restore_survey forces them, so this
-    # phase reuses the e2e phase's already-compiled programs and measures
-    # the same device work the e2e number contains.
-    from sucre_tpu.pipeline import dispatch_survey_batch
-
-    dev_reps = int(os.environ.get("BENCH_DEV_REPS", 3))
-    cfg_dev = _dc.replace(
-        cfg, rgb_plot_on_device=False, reconstruction_on_device=False
+    cfg_f16 = dc.replace(wl.cfg, export_dtype="f16")
+    best, n = run_phase(
+        "f16", lambda rep: wl.run_e2e(wl.tmp / f"f16out{rep}", cfg_f16),
+        wl.perturb,
+        reps=F16_REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET, pbase=64,
     )
-    batches = [targets[i : i + B] for i in range(0, T, B)]
-    dwalls = []
-    for rep in range(dev_reps):
-        perturb(reps + 1 + rep)
-        t0 = time.perf_counter()
-        for names in batches:
-            bf = dispatch_survey_batch(
-                scene, list(names), tmp / "devout", cfg_dev, scene.view_list(),
-                cache, device_views,
-            )
-            # device sync: a scalar fetch completes only after the whole
-            # batch program ran (block_until_ready is unreliable on the
-            # tunnel)
-            float(np.asarray(jax.device_get(bf.J_dev[0, 0, 0, 0])))
-        dwalls.append(time.perf_counter() - t0)
-        log(f"device-only rep {rep}: {dwalls[-1]:.2f}s")
-        if rep >= 1 and time.perf_counter() - bench_start > budget + 120:
-            break
-    dwall = min(dwalls[1:]) if len(dwalls) > 1 else dwalls[0]
+    out["value_f16"] = round(wl.mpix / best, 3)
+    nreps["value_f16"] = n
 
-    mpix = T * W * H / 1e6
-    value = mpix / wall
-    print(
-        json.dumps(
-            {
-                "metric": "restore_throughput",
-                "value": round(value, 3),
-                "unit": "Mpix/s",
-                "vs_baseline": round(value / 50.0, 4),
-                "device_mpix_s": round(mpix / dwall, 3),
-                "value_f16": round(mpix / fwall, 3),
-            }
-        )
+    best, n = run_phase(
+        "device", lambda rep: wl.run_device_only(wl.tmp / "devout"),
+        wl.perturb,
+        reps=DEV_REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET, pbase=128,
     )
+    out["device_mpix_s"] = round(wl.mpix / best, 3)
+    nreps["device_mpix_s"] = n
+
+    # ---- transect workload: the partial-overlap survey geometry --------
+    if not SKIP_TRANSECT:
+        twl = Workload("transect", TV, W, H, TT, B, ITERS, spread=SPREAD)
+        best, n = run_phase(
+            "e2e_transect", lambda rep: twl.run_e2e(twl.tmp / f"out{rep}"),
+            twl.perturb,
+            reps=REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET, pbase=0,
+        )
+        out["value_transect"] = round(twl.mpix / best, 3)
+        nreps["value_transect"] = n
+
+        best, n = run_phase(
+            "device_transect",
+            lambda rep: twl.run_device_only(twl.tmp / "devout"),
+            twl.perturb,
+            reps=DEV_REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET, pbase=128,
+        )
+        out["device_mpix_s_transect"] = round(twl.mpix / best, 3)
+        nreps["device_mpix_s_transect"] = n
+
+    out["reps"] = nreps
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
