@@ -167,7 +167,9 @@ class Workload:
 def run_phase(label, fn, perturb, *, reps, min_meas, budget_s, pbase):
     """Run one metric's reps with stall immunity: rep 0 is warmup, then
     at least ``min_meas`` measured reps ALWAYS run; the budget only trims
-    reps beyond the floor. Returns (best_wall, n_measured)."""
+    reps beyond the floor. Returns (best_wall, n_measured, n_run).
+    ``n_measured`` counts post-warmup reps only — 0 when a single rep ran
+    (a warmup number, honestly labeled)."""
     walls = []
     t0 = time.perf_counter()
     for rep in range(reps):
@@ -180,7 +182,7 @@ def run_phase(label, fn, perturb, *, reps, min_meas, budget_s, pbase):
             log(f"[{label}] budget reached after {measured} measured reps")
             break
     steady = walls[1:] if len(walls) > 1 else walls
-    return min(steady), len(walls) - 1 if len(walls) > 1 else 1
+    return min(steady), len(walls) - 1, len(walls)
 
 
 def main() -> None:
@@ -221,29 +223,36 @@ def main() -> None:
     nreps: dict = {}
 
     # ---- all-overlap workload: value / value_f16 / device_mpix_s -------
+    # Perturbation indices are allocated strictly increasing per workload:
+    # two phases of the SAME workload must never reuse an index, or the
+    # tunnel's identical-input execution cache serves the repeat (CLAUDE.md:
+    # it overstated round-1 numbers ~20%).
     wl = Workload("overlap", V, W, H, T, B, ITERS)
+    pbase = 0
 
-    best, n = run_phase(
+    best, n, used = run_phase(
         "e2e", lambda rep: wl.run_e2e(wl.tmp / f"out{rep}"), wl.perturb,
-        reps=REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET, pbase=0,
+        reps=REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET, pbase=pbase,
     )
+    pbase += used
     out["value"] = round(wl.mpix / best, 3)
     out["vs_baseline"] = round(out["value"] / 50.0, 4)
     nreps["value"] = n
 
     cfg_f16 = dc.replace(wl.cfg, export_dtype="f16")
-    best, n = run_phase(
+    best, n, used = run_phase(
         "f16", lambda rep: wl.run_e2e(wl.tmp / f"f16out{rep}", cfg_f16),
         wl.perturb,
-        reps=F16_REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET, pbase=64,
+        reps=F16_REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET, pbase=pbase,
     )
+    pbase += used
     out["value_f16"] = round(wl.mpix / best, 3)
     nreps["value_f16"] = n
 
-    best, n = run_phase(
+    best, n, used = run_phase(
         "device", lambda rep: wl.run_device_only(wl.tmp / "devout"),
         wl.perturb,
-        reps=DEV_REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET, pbase=128,
+        reps=DEV_REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET, pbase=pbase,
     )
     out["device_mpix_s"] = round(wl.mpix / best, 3)
     nreps["device_mpix_s"] = n
@@ -251,19 +260,21 @@ def main() -> None:
     # ---- transect workload: the partial-overlap survey geometry --------
     if not SKIP_TRANSECT:
         twl = Workload("transect", TV, W, H, TT, B, ITERS, spread=SPREAD)
-        best, n = run_phase(
+        tbase = 0
+        best, n, used = run_phase(
             "e2e_transect", lambda rep: twl.run_e2e(twl.tmp / f"out{rep}"),
             twl.perturb,
-            reps=REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET, pbase=0,
+            reps=REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET, pbase=tbase,
         )
+        tbase += used
         out["value_transect"] = round(twl.mpix / best, 3)
         nreps["value_transect"] = n
 
-        best, n = run_phase(
+        best, n, used = run_phase(
             "device_transect",
             lambda rep: twl.run_device_only(twl.tmp / "devout"),
             twl.perturb,
-            reps=DEV_REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET, pbase=128,
+            reps=DEV_REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET, pbase=tbase,
         )
         out["device_mpix_s_transect"] = round(twl.mpix / best, 3)
         nreps["device_mpix_s_transect"] = n

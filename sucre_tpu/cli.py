@@ -260,6 +260,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.store == "memory" and args.keep_matches:
         raise SystemExit("--keep-matches requires the hdf5 store "
                          "(--store memory writes no matches cache)")
+    if args.stop_tol is not None and args.stop_tol <= 0:
+        raise SystemExit(f"--stop-tol must be > 0, got {args.stop_tol}")
+    if args.stop_tol is not None and args.stop_check < 1:
+        raise SystemExit(f"--stop-check must be >= 1, got {args.stop_check}")
     if args.joint_params and len(targets) > 1:
         # joint fitting needs ONE stacked program over ALL targets, so
         # they must share camera dimensions and a lens stack class —

@@ -112,37 +112,133 @@ def _finalize_mm_int(mm: np.ndarray) -> np.ndarray:
 def _collapse_channels(path, arr: np.ndarray) -> np.ndarray:
     """Multi-channel TIFF/EXR depth -> one (H, W) plane.
 
-    Exporters pad single-plane depth to RGB(A) two ways: replicating the
-    value across channels (take any), or writing it into ONE channel with
-    the rest zero (common for EXR depth passes — often R, which is
-    channel 2 under OpenCV's BGR ordering). Picking a fixed channel would
-    silently decode the zero plane as an all-invalid map, so detect the
-    carrying channel; genuinely conflicting planes raise."""
-    ch = arr[..., :3] if arr.shape[2] == 4 else arr  # drop an alpha plane
-    first = ch[..., 0]
-    if all(np.array_equal(ch[..., i], first) for i in range(1, ch.shape[2])):
+    Exporters pad single-plane depth three ways: replicating the value
+    across channels (take any), writing it into ONE channel with the rest
+    zero (common for EXR depth passes — often R, which is channel 2 under
+    OpenCV's BGR ordering), or pairing it with a CONSTANT alpha plane
+    (gray+alpha TIFF, or RGBA with depth in any one channel — including
+    the alpha itself). Picking a fixed channel would silently decode a
+    zero or constant plane as an all-invalid map, so detect the carrying
+    channel; genuinely conflicting planes raise."""
+    n = arr.shape[2]
+    first = arr[..., 0]
+    if all(np.array_equal(arr[..., i], first) for i in range(1, n)):
         return first
-    nonzero = [i for i in range(ch.shape[2]) if np.any(ch[..., i])]
-    if len(nonzero) == 1:
+
+    def _pick(i):
         import sys
 
         print(
-            f"WARNING: {path}: depth lives in channel {nonzero[0]} of a "
-            f"{arr.shape[2]}-channel image (the others are zero); using it.",
+            f"WARNING: {path}: depth lives in channel {i} of a "
+            f"{n}-channel image (the others are zero or constant "
+            f"padding); using it.",
             file=sys.stderr,
         )
-        return ch[..., nonzero[0]]
+        return arr[..., i]
+
+    nonzero = [i for i in range(n) if np.any(arr[..., i])]
+    if len(nonzero) == 1:
+        return _pick(nonzero[0])
+    # Constant non-zero planes are alpha/padding fill, not depth: drop
+    # them and retry (a real depth plane varies across the image).
+    varying = [i for i in nonzero if arr[..., i].min() != arr[..., i].max()]
+    if len(varying) == 1:
+        return _pick(varying[0])
+    if varying and all(
+        np.array_equal(arr[..., i], arr[..., varying[0]]) for i in varying[1:]
+    ):
+        return arr[..., varying[0]]
     raise ValueError(
-        f"{path}: {arr.shape[2]}-channel depth map with differing non-zero "
+        f"{path}: {n}-channel depth map with differing non-zero "
         f"channels — ambiguous (export depth as a single plane, or "
         f"replicate it across channels)"
     )
 
 
+def _tiff_stored_dtype(path: Path) -> np.dtype:
+    """Sample dtype from the first IFD's BitsPerSample (258) +
+    SampleFormat (339) tags — header-only, no pixel decode."""
+    import struct
+
+    with open(path, "rb") as f:
+        head = f.read(8)
+        if len(head) < 8 or head[:2] not in (b"II", b"MM"):
+            raise ValueError("not a TIFF")
+        en = "<" if head[:2] == b"II" else ">"
+        if struct.unpack(en + "H", head[2:4])[0] != 42:
+            raise ValueError("unsupported TIFF variant (BigTIFF?)")
+        f.seek(struct.unpack(en + "I", head[4:8])[0])
+        (count,) = struct.unpack(en + "H", f.read(2))
+        bits, fmt = 8, 1  # TIFF defaults: 8-bit unsigned
+        for _ in range(count):
+            e = f.read(12)
+            tag, _typ, cnt = struct.unpack(en + "HHI", e[:8])
+            if tag not in (258, 339):
+                continue
+            if cnt == 1:
+                (val,) = struct.unpack(en + "H", e[8:10])
+            else:  # per-channel SHORTs at an offset (channels agree here)
+                pos = f.tell()
+                f.seek(struct.unpack(en + "I", e[8:12])[0])
+                (val,) = struct.unpack(en + "H", f.read(2))
+                f.seek(pos)
+            if tag == 258:
+                bits = val
+            else:
+                fmt = val
+    kind = {1: "u", 2: "i", 3: "f"}.get(fmt)
+    if kind is None or bits % 8 or bits > 64:
+        raise ValueError(f"unsupported TIFF sample format {fmt}/{bits}")
+    return np.dtype(f"{kind}{bits // 8}")
+
+
+def _exr_stored_dtype(path: Path) -> np.dtype:
+    """Pixel type of the first channel in the EXR header's chlist —
+    header-only. HALF reports float16 (the true stored width; a cv2
+    decode would widen it to float32)."""
+    import struct
+
+    with open(path, "rb") as f:
+        if f.read(4) != b"\x76\x2f\x31\x01":
+            raise ValueError("not an EXR")
+        f.read(4)  # version/flags
+
+        def cstr() -> bytes:
+            bs = bytearray()
+            while True:
+                c = f.read(1)
+                if not c or c == b"\0":
+                    return bytes(bs)
+                bs += c
+
+        while True:
+            name = cstr()
+            if not name:  # end of header before a channels attribute
+                raise ValueError("EXR header has no channels attribute")
+            typ = cstr()
+            (size,) = struct.unpack("<I", f.read(4))
+            if name == b"channels" and typ == b"chlist":
+                if not cstr():  # first channel name; empty = end of list
+                    raise ValueError("empty EXR channel list")
+                (ptype,) = struct.unpack("<i", f.read(4))
+                try:
+                    return {
+                        0: np.dtype(np.uint32),
+                        1: np.dtype(np.float16),
+                        2: np.dtype(np.float32),
+                    }[ptype]
+                except KeyError:
+                    raise ValueError(f"unknown EXR pixel type {ptype}")
+            f.seek(size, 1)
+
+
 def source_dtype(path: Path | str) -> np.dtype:
     """Dtype of the STORED depth payload (before any unit conversion) —
     the validator's unit-mistake heuristics need the on-disk width, which
-    ``read_depth_any``'s u16-mm normalization erases."""
+    ``read_depth_any``'s u16-mm normalization erases. Header-only for
+    every format (deep validation already pays one full decode per view;
+    this must not add a second); falls back to a cv2 decode only when a
+    TIFF/EXR header is an unsupported variant."""
     path = Path(path)
     suffix = path.suffix.lower()
     if suffix == ".bin":
@@ -151,6 +247,12 @@ def source_dtype(path: Path | str) -> np.dtype:
         # mmap: header-only read, public API
         return np.load(path, mmap_mode="r", allow_pickle=False).dtype
     if suffix in (".tif", ".tiff", ".exr"):
+        try:
+            if suffix == ".exr":
+                return _exr_stored_dtype(path)
+            return _tiff_stored_dtype(path)
+        except ValueError:
+            pass
         import os
 
         os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")

@@ -14,7 +14,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -291,35 +290,21 @@ def fit_many(
         )
         return params, J, observed, tel
 
-    # Measured-convergence early stop: run stop_check-iteration segments,
-    # fetching the per-target cost tail between them (one small host round
-    # trip per segment), until EVERY target's windowed improvement falls
-    # below stop_tol (solve.improvement_converged) or num_iter is reached.
-    from sucre_tpu.solve import improvement_converged
+    # Measured-convergence early stop: solve.run_stop_tol_segments drives
+    # stop_check-iteration segments until every target's windowed
+    # improvement falls below stop_tol or num_iter is reached.
+    from sucre_tpu.solve import run_stop_tol_segments
 
-    opt_state = None
-    tel_parts = []
-    it = 0
-    prev_cost = None
-    while it < cfg.num_iter:
-        n = min(max(1, cfg.stop_check), cfg.num_iter - it)
-        params, opt_state, _, _, tel = _fit_many_jit(
-            params, opt_state, obs, n_obs, n, finalize=False, **static
+    state = {"params": params, "opt_state": None}
+
+    def step(n):
+        state["params"], state["opt_state"], _, _, tel = _fit_many_jit(
+            state["params"], state["opt_state"], obs, n_obs, n,
+            finalize=False, **static,
         )
-        tel_parts.append(jax.device_get(tel))
-        it += n
-        cost = tel_parts[-1].cost[-1]  # (T,)
-        if improvement_converged(prev_cost, cost, n, cfg.stop_check, cfg.stop_tol):
-            break
-        prev_cost = cost
+        return tel
+
+    tel = run_stop_tol_segments(step, cfg, n_obs.shape[0])
+    params = state["params"]
     J, observed = _finalize_many_jit(params, obs, cfg.use_closed_form, chunked)
-    if tel_parts:
-        tel = jax.tree.map(lambda *xs: np.concatenate(xs), *tel_parts)
-    else:  # num_iter == 0
-        T = n_obs.shape[0]
-        tel = FitTelemetry(
-            cost=np.zeros((0, T), np.float32), B=np.zeros((0, T, 3), np.float32),
-            beta=np.zeros((0, T, 3), np.float32),
-            gamma=np.zeros((0, T, 3), np.float32),
-        )
     return params, J, observed, tel

@@ -277,37 +277,22 @@ def fit_joint(params: JointParams, obs: DenseObs, cfg: FitConfig, mesh=None):
         )
         return params, J, observed, tel
 
-    # stop_tol segmentation (same scheme as fit_many): every target's
-    # windowed cost improvement must fall below tol — the shared water
-    # model keeps moving until its weakest-constrained target settles.
-    import numpy as np
+    # stop_tol segmentation (shared driver, same scheme as fit_many):
+    # every target's windowed cost improvement must fall below tol — the
+    # shared water model keeps moving until its weakest-constrained
+    # target settles.
+    from sucre_tpu.solve import run_stop_tol_segments
 
-    from sucre_tpu.solve import improvement_converged
+    state = {"params": params, "opt_state": None}
 
-    opt_state = None
-    tel_parts = []
-    it = 0
-    prev_cost = None
-    while it < cfg.num_iter:
-        n = min(max(1, cfg.stop_check), cfg.num_iter - it)
-        params, opt_state, _, _, tel = _fit_joint_jit(
-            params, opt_state, obs, n_obs, n, finalize=False, **static
+    def step(n):
+        state["params"], state["opt_state"], _, _, tel = _fit_joint_jit(
+            state["params"], state["opt_state"], obs, n_obs, n,
+            finalize=False, **static,
         )
-        tel_parts.append(jax.device_get(tel))
-        it += n
-        cost = tel_parts[-1].cost[-1]
-        if improvement_converged(prev_cost, cost, n, cfg.stop_check, cfg.stop_tol):
-            break
-        prev_cost = cost
+        return tel
+
+    tel = run_stop_tol_segments(step, cfg, n_obs.shape[0])
+    params = state["params"]
     J, observed = _finalize_joint_jit(params, obs, cfg.use_closed_form, chunked)
-    if tel_parts:
-        tel = jax.tree.map(lambda *xs: np.concatenate(xs), *tel_parts)
-    else:  # num_iter == 0
-        T0 = n_obs.shape[0]
-        tel = FitTelemetry(
-            cost=np.zeros((0, T0), np.float32),
-            B=np.zeros((0, T0, 3), np.float32),
-            beta=np.zeros((0, T0, 3), np.float32),
-            gamma=np.zeros((0, T0, 3), np.float32),
-        )
     return params, J, observed, tel

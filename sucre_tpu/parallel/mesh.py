@@ -464,39 +464,22 @@ def fit_many_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
             params, X, It, n_obs, num_iter=cfg.num_iter, **static
         )
     else:
-        # stop_tol segmentation, same scheme as fit_many: stop_check-long
-        # scans with the per-target cost tail checked between them.
-        import numpy as np
+        # stop_tol segmentation (shared driver, same scheme as fit_many):
+        # stop_check-long scans with the per-target cost tail checked
+        # between them.
+        from sucre_tpu.solve import run_stop_tol_segments
 
-        from sucre_tpu.solve import FitTelemetry, improvement_converged
+        state = {"params": params, "opt_state": None}
 
-        opt_state = None
-        tel_parts = []
-        it = 0
-        prev_cost = None
-        while it < cfg.num_iter:
-            n = min(max(1, cfg.stop_check), cfg.num_iter - it)
-            params, opt_state, tel = _run_sharded_kernel(
-                params, X, It, n_obs, opt_state, num_iter=n, **static
+        def step(n):
+            state["params"], state["opt_state"], tel = _run_sharded_kernel(
+                state["params"], X, It, n_obs, state["opt_state"],
+                num_iter=n, **static,
             )
-            tel_parts.append(jax.device_get(tel))
-            it += n
-            cost = tel_parts[-1].cost[-1]
-            if improvement_converged(
-                prev_cost, cost, n, cfg.stop_check, cfg.stop_tol
-            ):
-                break
-            prev_cost = cost
-        if tel_parts:
-            tel = jax.tree.map(lambda *xs: np.concatenate(xs), *tel_parts)
-        else:  # num_iter == 0
-            T0 = n_obs.shape[0]
-            tel = FitTelemetry(
-                cost=np.zeros((0, T0), np.float32),
-                B=np.zeros((0, T0, 3), np.float32),
-                beta=np.zeros((0, T0, 3), np.float32),
-                gamma=np.zeros((0, T0, 3), np.float32),
-            )
+            return tel
+
+        tel = run_stop_tol_segments(step, cfg, n_obs.shape[0])
+        params = state["params"]
     J = params.J[:, :H, :W]
     observed = jnp.any(obs.valid, axis=1)
     return params._replace(J=J), J, observed, tel

@@ -82,6 +82,15 @@ class FitConfig:
     stop_tol: float | None = None
     stop_check: int = 25
 
+    def __post_init__(self):
+        if self.stop_tol is not None:
+            if self.stop_tol <= 0:
+                raise ValueError(f"stop_tol must be > 0, got {self.stop_tol}")
+            if self.stop_check < 1:
+                raise ValueError(
+                    f"stop_check must be >= 1, got {self.stop_check}"
+                )
+
 
 class FitResult(NamedTuple):
     params: SucreParams
@@ -163,6 +172,40 @@ def improvement_converged(
     cur = np.asarray(cost, np.float64)
     rate = (prev - cur) / np.maximum(np.abs(cur), 1e-30) * (stop_check / n_steps)
     return bool(np.all(np.isfinite(rate) & (np.abs(rate) < tol)))
+
+
+def run_stop_tol_segments(
+    step: Callable[[int], FitTelemetry], cfg: "FitConfig", n_targets: int
+) -> FitTelemetry:
+    """Shared stop-tol segmentation driver for the batched fit paths
+    (fit_many / fit_joint / the sharded-kernel batched fit).
+
+    ``step(n_steps)`` advances the caller's fit state by ``n_steps``
+    iterations and returns that segment's telemetry with per-target
+    trailing shapes (cost (n, T), params (n, T, 3)). Segments run at the
+    ``stop_check`` cadence until EVERY target's windowed cost improvement
+    falls below ``stop_tol`` (improvement_converged) or ``num_iter`` is
+    reached; each check costs one small host round trip. Returns the
+    concatenated telemetry (empty when ``num_iter`` is 0)."""
+    tel_parts: list[FitTelemetry] = []
+    it = 0
+    prev_cost = None
+    while it < cfg.num_iter:
+        n = min(cfg.stop_check, cfg.num_iter - it)
+        tel_parts.append(jax.device_get(step(n)))
+        it += n
+        cost = tel_parts[-1].cost[-1]  # (T,)
+        if improvement_converged(prev_cost, cost, n, cfg.stop_check, cfg.stop_tol):
+            break
+        prev_cost = cost
+    if tel_parts:
+        return jax.tree.map(lambda *xs: np.concatenate(xs), *tel_parts)
+    T = n_targets
+    return FitTelemetry(
+        cost=np.zeros((0, T), np.float32), B=np.zeros((0, T, 3), np.float32),
+        beta=np.zeros((0, T, 3), np.float32),
+        gamma=np.zeros((0, T, 3), np.float32),
+    )
 
 
 @partial(

@@ -168,6 +168,49 @@ class TestReadDepthAny:
         with pytest.raises(ValueError, match="differing non-zero"):
             read_depth_any(p)
 
+    def test_gray_alpha_picks_depth_plane(self, capsys):
+        """Gray+alpha exports pair the depth plane with a CONSTANT alpha;
+        the constant plane is padding, not a conflicting channel."""
+        from sucre_tpu.io.depth_formats import _collapse_channels
+
+        d = np.array([[0.5, 2.25]], np.float32)
+        ga = np.stack([d, np.ones_like(d)], axis=-1)
+        np.testing.assert_array_equal(_collapse_channels("ga", ga), d)
+        assert "channel 0" in capsys.readouterr().err
+
+    def test_rgba_depth_in_alpha(self, tmp_path, capsys):
+        """Depth written into the ALPHA channel of an RGBA image (RGB
+        zero) must decode to the alpha plane, not a silent zero map."""
+        d = np.array([[0.5, 2.25], [1.0, 3.0]], np.float32)
+        bgra = np.zeros((2, 2, 4), np.float32)
+        bgra[..., 3] = d
+        p = tmp_path / "alpha.tif"
+        assert cv2.imwrite(str(p), bgra)
+        np.testing.assert_array_equal(
+            read_depth_any(p), (d * 1000).astype(np.uint16)
+        )
+        assert "channel 3" in capsys.readouterr().err
+
+    def test_rgba_replicated_with_constant_alpha(self, tmp_path):
+        d = np.array([[0.5, 2.25], [1.0, 3.0]], np.float32)
+        bgra = np.repeat(d[..., None], 4, axis=-1)
+        bgra[..., 3] = 1.0  # opaque alpha
+        p = tmp_path / "rgba.tif"
+        assert cv2.imwrite(str(p), bgra)
+        np.testing.assert_array_equal(
+            read_depth_any(p), (d * 1000).astype(np.uint16)
+        )
+
+    def test_rgba_conflicting_still_raises(self, tmp_path):
+        bgra = np.zeros((1, 2, 4), np.float32)
+        bgra[..., 0] = np.array([1.0, 2.0])
+        bgra[..., 2] = np.array([3.0, 4.0])
+        bgra[..., 3] = 1.0
+        p = tmp_path / "conflict4.tif"
+        assert cv2.imwrite(str(p), bgra)
+        with pytest.raises(ValueError, match="differing non-zero"):
+            read_depth_any(p)
+
     def test_source_dtype(self, tmp_path):
         from sucre_tpu.io.depth_formats import source_dtype
 
@@ -177,6 +220,46 @@ class TestReadDepthAny:
         assert source_dtype(tmp_path / "f32.npy") == np.float32
         write_colmap_array(tmp_path / "d.bin", np.ones((2, 2), np.float32))
         assert source_dtype(tmp_path / "d.bin") == np.float32
+
+    def test_source_dtype_tiff_header_only(self, tmp_path):
+        """TIFF dtype comes from the header tags (BitsPerSample +
+        SampleFormat), not a second full decode."""
+        from sucre_tpu.io.depth_formats import _tiff_stored_dtype, source_dtype
+
+        pf = tmp_path / "f32.tif"
+        assert cv2.imwrite(str(pf), np.ones((3, 4), np.float32))
+        assert _tiff_stored_dtype(pf) == np.float32
+        assert source_dtype(pf) == np.float32
+        pu = tmp_path / "u16.tif"
+        assert cv2.imwrite(str(pu), np.ones((3, 4), np.uint16))
+        assert source_dtype(pu) == np.uint16
+        pb = tmp_path / "u8.tif"
+        assert cv2.imwrite(str(pb), np.ones((3, 4), np.uint8))
+        assert source_dtype(pb) == np.uint8
+
+    def test_source_dtype_exr_header_only(self, tmp_path):
+        """EXR pixel type parses from the chlist header; HALF reports the
+        true 16-bit stored width (a cv2 decode would widen to f32). The
+        probe never needs the (possibly absent) cv2 EXR codec, so the
+        fixture is a handcrafted header with no pixel payload."""
+        import struct
+
+        from sucre_tpu.io.depth_formats import _exr_stored_dtype
+
+        def exr_header(ptype: int) -> bytes:
+            chan = b"Z\x00" + struct.pack("<i", ptype) + b"\x00" * 4
+            chan += struct.pack("<ii", 1, 1)
+            payload = chan + b"\x00"  # empty name terminates the list
+            return (
+                b"\x76\x2f\x31\x01" + struct.pack("<I", 2)
+                + b"channels\x00chlist\x00" + struct.pack("<I", len(payload))
+                + payload
+            )
+
+        for ptype, want in [(0, np.uint32), (1, np.float16), (2, np.float32)]:
+            p = tmp_path / f"t{ptype}.exr"
+            p.write_bytes(exr_header(ptype))
+            assert _exr_stored_dtype(p) == want
 
 
 class TestResolutionAndLoaders:

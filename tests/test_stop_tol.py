@@ -57,6 +57,20 @@ def test_default_runs_exactly_num_iter(obs_params):
     assert len(res.telemetry.cost) == 60
 
 
+def test_invalid_stop_config_rejected():
+    """stop_check=0 would crash the sequential segment planner and make
+    the batched paths stop after one segment (rate scaled by 0 is always
+    < tol); both degenerate configs must be rejected up front."""
+    with pytest.raises(ValueError, match="stop_check"):
+        FitConfig(stop_tol=0.05, stop_check=0)
+    with pytest.raises(ValueError, match="stop_check"):
+        FitConfig(stop_tol=0.05, stop_check=-3)
+    with pytest.raises(ValueError, match="stop_tol"):
+        FitConfig(stop_tol=0.0)
+    # stop_check alone (stop_tol off) stays unvalidated: it is inert
+    FitConfig(stop_check=0)
+
+
 def test_stop_tol_stops_early_and_exactly_at_criterion(obs_params):
     """The run ends at the FIRST boundary where its own cost series
     satisfies the criterion — never before, never after — and early
