@@ -82,8 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--keep-matches", action="store_true",
                         help="keep matches file (can take a lot of space).")
     parser.add_argument("--num-workers", type=int, default=0,
-                        help="number of decode prefetch threads, 0 decodes on the "
+                        help="number of decode prefetch workers, 0 decodes on the "
                              "main thread.")
+    parser.add_argument("--decode-processes", action="store_true",
+                        help="use worker PROCESSES for --num-workers decode "
+                             "prefetch (the reference's DataLoader model) instead "
+                             "of threads; only worth it for GIL-bound decode "
+                             "paths (pure-Python alt-format readers).")
     parser.add_argument("--device", type=str, default=None,
                         help="accepted for reference-CLI compatibility; the JAX "
                              "platform is selected automatically (see --platform).")
@@ -325,6 +330,7 @@ def main(argv: list[str] | None = None) -> int:
         force_compute_matches=args.force_compute_matches,
         keep_matches=args.keep_matches,
         num_workers=args.num_workers,
+        decode_processes=args.decode_processes,
         match_chunk=args.match_chunk,
         match_window=args.match_window,
         frustum_cull=not args.no_culling,
@@ -440,7 +446,10 @@ def main(argv: list[str] | None = None) -> int:
                 from sucre_tpu.pipeline import ViewCache
 
                 cache = ViewCache()
-                cache.prefill(image_list, num_workers=args.num_workers)
+                cache.prefill(
+                    image_list, num_workers=args.num_workers,
+                    processes=args.decode_processes,
+                )
             for name in targets:
                 try:
                     results.append(

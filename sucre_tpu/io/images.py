@@ -181,6 +181,21 @@ def load_view_arrays(
     return r, d
 
 
+def _decode_job(
+    rgb_path, depth_path, width: int, height: int,
+    rgb: bool, depth: bool, raw: bool,
+) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """Process-pool work unit: plain-path args (no View pickling), so a
+    spawn-context child only imports this module."""
+    if raw:
+        r = load_rgb_raw(rgb_path, width, height) if rgb else None
+        d = load_depth_raw(depth_path, width, height) if depth else None
+    else:
+        r = load_rgb(rgb_path, width, height) if rgb else None
+        d = load_depth_map(depth_path, width, height) if depth else None
+    return r, d
+
+
 def prefetch_views(
     views: Sequence,
     *,
@@ -189,13 +204,19 @@ def prefetch_views(
     num_workers: int = 0,
     lookahead: int = 4,
     raw: bool = False,
+    processes: bool = False,
 ) -> Iterator[tuple[int, np.ndarray | None, np.ndarray | None]]:
-    """Iterate (index, rgb, depth) over views with threaded lookahead decode.
+    """Iterate (index, rgb, depth) over views with lookahead decode.
 
     ``num_workers=0`` decodes synchronously on the calling thread (parity
-    with the reference's DataLoader(num_workers=0)). Otherwise a thread
+    with the reference's DataLoader(num_workers=0)). Otherwise a worker
     pool keeps up to ``lookahead`` decoded images in flight, overlapping
-    host decode with device compute.
+    host decode with device compute. The pool is threads by default —
+    cv2/libjpeg release the GIL, and threads skip fork/pickle overhead.
+    ``processes=True`` uses spawn-context worker PROCESSES instead (the
+    reference's DataLoader model, loader.py:173-180): only worth it when
+    the decode path holds the GIL (pure-Python alt-format readers), at
+    the cost of per-worker interpreter startup and result pickling.
     """
     if num_workers <= 0:
         for i, v in enumerate(views):
@@ -203,16 +224,34 @@ def prefetch_views(
             yield i, r, d
         return
 
-    with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:
+    if processes:
+        import multiprocessing as mp
+
+        # spawn, not fork: this process may hold initialized JAX/XLA
+        # runtime threads that a forked child would inherit mid-state
+        pool = cf.ProcessPoolExecutor(
+            max_workers=num_workers, mp_context=mp.get_context("spawn")
+        )
+
+        def submit(v):
+            return pool.submit(
+                _decode_job, v.rgb_path, v.depth_path, v.width, v.height,
+                rgb, depth, raw,
+            )
+    else:
+        pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+
+        def submit(v):
+            return pool.submit(load_view_arrays, v, rgb=rgb, depth=depth, raw=raw)
+
+    with pool:
         pending: dict[int, cf.Future] = {}
         next_submit = 0
         next_yield = 0
         n = len(views)
         while next_yield < n:
             while next_submit < n and len(pending) < max(lookahead, num_workers):
-                pending[next_submit] = pool.submit(
-                    load_view_arrays, views[next_submit], rgb=rgb, depth=depth, raw=raw
-                )
+                pending[next_submit] = submit(views[next_submit])
                 next_submit += 1
             r, d = pending.pop(next_yield).result()
             yield next_yield, r, d

@@ -67,7 +67,7 @@ def kernel_supported(W: int) -> bool:
 _NPART = 16
 
 
-def _kernel(B_ref, beta_ref, gamma_ref, z_ref, I_ref, J_ref, dJ_ref, part_ref, *, u8: bool):
+def _kernel(B_ref, beta_ref, gamma_ref, occ_ref, z_ref, I_ref, J_ref, dJ_ref, part_ref, *, u8: bool):
     i = pl.program_id(1)
     v = pl.program_id(2)
 
@@ -83,30 +83,53 @@ def _kernel(B_ref, beta_ref, gamma_ref, z_ref, I_ref, J_ref, dJ_ref, part_ref, *
         for k in range(_NPART):
             part_ref[0, 0, k] = jnp.float32(0.0)
 
-    z = z_ref[0]  # (VB, TH, Wp)
-    mask = z > 0.0
-    cost_acc = jnp.float32(0.0)
-    for c in range(3):
-        Bc = B_ref[0, 0, c]
-        bec = beta_ref[0, 0, c]
-        gac = gamma_ref[0, 0, c]
-        Jc = J_ref[0, c]  # (TH, Wp), broadcasts over the VB axis
-        a = jnp.exp(-bec * z)
-        ex = jnp.exp(-gac * z)
-        em = 1.0 - ex
-        I = I_ref[0, c]  # (VB, TH, Wp)
-        if u8:
-            # Mosaic lacks a direct u8->f32 cast; hop through int32.
-            I = I.astype(jnp.int32).astype(jnp.float32) * jnp.float32(1.0 / 255.0)
-        I_hat = Jc[None] * a + Bc * em
-        r = jnp.where(mask, I - I_hat, 0.0)
-        g = -2.0 * r  # masked through r
-        dJ_ref[0, c] += jnp.sum(g * a, axis=0)
-        cost_acc += jnp.sum(r * r)
-        part_ref[0, 0, 1 + c] += jnp.sum(g * em)
-        part_ref[0, 0, 4 + c] += jnp.sum(-g * (Jc[None] * z) * a)
-        part_ref[0, 0, 7 + c] += jnp.sum(g * Bc * z * ex)
-    part_ref[0, 0, 0] += cost_acc
+    # Block occupancy (see ``occupancy``): empty (row-tile, view-block)
+    # pairs contribute exactly zero to every accumulator, so skip their
+    # VPU work entirely — on partial-overlap survey stacks (a transect's
+    # sliver views) most blocks of most kept views are empty, and the
+    # kernel is VPU-bound, not DMA-bound.
+    @pl.when(occ_ref[0, 0, 0] > 0)
+    def _():
+        z = z_ref[0]  # (VB, TH, Wp)
+        mask = z > 0.0
+        cost_acc = jnp.float32(0.0)
+        for c in range(3):
+            Bc = B_ref[0, 0, c]
+            bec = beta_ref[0, 0, c]
+            gac = gamma_ref[0, 0, c]
+            Jc = J_ref[0, c]  # (TH, Wp), broadcasts over the VB axis
+            a = jnp.exp(-bec * z)
+            ex = jnp.exp(-gac * z)
+            em = 1.0 - ex
+            I = I_ref[0, c]  # (VB, TH, Wp)
+            if u8:
+                # Mosaic lacks a direct u8->f32 cast; hop through int32.
+                I = I.astype(jnp.int32).astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+            I_hat = Jc[None] * a + Bc * em
+            r = jnp.where(mask, I - I_hat, 0.0)
+            g = -2.0 * r  # masked through r
+            dJ_ref[0, c] += jnp.sum(g * a, axis=0)
+            cost_acc += jnp.sum(r * r)
+            part_ref[0, 0, 1 + c] += jnp.sum(g * em)
+            part_ref[0, 0, 4 + c] += jnp.sum(-g * (Jc[None] * z) * a)
+            part_ref[0, 0, 7 + c] += jnp.sum(g * Bc * z * ex)
+        part_ref[0, 0, 0] += cost_acc
+
+
+def occupancy(zt: jnp.ndarray) -> jnp.ndarray:
+    """Per-(target, row-tile, view-block) validity flags (i32 0/1) for
+    the kernel's grid: blocks with no valid observation (z == 0
+    everywhere) are skipped. Compute ONCE per fit, outside the iteration
+    loop — zt is iteration-invariant, and the reduction reads the z
+    stack once (about half of one kernel iteration's traffic)."""
+    T, Vp, Hp, Wp = zt.shape
+    th = row_tile(Wp)
+    occ = (
+        (zt > 0)
+        .reshape(T, Vp // VB, VB, Hp // th, th, Wp)
+        .any(axis=(2, 4, 5))
+    )
+    return jnp.moveaxis(occ, 1, 2).astype(jnp.int32)  # (T, n_tiles, Vp//VB)
 
 
 def prepare_obs(z: jnp.ndarray, I: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -141,12 +164,19 @@ def fused_fit_grads_prepared(
     gamma: jnp.ndarray,
     zt: jnp.ndarray,  # (T, V, Hp, Wp) f32 from prepare_obs
     It: jnp.ndarray,  # (T, 3, V, Hp, Wp) u8/f32 from prepare_obs
+    occ: jnp.ndarray | None = None,  # (T, n_tiles, V//VB) i32 from occupancy
     interpret: bool = False,
 ):
     """One fused pass on pre-transformed observations: returns
     (cost (T,), dJ (T,H,W,3), dB (T,3), dbeta, dgamma) — unnormalized
     (multiply by the per-target loss scale outside). Leading T axes are
-    squeezed away if the inputs were single-target."""
+    squeezed away if the inputs were single-target.
+
+    ``occ`` (see ``occupancy``) marks which (target, row-tile,
+    view-block) grid steps hold any valid observation; empty blocks skip
+    their VPU work. Pass it precomputed from OUTSIDE the iteration loop
+    — computing it here per call would re-read the z stack every
+    iteration. None runs every block (identical results)."""
     single = J.ndim == 3
     if single:
         J = J[None]
@@ -158,6 +188,8 @@ def fused_fit_grads_prepared(
     th = row_tile(Wp)
     n_tiles = Hp // th
     grid = (T, n_tiles, V // VB)
+    if occ is None:
+        occ = jnp.ones((T, n_tiles, V // VB), jnp.int32)
 
     dJt, parts = pl.pallas_call(
         partial(_kernel, u8=jnp.issubdtype(It.dtype, jnp.integer)),
@@ -168,6 +200,9 @@ def fused_fit_grads_prepared(
             pl.BlockSpec((1, 1, 3), lambda t, i, v: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 3), lambda t, i, v: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 3), lambda t, i, v: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, 1), lambda t, i, v: (t, i, v), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec(
                 (1, VB, th, Wp), lambda t, i, v: (t, v, i, 0), memory_space=pltpu.VMEM
             ),
@@ -197,6 +232,7 @@ def fused_fit_grads_prepared(
         B.astype(jnp.float32)[:, None],
         beta.astype(jnp.float32)[:, None],
         gamma.astype(jnp.float32)[:, None],
+        occ,
         zt,
         It,
         Jt,
@@ -217,4 +253,6 @@ def fused_fit_grads_prepared(
 def fused_fit_grads(J, B, beta, gamma, z, I, interpret: bool = False):
     """Convenience wrapper over unprepared (V, H, W)/(V, H, W, 3) inputs."""
     zt, It = prepare_obs(z, I)
-    return fused_fit_grads_prepared(J, B, beta, gamma, zt, It, interpret=interpret)
+    return fused_fit_grads_prepared(
+        J, B, beta, gamma, zt, It, occ=occupancy(zt), interpret=interpret
+    )

@@ -155,10 +155,14 @@ def _fit_many_jit(
     elif pallas_mode != "off":
         from sucre_tpu.ops.pallas.fit_kernel import (
             fused_fit_grads_prepared,
+            occupancy,
             prepare_obs,
         )
 
         zt, It = prepare_obs(obs.z, obs.I)
+        # once per segment, NOT per iteration (see occupancy): empty
+        # (row-tile, view-block) grid steps skip their VPU work
+        occ = occupancy(zt)
 
     # View-chunked grad accumulation (the --batch-size memory knob):
     # per-target obs arrive reshaped (nc, chunk, H, W, ...) and the loss /
@@ -191,7 +195,7 @@ def _fit_many_jit(
         elif pallas_mode != "off":
             cost, dJ, dB, dbeta, dgamma = fused_fit_grads_prepared(
                 params.J, params.B, params.beta, params.gamma, zt, It,
-                interpret=interpret,
+                occ=occ, interpret=interpret,
             )
             s = (1.0 / (jnp.maximum(n_obs, 1) * 3.0))[:, None]
             grads = SucreParams(

@@ -111,10 +111,14 @@ def _fit_joint_jit(
     elif pallas_mode != "off":
         from sucre_tpu.ops.pallas.fit_kernel import (
             fused_fit_grads_prepared,
+            occupancy,
             prepare_obs,
         )
 
         zt, It = prepare_obs(obs.z, obs.I)
+        # once per segment, NOT per iteration (see occupancy): empty
+        # (row-tile, view-block) grid steps skip their VPU work
+        occ = occupancy(zt)
 
     def kernel_grads(p: JointParams):
         """Per-target kernel passes with the SHARED globals broadcast to
@@ -139,7 +143,7 @@ def _fit_joint_jit(
             )
         else:
             cost, dJ, dB, dbeta, dgamma = fused_fit_grads_prepared(
-                p.J, bB, bbe, bga, zt, It, interpret=interpret
+                p.J, bB, bbe, bga, zt, It, occ=occ, interpret=interpret
             )
             extra = {}
         grads = JointParams(

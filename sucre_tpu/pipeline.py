@@ -67,6 +67,11 @@ class RestoreConfig:
     force_compute_matches: bool = False
     keep_matches: bool = False
     num_workers: int = 0
+    # Decode-worker pool type. Threads (default) suit the C++/cv2 decode
+    # stack (GIL released); True = spawn-context worker PROCESSES — the
+    # reference's DataLoader model (loader.py:173-180) — for decode paths
+    # that hold the GIL (pure-Python alt-format readers).
+    decode_processes: bool = False
     match_chunk: int = 8  # views per device matching batch
     # Chunked-matching flush window: how many dispatched chunks' min-cover
     # counts are fetched per host round trip (see compute_matches /
@@ -191,7 +196,9 @@ class ViewCache:
             self._data[view.name] = hit
         return hit
 
-    def prefill(self, views: list[View], num_workers: int = 0) -> None:
+    def prefill(
+        self, views: list[View], num_workers: int = 0, processes: bool = False
+    ) -> None:
         views = [v for v in views if v.name not in self._data]
         if not views:
             return
@@ -219,7 +226,9 @@ class ViewCache:
                     return
         except Exception:
             pass
-        for i, rgb, depth in prefetch_views(views, num_workers=num_workers, raw=True):
+        for i, rgb, depth in prefetch_views(
+            views, num_workers=num_workers, raw=True, processes=processes
+        ):
             self._data[views[i].name] = (rgb, depth)
 
 
@@ -349,6 +358,31 @@ def _chunk_rect(sub, view_rects, Hp: int, Wp: int):
     )
 
 
+def _est_chunked_pairs(
+    tile_rects: list[dict], culled_list: list[View], match_chunk: int,
+    H: int, W: int,
+) -> int:
+    """Predicted matching gather rows if the batch routed through the
+    chunked path: per (target, chunk), the union tile rectangle's area
+    times the chunk's view count (the rows the sliced program actually
+    gathers). Mirrors match_targets_shared's chunk grouping."""
+    chunks = [
+        culled_list[i: i + match_chunk]
+        for i in range(0, len(culled_list), match_chunk)
+    ]
+    total = 0
+    for rl in tile_rects:
+        if not rl:
+            continue
+        for sub in chunks:
+            rect = _chunk_rect(sub, rl, H, W)
+            if rect is None:
+                continue
+            r0, r1, c0, c1 = rect
+            total += (r1 - r0) * (c1 - c0) * len(sub)
+    return total
+
+
 def _restore_rect(tree, rect, H: int, W: int):
     """Pad a rect-sliced matching output back onto the full (H, W) target
     grid (padded entries are invalid: zeros, NO_MATCH for pixel coords).
@@ -382,6 +416,7 @@ def compute_matches(
     min_cover: float = 0.000001,
     match_chunk: int = 8,
     num_workers: int = 0,
+    decode_processes: bool = False,
     target_depth: np.ndarray | None = None,
     collect_dense: bool = True,
     cache: ViewCache | None = None,
@@ -492,7 +527,7 @@ def compute_matches(
 
                 it = prefetch_views(
                     views, rgb=True, depth=False, num_workers=num_workers,
-                    raw=True,
+                    raw=True, processes=decode_processes,
                 )
                 for (i, r, _), v in zip(it, views):
                     d = primed_depths.pop(v.name, None)
@@ -505,7 +540,8 @@ def compute_matches(
             # raw dtypes: packed single-gather matching + 4x cheaper H2D
             # (u8-domain downscale under image_scale, see load_rgb_raw)
             stream = prefetch_views(
-                views, rgb=True, depth=True, num_workers=num_workers, raw=True
+                views, rgb=True, depth=True, num_workers=num_workers,
+                raw=True, processes=decode_processes,
             )
         for chunk in batched(stream, match_chunk):
             idxs = [i for i, _, _ in chunk]
@@ -888,6 +924,7 @@ def restore_image(
             min_cover=cfg.min_cover,
             match_chunk=cfg.match_chunk,
             num_workers=cfg.num_workers,
+            decode_processes=cfg.decode_processes,
             target_depth=target_depth,
             collect_dense=True,
             cache=cache,
@@ -1348,6 +1385,29 @@ def dispatch_survey_batch(
             == {v.name for v in image_list}
             and n_pairs <= pair_budget
         )
+        # Partial-overlap routing: the single program matches every target
+        # against the whole culled-UNION view stack, so per-(target, chunk)
+        # tile rectangles never apply and the fit pays the union view axis.
+        # When the rectangles predict a big enough gather cut, the chunked
+        # path wins despite its dispatch round trips — measured 1.7x device
+        # on the 48-view spread-40 transect (scripts/probe_transect_r4.py:
+        # 2.50 vs 1.48 Mpix/s/chip); it also hands the fit per-target
+        # compacted view stacks. The factor is the break-even margin for
+        # the chunk-dispatch overhead.
+        if use_survey and vr_mesh is None and tile_rects is not None:
+            est = _est_chunked_pairs(
+                tile_rects, culled_list, cfg.match_chunk,
+                t0_.height, t0_.width,
+            )
+            factor = float(os.environ.get("SUCRE_CHUNKED_ROUTE_FACTOR", 0.6))
+            if est < factor * n_pairs:
+                log(
+                    f"Tile-cull routing: rectangles predict "
+                    f"{est / 1e6:.0f}M of the survey program's "
+                    f"{n_pairs / 1e6:.0f}M gather rows "
+                    f"({est / max(n_pairs, 1):.2f}x) — chunked path."
+                )
+                use_survey = False
         if use_survey:
             from sucre_tpu.ops.matching import match_survey
 
@@ -1730,7 +1790,10 @@ def restore_many(
         image_list = scene.view_list()
     if cache is None:
         cache = ViewCache()
-        cache.prefill(image_list, num_workers=cfg.num_workers)
+        cache.prefill(
+            image_list, num_workers=cfg.num_workers,
+            processes=cfg.decode_processes,
+        )
 
     # Order-preserving dedup (same rule as restore_survey): duplicates in
     # one batch would collide on the shared .h5 cache. The returned list
@@ -1800,7 +1863,10 @@ def restore_survey(
         image_list = scene.view_list()
     if cache is None:
         cache = ViewCache()
-        cache.prefill(image_list, num_workers=cfg.num_workers)
+        cache.prefill(
+            image_list, num_workers=cfg.num_workers,
+            processes=cfg.decode_processes,
+        )
     if device_views is None:
         device_views = DeviceViews(image_list, cache, cfg.match_chunk)
 

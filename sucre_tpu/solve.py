@@ -240,10 +240,14 @@ def _run_segment(
     elif pallas_mode != "off":
         from sucre_tpu.ops.pallas.fit_kernel import (
             fused_fit_grads_prepared,
+            occupancy,
             prepare_obs,
         )
 
         zt, It = prepare_obs(obs.z, obs.I)
+        # once per segment, NOT per iteration (see occupancy): empty
+        # (row-tile, view-block) grid steps skip their VPU work
+        occ = occupancy(zt)
 
     def grads_of(params):
         if pallas_mode != "off" and light:
@@ -261,7 +265,7 @@ def _run_segment(
         if pallas_mode != "off":
             cost, dJ, dB, dbeta, dgamma = fused_fit_grads_prepared(
                 params.J, params.B, params.beta, params.gamma, zt, It,
-                interpret=(pallas_mode == "interpret"),
+                occ=occ, interpret=(pallas_mode == "interpret"),
             )
             s = 1.0 / (jnp.maximum(n_obs, 1) * 3.0)
             grads = SucreParams(B=dB * s, beta=dbeta * s, gamma=dgamma * s, J=dJ * s)

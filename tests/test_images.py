@@ -63,6 +63,26 @@ def test_prefetch_views(tmp_path, num_workers):
     assert seen == [0, 1, 2, 3]  # order preserved
 
 
+def test_prefetch_views_processes_match_threads(tmp_path):
+    """Worker-process decode (the reference's DataLoader model,
+    loader.py:173-180) yields byte-identical arrays in the same order as
+    the default thread pool."""
+    scene_def = make_scene(tmp_path, n_views=3)
+    scene = Scene.from_colmap(
+        scene_def.model_dir, scene_def.image_dir, scene_def.depth_dir
+    )
+    views = scene.view_list()
+    threaded = list(prefetch_views(views, num_workers=2, raw=True))
+    procs = list(
+        prefetch_views(views, num_workers=1, raw=True, processes=True)
+    )
+    assert [i for i, _, _ in procs] == [0, 1, 2]
+    for (ti, tr, td), (pi, pr, pd) in zip(threaded, procs):
+        assert ti == pi
+        np.testing.assert_array_equal(tr, pr)
+        np.testing.assert_array_equal(td, pd)
+
+
 def test_prefetch_depth_only(tmp_path):
     scene_def = make_scene(tmp_path, n_views=2)
     scene = Scene.from_colmap(scene_def.model_dir, scene_def.image_dir, scene_def.depth_dir)

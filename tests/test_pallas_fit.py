@@ -65,6 +65,47 @@ def test_fused_grads_all_invalid(rng):
     np.testing.assert_array_equal(np.asarray(dB), 0.0)
 
 
+def test_occupancy_skip_equals_dense(rng):
+    """Tile-skipping (empty (row-tile, view-block) grid steps bypassed,
+    the partial-overlap fit win) is exactly lossless: a sparse stack —
+    one fully-empty view, one view with a single populated row tile —
+    produces bit-identical outputs with occupancy on and off."""
+    from sucre_tpu.ops.pallas.fit_kernel import (
+        VB,
+        fused_fit_grads_prepared,
+        occupancy,
+        prepare_obs,
+        row_tile,
+    )
+
+    V, H, W = 5, 96, 130
+    z = rng.uniform(1.0, 5.0, (V, H, W)).astype(np.float32)
+    z[1] = 0.0  # empty view
+    z[2, row_tile(256):] = 0.0  # only the first row tile populated
+    z[4, : 2 * row_tile(256)] = 0.0  # only the tail tile populated
+    I = rng.integers(0, 256, (V, H, W, 3), np.uint8)
+    I = np.where((z > 0)[..., None], I, 0).astype(np.uint8)
+    J = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    B = jnp.array([0.2, 0.22, 0.25])
+    beta = jnp.array([0.1, 0.12, 0.09])
+    gamma = jnp.array([0.3, 0.28, 0.33])
+
+    zt, It = prepare_obs(jnp.array(z), jnp.array(I))
+    occ = occupancy(zt)
+    occ_np = np.asarray(occ)
+    assert occ_np.shape == (1, zt.shape[2] // row_tile(zt.shape[3]), zt.shape[1] // VB)
+    assert occ_np.sum() < occ_np.size  # some blocks actually skip
+
+    dense = fused_fit_grads_prepared(
+        jnp.array(J), B, beta, gamma, zt, It, interpret=True
+    )
+    skipped = fused_fit_grads_prepared(
+        jnp.array(J), B, beta, gamma, zt, It, occ=occ, interpret=True
+    )
+    for a, b in zip(dense, skipped):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fit_with_pallas_matches_xla(rng):
     """fit(use_pallas=True) (interpret on CPU) must match the XLA path."""
     from sucre_tpu.solve import FitConfig, fit

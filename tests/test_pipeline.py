@@ -545,6 +545,50 @@ def test_survey_size_guard_falls_back_to_chunked(scene_dir, tmp_path, monkeypatc
         np.testing.assert_allclose(np.nan_to_num(ra.J), np.nan_to_num(rb.J), atol=1e-6)
 
 
+def test_partial_overlap_routes_chunked(tmp_path, monkeypatch):
+    """A transect whose tile rectangles predict a big gather cut must
+    route through the chunked path (the survey program matches every
+    target against the culled-UNION stack, so per-target rectangles never
+    apply there — measured 1.7x device cost on the bench transect), and
+    both routes must agree."""
+    from tests.synthetic import make_scene
+    from sucre_tpu.pipeline import DeviceViews, ViewCache, restore_many
+
+    sd = make_scene(tmp_path / "scene", n_views=16, width=64, height=48, spread=30)
+    scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
+    names = [sd.names[2], sd.names[13]]
+    cfg = RestoreConfig(num_iter=3, verbose=False, store="memory", match_chunk=4)
+    cache = ViewCache()
+    cache.prefill(scene.view_list())
+    dv = DeviceViews(scene.view_list(), cache)
+
+    import sucre_tpu.ops.matching as m
+
+    calls = {"n": 0}
+    real = m.match_survey
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(m, "match_survey", counting)
+
+    a = restore_many(scene, names, tmp_path / "a", cfg, cache=cache, device_views=dv)
+    assert calls["n"] == 0, "transect batch should take the chunked path"
+
+    monkeypatch.setenv("SUCRE_CHUNKED_ROUTE_FACTOR", "0")  # forces survey
+    b = restore_many(scene, names, tmp_path / "b", cfg, cache=cache, device_views=dv)
+    assert calls["n"] == 1
+    for ra, rb in zip(a, b):
+        assert ra.n_obs == rb.n_obs
+        np.testing.assert_allclose(
+            np.asarray(ra.params.B), np.asarray(rb.params.B), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.nan_to_num(ra.J), np.nan_to_num(rb.J), atol=1e-6
+        )
+
+
 def test_restore_image_shared_cache_equals_plain(scene_dir, tmp_path):
     """restore_image with a shared ViewCache (decode once across a
     sequential loop) produces the same result as the cacheless path."""
