@@ -88,7 +88,7 @@ def _kernel(B_ref, beta_ref, gamma_ref, occ_ref, z_ref, I_ref, J_ref, dJ_ref, pa
     # VPU work entirely — on partial-overlap survey stacks (a transect's
     # sliver views) most blocks of most kept views are empty, and the
     # kernel is VPU-bound, not DMA-bound.
-    @pl.when(occ_ref[0, 0, 0] > 0)
+    @pl.when(occ_ref[0, i, v] > 0)
     def _():
         z = z_ref[0]  # (VB, TH, Wp)
         mask = z > 0.0
@@ -200,8 +200,13 @@ def fused_fit_grads_prepared(
             pl.BlockSpec((1, 1, 3), lambda t, i, v: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 3), lambda t, i, v: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 3), lambda t, i, v: (t, 0, 0), memory_space=pltpu.SMEM),
+            # whole per-target table resident in SMEM (n_tiles*V/VB i32,
+            # a few KB), scalar-indexed by (i, v): Mosaic requires SMEM
+            # blocks to cover the trailing array dims exactly
             pl.BlockSpec(
-                (1, 1, 1), lambda t, i, v: (t, i, v), memory_space=pltpu.SMEM
+                (1, n_tiles, V // VB),
+                lambda t, i, v: (t, 0, 0),
+                memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
                 (1, VB, th, Wp), lambda t, i, v: (t, v, i, 0), memory_space=pltpu.VMEM

@@ -286,8 +286,8 @@ def fit_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
 
 
 @partial(jax.jit, static_argnames=("mesh", "light", "lr", "num_iter", "interpret"))
-def _run_sharded_kernel(params, X, It, n_obs, opt_state=None, *, mesh, light,
-                        lr, num_iter, interpret):
+def _run_sharded_kernel(params, X, It, occ, n_obs, opt_state=None, *, mesh,
+                        light, lr, num_iter, interpret):
     """The batched per-shard-kernel Adam program, jitted ONCE per
     (mesh, mode, lr, num_iter, platform, shapes) — repeated survey
     batches reuse the compiled program instead of retracing per call.
@@ -332,13 +332,14 @@ def _run_sharded_kernel(params, X, It, n_obs, opt_state=None, *, mesh, light,
                 P(), P(), P(),  # B, beta, gamma (T, 3) replicated
                 P(None, "view", "row", None),  # z block
                 P(None, None, "view", "row", None),  # I block
+                P(None, "row", "view"),  # occupancy table (see fit_kernel)
             ),
             out_specs=(P(), P(None, "row", None, None), P(), P(), P()),
             check_vma=False,
         )
-        def shard_grads(Jl, B, beta, gamma, zl, Il):
+        def shard_grads(Jl, B, beta, gamma, zl, Il, occl):
             cost, dJ, dB, dbeta, dgamma = fk.fused_fit_grads_prepared(
-                Jl, B, beta, gamma, zl, Il, interpret=interpret
+                Jl, B, beta, gamma, zl, Il, occ=occl, interpret=interpret
             )
             cost = jax.lax.psum(cost, ("view", "row"))
             dB = jax.lax.psum(dB, ("view", "row"))
@@ -375,7 +376,7 @@ def _run_sharded_kernel(params, X, It, n_obs, opt_state=None, *, mesh, light,
             )
         else:
             cost, dJ, dB, dbeta, dgamma = shard_grads(
-                p.J, p.B, p.beta, p.gamma, X, It
+                p.J, p.B, p.beta, p.gamma, X, It, occ
             )
             grads = p._replace(
                 J=dJ * k[..., None, None], B=dB * k, beta=dbeta * k,
@@ -421,12 +422,22 @@ def prepare_sharded_kernel_inputs(params, obs: DenseObs, mesh: Mesh,
     J0 = jnp.pad(params.J, [(0, 0), (0, Hp - H), (0, Wp - W), (0, 0)])
     n_obs = jnp.sum(obs.valid, axis=(1, 2, 3)).astype(jnp.float32)
 
+    # Per-fit block-occupancy table for the no-light kernel (the tile
+    # skip, see fit_kernel.occupancy): computed ONCE here — never inside
+    # the iteration loop — and sharded like the grid it indexes
+    # (row tiles over 'row', view blocks over 'view'). The light kernel
+    # has no occupancy input (different kernel family).
+    occ = None
+    if not light:
+        occ = jax.device_put(
+            fk.occupancy(X), NamedSharding(mesh, P(None, "row", "view"))
+        )
     X = jax.device_put(X, NamedSharding(mesh, x_spec))
     It = jax.device_put(It, NamedSharding(mesh, P(None, None, "view", "row", None)))
     J0 = jax.device_put(J0, NamedSharding(mesh, P(None, "row", None, None)))
     params = replicate(params._replace(J=None), mesh)._replace(J=J0)
     n_obs = jax.device_put(n_obs, NamedSharding(mesh, P()))
-    return params, X, It, n_obs
+    return params, X, It, occ, n_obs
 
 
 def fit_many_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
@@ -452,7 +463,7 @@ def fit_many_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
     interpret = jax.default_backend() != "tpu"
 
     H, W = obs.valid.shape[2:]
-    params, X, It, n_obs = prepare_sharded_kernel_inputs(
+    params, X, It, occ, n_obs = prepare_sharded_kernel_inputs(
         params, obs, mesh, light
     )
 
@@ -461,7 +472,7 @@ def fit_many_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
     )
     if cfg.stop_tol is None:
         params, _, tel = _run_sharded_kernel(
-            params, X, It, n_obs, num_iter=cfg.num_iter, **static
+            params, X, It, occ, n_obs, num_iter=cfg.num_iter, **static
         )
     else:
         # stop_tol segmentation (shared driver, same scheme as fit_many):
@@ -473,7 +484,7 @@ def fit_many_sharded_pallas(params, obs: DenseObs, cfg, mesh: Mesh):
 
         def step(n):
             state["params"], state["opt_state"], tel = _run_sharded_kernel(
-                state["params"], X, It, n_obs, state["opt_state"],
+                state["params"], X, It, occ, n_obs, state["opt_state"],
                 num_iter=n, **static,
             )
             return tel

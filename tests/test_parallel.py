@@ -717,11 +717,11 @@ def test_fit_sharded_kernel_collective_inventory(rng, vs, rs, light):
     so = stack_obs(obs_list)
     img = np.zeros((H, W, 3), np.float32)
     sp = stack_params([init_params(image=img, light_model=light) for _ in range(T)])
-    p, X, It, n_obs = prepare_sharded_kernel_inputs(sp, so, mesh, light)
+    p, X, It, occ, n_obs = prepare_sharded_kernel_inputs(sp, so, mesh, light)
     hlo = (
         _run_sharded_kernel.lower(
-            p, X, It, n_obs, mesh=mesh, light=light, lr=0.05, num_iter=200,
-            interpret=True,
+            p, X, It, occ, n_obs, mesh=mesh, light=light, lr=0.05,
+            num_iter=200, interpret=True,
         )
         .compile()
         .as_text()
