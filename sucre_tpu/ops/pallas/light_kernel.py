@@ -62,7 +62,7 @@ def light_kernel_supported(W: int) -> bool:
     return -(-W // LANES) * LANES <= 2048
 
 
-def _kernel(BBG_ref, aux_ref, cP_ref, I_ref, J_ref, dJ_ref, part_ref, *, u8: bool):
+def _kernel(BBG_ref, aux_ref, occ_ref, cP_ref, I_ref, J_ref, dJ_ref, part_ref, *, u8: bool):
     i = pl.program_id(1)
     v = pl.program_id(2)
 
@@ -75,6 +75,15 @@ def _kernel(BBG_ref, aux_ref, cP_ref, I_ref, J_ref, dJ_ref, part_ref, *, u8: boo
         for k in range(_NPART):
             part_ref[0, 0, k] = jnp.float32(0.0)
 
+    # Block occupancy (light_occupancy): empty (row-tile, view-block)
+    # steps contribute exactly zero everywhere — skip their VPU work
+    # (the partial-overlap fit win, same scheme as fit_kernel).
+    @pl.when(occ_ref[0, i, v] > 0)
+    def _body():
+        _kernel_body(BBG_ref, aux_ref, cP_ref, I_ref, J_ref, dJ_ref, part_ref, u8=u8)
+
+
+def _kernel_body(BBG_ref, aux_ref, cP_ref, I_ref, J_ref, dJ_ref, part_ref, *, u8: bool):
     X = cP_ref[0, 0]  # (VB, TH, Wp)
     Y = cP_ref[0, 1]
     Z = cP_ref[0, 2]
@@ -175,6 +184,21 @@ def prepare_light_obs_batched(cP: jnp.ndarray, I: jnp.ndarray):
     return cPt, It
 
 
+def light_occupancy(cPt: jnp.ndarray) -> jnp.ndarray:
+    """Per-(target, row-tile, view-block) validity flags for the light
+    kernel's grid (valid = any cP component nonzero). Compute ONCE per
+    fit, outside the iteration loop — cPt is iteration-invariant."""
+    T, _, Vp, Hp, Wp = cPt.shape
+    th = light_row_tile(Wp)
+    occ = (
+        (cPt != 0.0)
+        .any(axis=1)
+        .reshape(T, Vp // VB, VB, Hp // th, th, Wp)
+        .any(axis=(2, 4, 5))
+    )
+    return jnp.moveaxis(occ, 1, 2).astype(jnp.int32)  # (T, n_tiles, Vp//VB)
+
+
 def _sigma_quad_coeffs(sigma: jnp.ndarray) -> jnp.ndarray:
     """sigma (2, 2) -> (A, C, D): q = A px^2 + 2 C px py + D py^2 equals
     lp^T (sigma^T sigma)^{-1} lp — the EXACT arithmetic of
@@ -187,20 +211,31 @@ def _sigma_quad_coeffs(sigma: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([S11 / det, -S01 / det, S00 / det])
 
 
-def _light_pallas(BBG, aux, cPt, It, Jt, interpret: bool):
+def _light_pallas(BBG, aux, cPt, It, Jt, interpret: bool, occ=None):
     """The raw pallas_call over a (T, rows, view-blocks) grid. All inputs
     carry a leading target axis T (the single-target path passes T=1);
     each target's sweep re-zeroes its own dJ/partial blocks because the
-    out_specs map blocks per t."""
+    out_specs map blocks per t. ``occ`` (light_occupancy, precomputed
+    OUTSIDE the iteration loop) skips empty grid steps; None runs every
+    block."""
     T, _, V, Hp, Wp = cPt.shape
     th = light_row_tile(Wp)
     grid = (T, Hp // th, V // VB)
+    if occ is None:
+        occ = jnp.ones((T, Hp // th, V // VB), jnp.int32)
     return pl.pallas_call(
         partial(_kernel, u8=jnp.issubdtype(It.dtype, jnp.integer)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, 9), lambda t, i, v: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 16), lambda t, i, v: (t, 0, 0), memory_space=pltpu.SMEM),
+            # whole per-target table resident in SMEM, scalar-indexed by
+            # (i, v) — Mosaic SMEM blocks must cover the trailing dims
+            pl.BlockSpec(
+                (1, Hp // th, V // VB),
+                lambda t, i, v: (t, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(
                 (1, 3, VB, th, Wp),
                 lambda t, i, v: (t, 0, v, i, 0),
@@ -228,7 +263,7 @@ def _light_pallas(BBG, aux, cPt, It, Jt, interpret: bool):
             jax.ShapeDtypeStruct((T, 1, _NPART), jnp.float32),
         ],
         interpret=interpret,
-    )(BBG, aux, cPt, It, Jt)
+    )(BBG, aux, occ, cPt, It, Jt)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -241,6 +276,7 @@ def fused_light_fit_grads_prepared(
     sigma: jnp.ndarray,  # (2, 2)
     cPt: jnp.ndarray,  # (1, 3, V, Hp, Wp) from prepare_light_obs
     It: jnp.ndarray,  # (1, 3, V, Hp, Wp)
+    occ: jnp.ndarray | None = None,  # (1, n_tiles, V//VB) from light_occupancy
     interpret: bool = False,
 ):
     """One fused pass: (cost, dJ, dB, dbeta, dgamma, dcam2light, dsigma),
@@ -259,7 +295,7 @@ def fused_light_fit_grads_prepared(
         [R_l.reshape(-1), t_l, acd, jnp.zeros((1,), jnp.float32)]
     ).astype(jnp.float32)[None, None]
 
-    dJt, parts = _light_pallas(BBG, aux, cPt, It, Jt, interpret)
+    dJt, parts = _light_pallas(BBG, aux, cPt, It, Jt, interpret, occ=occ)
 
     p = parts[0, 0]
     # upstream: dL/dtheta = -2 * sum(r * dI_hat/dtheta)
@@ -326,6 +362,7 @@ def fused_light_fit_grads_batched(
     sigma: jnp.ndarray,  # (T, 2, 2)
     cPt: jnp.ndarray,  # (T, 3, V, Hp, Wp) from prepare_light_obs_batched
     It: jnp.ndarray,  # (T, 3, V, Hp, Wp)
+    occ: jnp.ndarray | None = None,  # (T, n_tiles, V//VB) from light_occupancy
     interpret: bool = False,
 ):
     """Batched-target variant: each target sweeps its own grid slice
@@ -342,7 +379,7 @@ def fused_light_fit_grads_batched(
         jnp.moveaxis(J, -1, 1), [(0, 0), (0, 0), (0, Hp - H), (0, Wp - W)]
     )
 
-    dJt, parts = _light_pallas(BBG, aux, cPt, It, Jt, interpret)
+    dJt, parts = _light_pallas(BBG, aux, cPt, It, Jt, interpret, occ=occ)
 
     cost, dB, dbeta, dgamma, dcam2light, dsigma = decode_light_partials_batched(
         parts, vjp_se3, vjp_sig
@@ -355,5 +392,6 @@ def fused_light_fit_grads(J, B, beta, gamma, cam2light, sigma, cP, I, interpret=
     """Convenience wrapper over unprepared (V, H, W, 3) inputs."""
     cPt, It = prepare_light_obs(cP, I)
     return fused_light_fit_grads_prepared(
-        J, B, beta, gamma, cam2light, sigma, cPt, It, interpret=interpret
+        J, B, beta, gamma, cam2light, sigma, cPt, It,
+        occ=light_occupancy(cPt), interpret=interpret
     )

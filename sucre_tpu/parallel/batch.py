@@ -148,10 +148,13 @@ def _fit_many_jit(
     if light_kernel:
         from sucre_tpu.ops.pallas.light_kernel import (
             fused_light_fit_grads_batched,
+            light_occupancy,
             prepare_light_obs_batched,
         )
 
         cPt, Ilt = prepare_light_obs_batched(obs.cP, obs.I)
+        # once per segment, NOT per iteration: empty blocks skip VPU work
+        locc = light_occupancy(cPt)
     elif pallas_mode != "off":
         from sucre_tpu.ops.pallas.fit_kernel import (
             fused_fit_grads_prepared,
@@ -184,7 +187,8 @@ def _fit_many_jit(
         if light_kernel:
             cost, dJ, dB, dbeta, dgamma, dc2l, dsig = fused_light_fit_grads_batched(
                 params.J, params.B, params.beta, params.gamma,
-                params.cam2light, params.sigma, cPt, Ilt, interpret=interpret,
+                params.cam2light, params.sigma, cPt, Ilt, occ=locc,
+                interpret=interpret,
             )
             s = (1.0 / (jnp.maximum(n_obs, 1) * 3.0))[:, None]
             grads = SucreParams(

@@ -104,10 +104,13 @@ def _fit_joint_jit(
     if light_kernel:
         from sucre_tpu.ops.pallas.light_kernel import (
             fused_light_fit_grads_batched,
+            light_occupancy,
             prepare_light_obs_batched,
         )
 
         cPt, Ilt = prepare_light_obs_batched(obs.cP, obs.I)
+        # once per segment, NOT per iteration: empty blocks skip VPU work
+        locc = light_occupancy(cPt)
     elif pallas_mode != "off":
         from sucre_tpu.ops.pallas.fit_kernel import (
             fused_fit_grads_prepared,
@@ -135,7 +138,8 @@ def _fit_joint_jit(
             bc2l = jnp.broadcast_to(p.cam2light, (T, 6))
             bsig = jnp.broadcast_to(p.sigma, (T, 2, 2))
             cost, dJ, dB, dbeta, dgamma, dc2l, dsig = fused_light_fit_grads_batched(
-                p.J, bB, bbe, bga, bc2l, bsig, cPt, Ilt, interpret=interpret
+                p.J, bB, bbe, bga, bc2l, bsig, cPt, Ilt, occ=locc,
+                interpret=interpret,
             )
             extra = dict(
                 cam2light=jnp.sum(dc2l * s, axis=0),

@@ -313,13 +313,14 @@ def _run_sharded_kernel(params, X, It, occ, n_obs, opt_state=None, *, mesh,
                 P(), P(),  # BBG, aux replicated
                 P(None, None, "view", "row", None),  # cP block
                 P(None, None, "view", "row", None),  # I block
+                P(None, "row", "view"),  # occupancy table (light_occupancy)
             ),
             out_specs=(P(None, "row", None, None), P()),
             check_vma=False,
         )
-        def shard_grads_light(Jl, BBG, aux, cPl, Il):
+        def shard_grads_light(Jl, BBG, aux, cPl, Il, occl):
             Jt = jnp.moveaxis(Jl, -1, 1)  # (T, 3, Hl, Wp)
-            dJt, parts = lk._light_pallas(BBG, aux, cPl, Il, Jt, interpret)
+            dJt, parts = lk._light_pallas(BBG, aux, cPl, Il, Jt, interpret, occ=occl)
             parts = jax.lax.psum(parts, ("view", "row"))
             dJt = jax.lax.psum(dJt, "view")  # complete grad for local rows
             return jnp.moveaxis(dJt, 1, -1), parts
@@ -362,7 +363,7 @@ def _run_sharded_kernel(params, X, It, occ, n_obs, opt_state=None, *, mesh,
             BBG, aux, vjp_se3, vjp_sig = lk.assemble_light_inputs_batched(
                 p.B, p.beta, p.gamma, p.cam2light, p.sigma
             )
-            dJ_raw, parts = shard_grads_light(p.J, BBG, aux, X, It)
+            dJ_raw, parts = shard_grads_light(p.J, BBG, aux, X, It, occ)
             cost, dB, dbeta, dgamma, dc2l, dsig = (
                 lk.decode_light_partials_batched(parts, vjp_se3, vjp_sig)
             )
@@ -427,11 +428,10 @@ def prepare_sharded_kernel_inputs(params, obs: DenseObs, mesh: Mesh,
     # the iteration loop — and sharded like the grid it indexes
     # (row tiles over 'row', view blocks over 'view'). The light kernel
     # has no occupancy input (different kernel family).
-    occ = None
-    if not light:
-        occ = jax.device_put(
-            fk.occupancy(X), NamedSharding(mesh, P(None, "row", "view"))
-        )
+    occ = jax.device_put(
+        (lk.light_occupancy if light else fk.occupancy)(X),
+        NamedSharding(mesh, P(None, "row", "view")),
+    )
     X = jax.device_put(X, NamedSharding(mesh, x_spec))
     It = jax.device_put(It, NamedSharding(mesh, P(None, None, "view", "row", None)))
     J0 = jax.device_put(J0, NamedSharding(mesh, P(None, "row", None, None)))

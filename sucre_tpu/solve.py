@@ -233,10 +233,13 @@ def _run_segment(
     if pallas_mode != "off" and light:
         from sucre_tpu.ops.pallas.light_kernel import (
             fused_light_fit_grads_prepared,
+            light_occupancy,
             prepare_light_obs,
         )
 
         cPt, Itl = prepare_light_obs(obs.cP, obs.I)
+        # once per segment, NOT per iteration: empty blocks skip VPU work
+        locc = light_occupancy(cPt)
     elif pallas_mode != "off":
         from sucre_tpu.ops.pallas.fit_kernel import (
             fused_fit_grads_prepared,
@@ -253,7 +256,7 @@ def _run_segment(
         if pallas_mode != "off" and light:
             cost, dJ, dB, dbeta, dgamma, dc2l, dsig = fused_light_fit_grads_prepared(
                 params.J, params.B, params.beta, params.gamma,
-                params.cam2light, params.sigma, cPt, Itl,
+                params.cam2light, params.sigma, cPt, Itl, occ=locc,
                 interpret=(pallas_mode == "interpret"),
             )
             s = 1.0 / (jnp.maximum(n_obs, 1) * 3.0)
