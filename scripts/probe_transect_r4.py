@@ -57,12 +57,14 @@ def main():
             f"{twl.mpix / best:.3f} Mpix/s device")
         return best
 
-    d = phase("default")
+    d = phase("default")  # per-target tables (or mixed, per routing)
+    os.environ["SUCRE_PER_TARGET_SURVEY"] = "0"
     os.environ["SUCRE_CHUNKED_ROUTE_FACTOR"] = "0"
     try:
-        a = phase("survey")
+        a = phase("survey")  # forced shared-table survey program
     finally:
         del os.environ["SUCRE_CHUNKED_ROUTE_FACTOR"]
+        del os.environ["SUCRE_PER_TARGET_SURVEY"]
     os.environ["SUCRE_SURVEY_MAX_PAIRS"] = "1"
     try:
         b = phase("chunked")

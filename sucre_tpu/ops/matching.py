@@ -513,6 +513,59 @@ def _min_cover_mask(valid: jnp.ndarray, area: jnp.ndarray, min_cover) -> jnp.nda
 
 
 @partial(jax.jit, static_argnames=("compact", "bilinear", "dist_model"))
+def match_survey_per_target(
+    t_depths: jnp.ndarray,  # (T, H, W)
+    t_intrs: jnp.ndarray,  # (T, 4)
+    t_Rs: jnp.ndarray,  # (T, 3, 3)
+    t_ts: jnp.ndarray,  # (T, 3)
+    v_depths: jnp.ndarray,  # (T, V, H2, W2) PER-TARGET view tables
+    v_rgbs: jnp.ndarray,  # (T, V, H2, W2, 3)
+    v_intrs: jnp.ndarray,  # (T, V, 4)
+    v_Rs: jnp.ndarray,  # (T, V, 3, 3)
+    v_ts: jnp.ndarray,  # (T, V, 3)
+    min_cover: jnp.ndarray,
+    compact: bool = True,
+    bilinear: bool = False,
+    area: jnp.ndarray | None = None,
+    t_dists: jnp.ndarray | None = None,  # (T, 8)
+    v_dists: jnp.ndarray | None = None,  # (T, V, 8)
+    dist_model: str | tuple[str, str] = "none",
+) -> DenseObs:
+    """``match_survey`` with PER-TARGET view tables: target t matches
+    only ITS V views (the pipeline gathers each target's surviving views
+    into row t, padding short lists with all-zero views => no matches).
+
+    This is the single-dispatch form of per-target culling: on
+    partial-overlap surveys the shared-table program must carry the
+    UNION of every target's surviving views (T x V_union pairs), while
+    the chunked path's per-(target, chunk) rectangles pay a host-driven
+    dispatch chain per batch — ruinous on high-latency links. Here pairs
+    drop to T x max_t(V_t) with exactly ONE device program and no host
+    round trips, and the fit consumes the compacted (T, V_max) stack
+    directly. Output identical to the shared-table program on the
+    common views (the gather just reorders the view axis per target).
+    """
+    def one(d1, intr1, R1, t1, vd, vr, vi, vR, vt, td, vd8):
+        obs = match_survey(
+            d1[None], intr1[None], R1[None], t1[None], vd, vr, vi, vR, vt,
+            min_cover, compact=compact, bilinear=bilinear, area=area,
+            t_dists=None if td is None else td[None], v_dists=vd8,
+            dist_model=dist_model,
+        )
+        return jax.tree.map(lambda x: x[0], obs)
+
+    in_axes = (0,) * 9 + (
+        None if t_dists is None else 0,
+        None if v_dists is None else 0,
+    )
+    return jax.vmap(one, in_axes=in_axes)(
+        t_depths, t_intrs, t_Rs, t_ts,
+        v_depths, v_rgbs, v_intrs, v_Rs, v_ts,
+        t_dists, v_dists,
+    )
+
+
+@partial(jax.jit, static_argnames=("compact", "bilinear", "dist_model"))
 def match_survey(
     t_depths: jnp.ndarray,  # (T, H, W) target depths, f32 m or u16 mm
     t_intrs: jnp.ndarray,  # (T, 4)

@@ -1200,6 +1200,31 @@ def _device_target_arrays(device_views, targets):
     )
 
 
+_LINK_RTT_S: float | None = None
+
+
+def _link_rtt() -> float:
+    """Device round-trip latency (seconds), measured ONCE per process
+    (min of 3 tiny device_gets). Distinguishes directly-attached devices
+    (~0.1 ms) from tunneled/remote ones (~30 ms+): the chunked matching
+    route's host-driven dispatch chain is cheap on the former and
+    ruinous on the latter, so the routing margin adapts. The first
+    measurement may flush queued device work — callers invoke this only
+    when they are about to make a routing decision anyway."""
+    global _LINK_RTT_S
+    if _LINK_RTT_S is None:
+        import time as _time
+
+        x = jnp.zeros(())
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            jax.device_get(x)
+            best = min(best, _time.perf_counter() - t0)
+        _LINK_RTT_S = best
+    return _LINK_RTT_S
+
+
 def dispatch_survey_batch(
     scene: Scene,
     image_names: list[str],
@@ -1385,29 +1410,69 @@ def dispatch_survey_batch(
             == {v.name for v in image_list}
             and n_pairs <= pair_budget
         )
-        # Partial-overlap routing: the single program matches every target
-        # against the whole culled-UNION view stack, so per-(target, chunk)
-        # tile rectangles never apply and the fit pays the union view axis.
-        # When the rectangles predict a big enough gather cut, the chunked
-        # path wins despite its dispatch round trips — measured 1.7x device
-        # on the 48-view spread-40 transect (scripts/probe_transect_r4.py:
-        # 2.50 vs 1.48 Mpix/s/chip); it also hands the fit per-target
-        # compacted view stacks. The factor is the break-even margin for
-        # the chunk-dispatch overhead.
+        # Partial-overlap routing. The shared-table program matches every
+        # target against the culled-UNION view stack, so per-target
+        # culling never applies there. Two better routes exist:
+        #   1. PER-TARGET TABLES (match_survey_per_target): gather each
+        #      target's surviving views into its own table — pairs drop
+        #      from T x V_union to T x max_t(V_t) with still exactly ONE
+        #      device program (no host dispatch chain; immune to link
+        #      round-trip latency).
+        #   2. CHUNKED with per-(target, chunk) tile RECTANGLES: cuts
+        #      gather rows below whole-view granularity, but pays a
+        #      host-driven dispatch chain per batch — measured 0.91
+        #      s/batch on a low-latency session and 2.5 s/batch on a
+        #      high-RTT one at the same shape (probe_transect_r4) — so
+        #      it must predict a LARGE cut to be worth the risk.
+        pt_keep: list[list[str]] | None = None
         if use_survey and vr_mesh is None and tile_rects is not None:
+            kept_lists = []
+            for rl in tile_rects:
+                kept_lists.append([
+                    v.name for v in culled_list
+                    if (r := rl.get(v.name)) is not None and r[1] > r[0]
+                ])
+            vmax = max((len(k) for k in kept_lists), default=0)
+            vmax_p = -(-max(vmax, 1) // cfg.match_chunk) * cfg.match_chunk
+            use_pt = (
+                os.environ.get("SUCRE_PER_TARGET_SURVEY", "1") != "0"
+                and vmax_p < n_views_eff
+                and len(targets) * vmax_p * t0_.width * t0_.height
+                <= pair_budget
+            )
+            baseline_views = vmax_p if use_pt else n_views_eff
+            baseline_pairs = (
+                len(targets) * baseline_views * t0_.width * t0_.height
+            )
             est = _est_chunked_pairs(
                 tile_rects, culled_list, cfg.match_chunk,
                 t0_.height, t0_.width,
             )
-            factor = float(os.environ.get("SUCRE_CHUNKED_ROUTE_FACTOR", 0.6))
-            if est < factor * n_pairs:
+            # Link-adaptive margin: on a directly-attached device the
+            # chunked route's dispatch chain costs ~nothing, so a modest
+            # predicted cut already wins (0.9); over a high-latency link
+            # (tunneled/remote device) each batch pays ~24 dispatches +
+            # count-fetch round trips, so demand a 2x cut (0.5). Env
+            # override wins.
+            env_factor = os.environ.get("SUCRE_CHUNKED_ROUTE_FACTOR")
+            if env_factor is not None:
+                factor = float(env_factor)
+            else:
+                factor = 0.9 if _link_rtt() < 0.005 else 0.5
+            if est < factor * baseline_pairs:
                 log(
                     f"Tile-cull routing: rectangles predict "
                     f"{est / 1e6:.0f}M of the survey program's "
-                    f"{n_pairs / 1e6:.0f}M gather rows "
-                    f"({est / max(n_pairs, 1):.2f}x) — chunked path."
+                    f"{baseline_pairs / 1e6:.0f}M gather rows "
+                    f"({est / max(baseline_pairs, 1):.2f}x) — chunked path."
                 )
                 use_survey = False
+            elif use_pt:
+                pt_keep = kept_lists
+                log(
+                    f"Per-target survey tables: {vmax_p} of "
+                    f"{n_views_eff} union views per target."
+                )
         if use_survey:
             from sucre_tpu.ops.matching import match_survey
 
@@ -1423,6 +1488,7 @@ def dispatch_survey_batch(
             arrays = (b["depths"], b["rgbs"], b["intrs"], b["Rs"], b["ts"])
             if v_dists is not None:
                 arrays = arrays + (v_dists,)
+            sel_names = [v.name for v in b["views"]]
             if len(culled_list) < len(image_list):
                 # device-side selection of surviving views, padded to the
                 # match_chunk granularity (bounds recompiles); padded rows
@@ -1431,6 +1497,7 @@ def dispatch_survey_batch(
                 idx = [
                     i for i, v in enumerate(b["views"]) if v.name in kept_names_set
                 ]
+                sel_names = [b["views"][i].name for i in idx]
                 pad = (-len(idx)) % cfg.match_chunk
                 jidx = jnp.asarray(np.asarray(idx, np.int32))
                 arrays = tuple(
@@ -1442,6 +1509,30 @@ def dispatch_survey_batch(
                 )
             v_dists = arrays[5] if len(arrays) > 5 else None
             arrays = arrays[:5]
+            if pt_keep is not None:
+                # Gather each target's surviving views into its own table
+                # row (short lists pad with an appended all-zero view =>
+                # no matches). One device gather; the matching program
+                # then runs T x vmax_p pairs instead of T x V_union.
+                pos = {n: i for i, n in enumerate(sel_names)}
+                V_arr = arrays[0].shape[0]
+                arrays = tuple(
+                    jnp.pad(a, [(0, 1)] + [(0, 0)] * (a.ndim - 1))
+                    for a in arrays
+                )
+                if v_dists is not None:
+                    v_dists = jnp.pad(v_dists, [(0, 1), (0, 0)])
+                vmax_p = -(-max(
+                    max((len(k) for k in pt_keep), default=0), 1
+                ) // cfg.match_chunk) * cfg.match_chunk
+                idx_np = np.full((len(targets), vmax_p), V_arr, np.int32)
+                for ti, names in enumerate(pt_keep):
+                    for j, n in enumerate(names):
+                        idx_np[ti, j] = pos[n]
+                jidx2 = jnp.asarray(idx_np)
+                arrays = tuple(jnp.take(a, jidx2, axis=0) for a in arrays)
+                if v_dists is not None:
+                    v_dists = jnp.take(v_dists, jidx2, axis=0)
             dist_kw = dict(
                 t_dists=t_dists_dev, v_dists=v_dists, dist_model=survey_tag,
             )
@@ -1471,6 +1562,25 @@ def dispatch_survey_batch(
                     stacked_obs = jax.tree.map(
                         lambda x: x[:, :, :H0], stacked_obs
                     )
+            elif pt_keep is not None:
+                from sucre_tpu.ops.matching import match_survey_per_target
+
+                log(
+                    f"Compute matches for {len(targets)} targets "
+                    f"(one survey program, per-target tables of "
+                    f"{arrays[0].shape[1]} views)."
+                )
+                stacked_obs = match_survey_per_target(
+                    target_depth_stack(),
+                    jnp.asarray(t_intrs_np),
+                    t_Rs_dev,
+                    t_ts_dev,
+                    *arrays,
+                    jnp.float32(cfg.min_cover),
+                    compact=not cfg.light_model,
+                    bilinear=cfg.bilinear_colors,
+                    **dist_kw,
+                )
             else:
                 log(
                     f"Compute matches for {len(targets)} targets "

@@ -545,12 +545,12 @@ def test_survey_size_guard_falls_back_to_chunked(scene_dir, tmp_path, monkeypatc
         np.testing.assert_allclose(np.nan_to_num(ra.J), np.nan_to_num(rb.J), atol=1e-6)
 
 
-def test_partial_overlap_routes_chunked(tmp_path, monkeypatch):
-    """A transect whose tile rectangles predict a big gather cut must
-    route through the chunked path (the survey program matches every
-    target against the culled-UNION stack, so per-target rectangles never
-    apply there — measured 1.7x device cost on the bench transect), and
-    both routes must agree."""
+def test_partial_overlap_routes_per_target_tables(tmp_path, monkeypatch):
+    """A partial-overlap batch must route through the per-target-table
+    survey program (one dispatch, pairs = T x max kept views instead of
+    T x V_union — the shared-table program can't apply per-target
+    culling), and all three routes (per-target tables, chunked
+    rectangles, shared-table survey) must agree."""
     from tests.synthetic import make_scene
     from sucre_tpu.pipeline import DeviceViews, ViewCache, restore_many
 
@@ -564,29 +564,40 @@ def test_partial_overlap_routes_chunked(tmp_path, monkeypatch):
 
     import sucre_tpu.ops.matching as m
 
-    calls = {"n": 0}
-    real = m.match_survey
+    calls = {"pt": 0}
+    real_pt = m.match_survey_per_target
 
-    def counting(*a, **k):
-        calls["n"] += 1
-        return real(*a, **k)
+    def counting_pt(*a, **k):
+        calls["pt"] += 1
+        assert a[4].ndim == 4  # per-target (T, V, H2, W2) tables
+        return real_pt(*a, **k)
 
-    monkeypatch.setattr(m, "match_survey", counting)
+    monkeypatch.setattr(m, "match_survey_per_target", counting_pt)
 
+    # pin a small chunked margin: on fast local devices the adaptive
+    # factor (0.9) would route this batch chunked before the per-target
+    # tables get a look-in
+    monkeypatch.setenv("SUCRE_CHUNKED_ROUTE_FACTOR", "0.1")
     a = restore_many(scene, names, tmp_path / "a", cfg, cache=cache, device_views=dv)
-    assert calls["n"] == 0, "transect batch should take the chunked path"
+    assert calls["pt"] == 1, "partial overlap should take per-target tables"
 
-    monkeypatch.setenv("SUCRE_CHUNKED_ROUTE_FACTOR", "0")  # forces survey
+    # forced chunked (rectangles always "predict" a win)
+    monkeypatch.setenv("SUCRE_PER_TARGET_SURVEY", "0")
+    monkeypatch.setenv("SUCRE_CHUNKED_ROUTE_FACTOR", "1e9")
     b = restore_many(scene, names, tmp_path / "b", cfg, cache=cache, device_views=dv)
-    assert calls["n"] == 1
-    for ra, rb in zip(a, b):
-        assert ra.n_obs == rb.n_obs
-        np.testing.assert_allclose(
-            np.asarray(ra.params.B), np.asarray(rb.params.B), atol=1e-6
-        )
-        np.testing.assert_allclose(
-            np.nan_to_num(ra.J), np.nan_to_num(rb.J), atol=1e-6
-        )
+    # forced shared-table survey program
+    monkeypatch.setenv("SUCRE_CHUNKED_ROUTE_FACTOR", "0")
+    c = restore_many(scene, names, tmp_path / "c", cfg, cache=cache, device_views=dv)
+    assert calls["pt"] == 1  # neither forced route used the tables
+    for ra, rb, rc in zip(a, b, c):
+        assert ra.n_obs == rb.n_obs == rc.n_obs
+        for other in (rb, rc):
+            np.testing.assert_allclose(
+                np.asarray(ra.params.B), np.asarray(other.params.B), atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.nan_to_num(ra.J), np.nan_to_num(other.J), atol=1e-6
+            )
 
 
 def test_restore_image_shared_cache_equals_plain(scene_dir, tmp_path):
