@@ -1452,13 +1452,15 @@ def dispatch_survey_batch(
             # chunked route's dispatch chain costs ~nothing, so a modest
             # predicted cut already wins (0.9); over a high-latency link
             # (tunneled/remote device) each batch pays ~24 dispatches +
-            # count-fetch round trips, so demand a 2x cut (0.5). Env
-            # override wins.
+            # count-fetch round trips whose cost swamps borderline cuts
+            # (measured: a 0.53-ratio batch at 1.3 s via the shared
+            # program vs ~4 s chunked on a bad-RTT session), so demand a
+            # 2.5x predicted cut (0.4). Env override wins.
             env_factor = os.environ.get("SUCRE_CHUNKED_ROUTE_FACTOR")
             if env_factor is not None:
                 factor = float(env_factor)
             else:
-                factor = 0.9 if _link_rtt() < 0.005 else 0.5
+                factor = 0.9 if _link_rtt() < 0.005 else 0.4
             if est < factor * baseline_pairs:
                 log(
                     f"Tile-cull routing: rectangles predict "
