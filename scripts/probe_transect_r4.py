@@ -57,19 +57,15 @@ def main():
             f"{twl.mpix / best:.3f} Mpix/s device")
         return best
 
+    import unittest.mock as mock
+
     d = phase("default")  # per-target tables (or mixed, per routing)
-    os.environ["SUCRE_PER_TARGET_SURVEY"] = "0"
-    os.environ["SUCRE_CHUNKED_ROUTE_FACTOR"] = "0"
-    try:
+    with mock.patch.dict(os.environ, {
+        "SUCRE_PER_TARGET_SURVEY": "0", "SUCRE_CHUNKED_ROUTE_FACTOR": "0",
+    }):
         a = phase("survey")  # forced shared-table survey program
-    finally:
-        del os.environ["SUCRE_CHUNKED_ROUTE_FACTOR"]
-        del os.environ["SUCRE_PER_TARGET_SURVEY"]
-    os.environ["SUCRE_SURVEY_MAX_PAIRS"] = "1"
-    try:
+    with mock.patch.dict(os.environ, {"SUCRE_SURVEY_MAX_PAIRS": "1"}):
         b = phase("chunked")
-    finally:
-        del os.environ["SUCRE_SURVEY_MAX_PAIRS"]
     print(
         f'{{"default_s": {d:.3f}, "survey_s": {a:.3f}, "chunked_s": {b:.3f}, '
         f'"default_mpix_s": {twl.mpix / d:.3f}, '

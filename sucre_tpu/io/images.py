@@ -172,13 +172,9 @@ def load_view_arrays(
     host->device transfer; convert with rgb_to_f32/depth_to_f32 or let
     the matching kernel convert on device.
     """
-    if raw:
-        r = load_rgb_raw(view.rgb_path, view.width, view.height) if rgb else None
-        d = load_depth_raw(view.depth_path, view.width, view.height) if depth else None
-    else:
-        r = load_rgb(view.rgb_path, view.width, view.height) if rgb else None
-        d = load_depth_map(view.depth_path, view.width, view.height) if depth else None
-    return r, d
+    return _decode_job(
+        view.rgb_path, view.depth_path, view.width, view.height, rgb, depth, raw
+    )
 
 
 def _decode_job(

@@ -423,11 +423,11 @@ def prepare_sharded_kernel_inputs(params, obs: DenseObs, mesh: Mesh,
     J0 = jnp.pad(params.J, [(0, 0), (0, Hp - H), (0, Wp - W), (0, 0)])
     n_obs = jnp.sum(obs.valid, axis=(1, 2, 3)).astype(jnp.float32)
 
-    # Per-fit block-occupancy table for the no-light kernel (the tile
-    # skip, see fit_kernel.occupancy): computed ONCE here — never inside
-    # the iteration loop — and sharded like the grid it indexes
-    # (row tiles over 'row', view blocks over 'view'). The light kernel
-    # has no occupancy input (different kernel family).
+    # Per-fit block-occupancy table (the tile skip; fit_kernel.occupancy
+    # for the z stack, light_kernel.light_occupancy for the cP stack):
+    # computed ONCE here — never inside the iteration loop — and sharded
+    # like the grid it indexes (row tiles over 'row', view blocks over
+    # 'view').
     occ = jax.device_put(
         (lk.light_occupancy if light else fk.occupancy)(X),
         NamedSharding(mesh, P(None, "row", "view")),

@@ -379,7 +379,9 @@ def _est_chunked_pairs(
             if rect is None:
                 continue
             r0, r1, c0, c1 = rect
-            total += (r1 - r0) * (c1 - c0) * len(sub)
+            # the dispatched chunk is padded to match_chunk views and the
+            # zero-depth pads still execute gather rows — charge them
+            total += (r1 - r0) * (c1 - c0) * match_chunk
     return total
 
 
@@ -1209,8 +1211,12 @@ def _link_rtt() -> float:
     (~0.1 ms) from tunneled/remote ones (~30 ms+): the chunked matching
     route's host-driven dispatch chain is cheap on the former and
     ruinous on the latter, so the routing margin adapts. The first
-    measurement may flush queued device work — callers invoke this only
-    when they are about to make a routing decision anyway."""
+    measurement may flush queued device work and, if heavy work is
+    queued at that moment, can overestimate the RTT for the process's
+    lifetime — set SUCRE_CHUNKED_ROUTE_FACTOR explicitly to bypass the
+    measurement entirely. Invoked only at the first routing decision
+    (batch 0 of a survey, before bulk work is queued on our own
+    paths)."""
     global _LINK_RTT_S
     if _LINK_RTT_S is None:
         import time as _time
