@@ -358,6 +358,19 @@ def _chunk_rect(sub, view_rects, Hp: int, Wp: int):
     )
 
 
+def _pt_pad_gran(match_chunk: int) -> int:
+    """Per-target survey tables pad each target's kept-view list to this
+    granularity (bounds the distinct compiled V shapes). Default =
+    match_chunk. Finer pads LOSE on the chip despite fewer gather rows:
+    an interleaved A/B at the bench transect shape measured the V=20
+    program (granularity 4) at 2.28 s/run vs V=24 (granularity 8) at
+    1.92 s — the per-view cost of the survey program is not uniform in
+    V, so don't trade pad rows for an unluckier shape. SUCRE_PT_PAD_GRAN
+    overrides for probing; read at call time so it applies without a
+    reimport."""
+    return int(os.environ.get("SUCRE_PT_PAD_GRAN", match_chunk))
+
+
 def _est_chunked_pairs(
     tile_rects: list[dict], culled_list: list[View], match_chunk: int,
     H: int, W: int,
@@ -1439,7 +1452,8 @@ def dispatch_survey_batch(
                     if (r := rl.get(v.name)) is not None and r[1] > r[0]
                 ])
             vmax = max((len(k) for k in kept_lists), default=0)
-            vmax_p = -(-max(vmax, 1) // cfg.match_chunk) * cfg.match_chunk
+            _g = _pt_pad_gran(cfg.match_chunk)
+            vmax_p = -(-max(vmax, 1) // _g) * _g
             use_pt = (
                 os.environ.get("SUCRE_PER_TARGET_SURVEY", "1") != "0"
                 and vmax_p < n_views_eff
@@ -1530,9 +1544,10 @@ def dispatch_survey_batch(
                 )
                 if v_dists is not None:
                     v_dists = jnp.pad(v_dists, [(0, 1), (0, 0)])
+                _g2 = _pt_pad_gran(cfg.match_chunk)
                 vmax_p = -(-max(
                     max((len(k) for k in pt_keep), default=0), 1
-                ) // cfg.match_chunk) * cfg.match_chunk
+                ) // _g2) * _g2
                 idx_np = np.full((len(targets), vmax_p), V_arr, np.int32)
                 for ti, names in enumerate(pt_keep):
                     for j, n in enumerate(names):
