@@ -385,12 +385,13 @@ def _match_observe_pair_packed(
 
 
 def _is_raw_views(depths2: jnp.ndarray, rgbs2: jnp.ndarray) -> bool:
-    """The packed fast path needs the exact decoded integer dtypes
-    (u16 mm depth, u8 RGB); resized (image_scale != 1) float inputs use
-    the generic two-gather path."""
-    return jnp.issubdtype(depths2.dtype, jnp.integer) and jnp.issubdtype(
-        rgbs2.dtype, jnp.integer
-    )
+    """The packed fast path needs the EXACT decoded integer dtypes
+    (u16 mm depth, u8 RGB): _pack_view_records stores d | (r << 16), so
+    wider integers (e.g. int32 mm from a custom loader, values past
+    65535 or negative) would silently collide with the color bits —
+    they take the generic two-gather path instead, like resized
+    (image_scale != 1) float inputs."""
+    return depths2.dtype == jnp.uint16 and rgbs2.dtype == jnp.uint8
 
 
 def to_f32_depth(depth: jnp.ndarray) -> jnp.ndarray:

@@ -261,7 +261,13 @@ def fit_many(
         )
 
         up = getattr(cfg, "use_pallas", None)
-        eligible = _pallas_sharded_eligible(params, obs, cfg)
+        # view_chunk (the --batch-size activation bound) disqualifies the
+        # kernel route exactly as in fit_sharded: the kernel materializes
+        # the full padded stack per shard
+        eligible = (
+            _pallas_sharded_eligible(params, obs, cfg)
+            and cfg.view_chunk is None
+        )
         if eligible and (
             up is True or (up is None and jax.default_backend() == "tpu")
         ):
@@ -270,12 +276,15 @@ def fit_many(
             # don't fall through to select_fit_kernel's meshless wording
             raise ValueError(
                 "use_pallas=True on a (view x row)-mesh batched fit "
-                "requires direct mode and the compact z layout (full cP "
-                "with the light model); use use_pallas=None for auto"
+                "requires direct mode, the compact z layout (full cP "
+                "with the light model) and no view_chunk; use "
+                "use_pallas=None for auto"
             )
 
     # The jit donates the params buffers; copy so the caller's pytree
-    # stays alive for reuse.
+    # stays alive for reuse. Needed on the mesh path too: device_put to
+    # an identical sharding may ALIAS the caller's buffers (no copy), so
+    # batch_put alone does not guarantee donation safety.
     params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
     obs, n_obs, chunked, batch_put, _ = prepare_batched_obs(obs, cfg, mesh)
     from sucre_tpu.ops.pallas import select_fit_kernel

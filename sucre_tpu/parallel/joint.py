@@ -55,7 +55,13 @@ def init_joint_params(
     images=None, T: int | None = None, light_model: bool = False,
     use_closed_form: bool = False,
 ) -> JointParams:
-    """Reference-parity init: globals 0.1, J = raw images (direct mode)."""
+    """Reference-parity init: globals 0.1, J = raw images (direct mode).
+
+    ``T`` (the batch size) validates ``images`` when both are given —
+    direct mode sizes J from the images themselves; closed-form mode
+    needs neither (J is closed out of the iteration)."""
+    if T is not None and images is not None and len(images) != T:
+        raise ValueError(f"got {len(images)} images for a T={T} joint batch")
     p = JointParams(
         B=jnp.full((3,), 0.1, jnp.float32),
         beta=jnp.full((3,), 0.1, jnp.float32),

@@ -38,9 +38,20 @@ def make_mesh(
 ) -> Mesh:
     """Build a ('view', 'row') mesh over the given (or all) devices."""
     devices = devices if devices is not None else jax.devices()
+    if n_view_shards < 1:
+        raise ValueError(
+            f"mesh would be empty: n_view_shards must be >= 1, "
+            f"got {n_view_shards}"
+        )
     if n_row_shards is None:
         n_row_shards = len(devices) // n_view_shards
     n = n_view_shards * n_row_shards
+    if n_view_shards < 1 or n_row_shards < 1:
+        raise ValueError(
+            f"mesh {n_view_shards}x{n_row_shards} is empty: "
+            f"n_view_shards must be in [1, {len(devices)}] "
+            f"(have {len(devices)} devices)"
+        )
     if n > len(devices):
         raise ValueError(
             f"mesh {n_view_shards}x{n_row_shards} needs {n} devices, "
@@ -106,12 +117,16 @@ def fit_sharded(params, obs: DenseObs, cfg, mesh: Mesh, **kwargs):
         getattr(cfg, "use_pallas", None) is None and jax.default_backend() == "tpu"
     )
     routable = (
-        not kwargs
+        all(v is None for v in kwargs.values())  # presence of an
+        # explicit telemetry_fn=None/snapshot_fn=None must not disable
+        # the fused route
         and _pallas_sharded_eligible(params, obs, cfg)
         and cfg.view_chunk is None  # the memory knob bounds per-step
         # activations; the kernel route materializes the full stack
         and cfg.save_interval is None
         and cfg.checkpoint_interval is None
+        and cfg.checkpoint_dir is None  # solve.fit resumes from it;
+        # the kernel route would silently restart at iteration 0
     )
     if want_pallas and routable:
         return fit_sharded_pallas(params, obs, cfg, mesh)
@@ -121,8 +136,8 @@ def fit_sharded(params, obs: DenseObs, cfg, mesh: Mesh, **kwargs):
         raise ValueError(
             "use_pallas=True on a sharded fit requires: direct mode, "
             "compact z layout (full cP with the light model), no "
-            "view_chunk, no snapshot/checkpoint callbacks; use "
-            "use_pallas=None for auto-selection"
+            "view_chunk, no snapshot/checkpoint settings (interval, "
+            "dir, or callbacks); use use_pallas=None for auto-selection"
         )
 
     H = obs.valid.shape[1]

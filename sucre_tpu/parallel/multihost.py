@@ -44,7 +44,11 @@ def initialize_distributed(
     # Multi-process CPU (tests, virtual meshes) needs a cross-process
     # collectives backend for the client to register as multi-node.
     platforms = getattr(jax.config, "jax_platforms", None) or ""
-    if "cpu" in platforms:
+    if "cpu" in platforms or not platforms:
+        # unset platforms auto-selects a backend (often CPU); the gloo
+        # impl only affects the CPU backend's collectives and is
+        # required for a CPU client to register as multi-node, so set it
+        # whenever CPU may be the chosen backend
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     if coordinator_address is None:
         coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")

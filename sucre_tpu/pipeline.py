@@ -502,18 +502,30 @@ def compute_matches(
 
     def flush_pending():
         all_counts = jax.device_get([p[4] for p in pending])
-        for (sub, n, obs, match, _), counts in zip(pending, all_counts):
-            keep = [j for j in range(n) if counts[j] / area > min_cover]
+        keeps = [
+            [j for j in range(n) if counts[j] / area > min_cover]
+            for (_, n, *_), counts in zip(pending, all_counts)
+        ]
+        # ONE batched device->host fetch for every kept pair's packed-
+        # save arrays (h5 path): per-pair np.asarray would pay ~6
+        # serialized dispatch round trips per pair on high-latency links
+        saved = iter(())
+        if matches_file is not None:
+            saved = iter(jax.device_get([
+                (match.u2[j], match.v2[j], match.d2[j], match.valid[j],
+                 obs.I[j])
+                for (_, _, obs, match, _), keep in zip(pending, keeps)
+                for j in keep
+            ]))
+        for (sub, n, obs, match, _), keep in zip(pending, keeps):
             for j in keep:
                 view2 = sub[j]
                 if matches_file is not None:
+                    u2, v2, d2, valid, I = next(saved)
                     matches_file.save_pair_from_dense(
                         view2.name,
-                        PairMatch(
-                            u2=match.u2[j], v2=match.v2[j],
-                            d2=match.d2[j], valid=match.valid[j],
-                        ),
-                        obs.I[j],
+                        PairMatch(u2=u2, v2=v2, d2=d2, valid=valid),
+                        I,
                     )
                 kept_names.append(view2.name)
             if collect_dense and keep:
@@ -593,8 +605,10 @@ def compute_matches(
                 flush_pending()
     flush_pending()
 
-    if matches_file is not None and bilinear and matches_file.exists():
-        matches_file.set_color_sampling("bilinear")
+    if matches_file is not None and matches_file.exists():
+        if bilinear:
+            matches_file.set_color_sampling("bilinear")
+        matches_file.finalize()
     dense = None
     if collect_dense and kept_chunks:
         if len(kept_chunks) == 1:
@@ -726,19 +740,34 @@ def match_targets_shared(
 
     def flush_pending():
         all_counts = jax.device_get([p[5] for p in pending])
-        for (ti, sub, n, obs, match, _), counts in zip(pending, all_counts):
-            keep = [j for j in range(n) if counts[j] / areas[ti] > min_cover]
+        keeps = [
+            [j for j in range(n) if counts[j] / areas[ti] > min_cover]
+            for (ti, _, n, *_), counts in zip(pending, all_counts)
+        ]
+        # ONE batched device->host fetch for every kept pair's packed-
+        # save arrays (h5 targets only): per-pair np.asarray costs ~6
+        # serialized dispatch round trips per pair on high-latency links
+        saved = iter(jax.device_get([
+            (match.u2[j], match.v2[j], match.d2[j], match.valid[j],
+             obs.I[j])
+            for (ti, _, _, obs, match, _), keep in zip(pending, keeps)
+            if match is not None
+            for j in keep
+        ]))
+        for (ti, sub, n, obs, match, _), keep in zip(pending, keeps):
+            # match is non-None iff this target saves to h5 (set at
+            # dispatch) — the same predicate the fetch above used, so
+            # the iterator stays in lockstep
             mf = matches_files[ti] if matches_files else None
             for j in keep:
-                if mf is not None:
-                    mf.save_pair_from_dense(
-                        sub[j].name,
-                        PairMatch(
-                            u2=match.u2[j], v2=match.v2[j],
-                            d2=match.d2[j], valid=match.valid[j],
-                        ),
-                        obs.I[j],
-                    )
+                if match is not None:
+                    u2, v2, d2, valid, I = next(saved)
+                    if mf is not None:
+                        mf.save_pair_from_dense(
+                            sub[j].name,
+                            PairMatch(u2=u2, v2=v2, d2=d2, valid=valid),
+                            I,
+                        )
                 kept_names[ti].append(sub[j].name)
             if keep:
                 idx = jnp.asarray(np.asarray(keep, np.int32))
@@ -810,10 +839,12 @@ def match_targets_shared(
     flush_pending()
     log(f"matched {T} targets")
 
-    if bilinear and matches_files:
+    if matches_files:
         for mf in matches_files:
             if mf is not None and mf.exists():
-                mf.set_color_sampling("bilinear")
+                if bilinear:
+                    mf.set_color_sampling("bilinear")
+                mf.finalize()
     dense: list[DenseObs | None] = []
     for parts in kept_chunks:
         if not parts:
@@ -870,6 +901,17 @@ def restore_image(
     obs = None
     primed_depths: dict[str, np.ndarray] = {}
     view_rects = None
+    if (
+        use_h5 and not cfg.force_compute_matches
+        and matches_path.exists() and not matches_file.is_complete()
+    ):
+        # pairs are appended incrementally during matching — a partial
+        # file from a killed run would silently restore from a subset
+        logger.warning(
+            "Discarding incomplete matches cache %s (interrupted run).",
+            matches_path,
+        )
+        matches_path.unlink()
     if not use_h5 or cfg.force_compute_matches or not matches_path.exists():
         if cfg.frustum_cull:
             # depth-only pre-pass: drop views whose observed surface cannot
@@ -964,12 +1006,13 @@ def restore_image(
     if obs is None and use_h5:
         log("Load matches.")
         matches_file.check_color_sampling(cfg.bilinear_colors)
-        obs, _ = matches_file.load_dense(scene, target.height, target.width)
-        if not cfg.light_model:
-            # same compact z layout the fresh-matching path emits (fused
-            # kernel eligibility + ~3x smaller stack) — resume must not
-            # silently degrade the fit stage
-            obs = obs.compact()
+        matches_file.check_grid(target.height, target.width)
+        # no-light: host-side compact z layout (fused kernel eligibility,
+        # ~3x smaller stack AND upload — resume must not silently degrade
+        # or out-transfer the fresh-matching path)
+        obs, _ = matches_file.load_dense(
+            scene, target.height, target.width, compact=not cfg.light_model
+        )
     if obs is None:
         n_obs = 0
     elif isinstance(obs.valid, np.ndarray):
@@ -1301,12 +1344,21 @@ def dispatch_survey_batch(
         if use_h5:
             matches_path = (output_dir / target.name).with_suffix(".h5")
             mf = MatchesFile(matches_path, overwrite=cfg.force_compute_matches)
+            if mf.exists() and not mf.is_complete():
+                get_logger().warning(
+                    "Discarding incomplete matches cache %s "
+                    "(interrupted run).", matches_path,
+                )
+                matches_path.unlink()
             if mf.exists():
                 log(f"Load {target.name} matches from cache.")
+                mf.check_integrity()
                 mf.check_color_sampling(cfg.bilinear_colors)
-                obs_cached, _ = mf.load_dense(scene, target.height, target.width)
-                if not cfg.light_model:
-                    obs_cached = obs_cached.compact()
+                mf.check_grid(target.height, target.width)
+                obs_cached, _ = mf.load_dense(
+                    scene, target.height, target.width,
+                    compact=not cfg.light_model,
+                )
                 obs_list[ti] = obs_cached
                 mf = None  # already populated; don't re-save
             else:

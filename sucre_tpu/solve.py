@@ -315,7 +315,7 @@ def fit(
     if chunked:
         obs = _chunked(_pad_views(obs, cfg.view_chunk), cfg.view_chunk)
 
-    n_obs = jnp.float32(obs.n_obs if not chunked else jnp.sum(obs.valid))
+    n_obs = jnp.float32(obs.n_obs)  # shape-agnostic (sum of valid)
 
     opt_state = optax.adam(cfg.lr).init(params)
 
@@ -379,6 +379,7 @@ def fit(
     tel_parts = []
     it = start
     prev_cost = None
+    prev_check_it = start
     for n_steps in segments:
         params, opt_state, tel = _run_segment(
             params, opt_state, obs, n_obs, n_steps, use_closed_form, chunked, cfg.lr,
@@ -400,13 +401,25 @@ def fit(
             from sucre_tpu.utils import fit_checkpoint as fckpt
 
             fckpt.save_fit_state(cfg.checkpoint_dir, it, params, opt_state)
-        if cfg.stop_tol is not None and len(tel_parts[-1].cost):
+        # Convergence is evaluated ONLY at the stop_check cadence (these
+        # boundaries are all in the segment bounds set): snapshot- or
+        # checkpoint-induced segments can be as short as 1 iteration, and
+        # a single-step rate extrapolated x stop_check is pure noise at a
+        # cost-curve turning point (the closed-form synthetic fit rises
+        # ~11% around iter 40 — a 1-step check there would spuriously
+        # stop a fit that falls 7 more orders of magnitude).
+        if (
+            cfg.stop_tol is not None
+            and len(tel_parts[-1].cost)
+            and it % cfg.stop_check == 0
+        ):
             cost = float(tel_parts[-1].cost[-1])
             if improvement_converged(
-                prev_cost, cost, n_steps, cfg.stop_check, cfg.stop_tol
+                prev_cost, cost, it - prev_check_it, cfg.stop_check, cfg.stop_tol
             ):
                 break
             prev_cost = cost
+            prev_check_it = it
 
     J, observed = _final_J(params, obs, use_closed_form, chunked)
     if tel_parts:

@@ -111,6 +111,45 @@ class MatchesFile:
     def exists(self) -> bool:
         return self.path.exists()
 
+    def is_complete(self) -> bool:
+        """True when the cache finished writing. Pairs are appended
+        incrementally during matching, so a killed run leaves a partial
+        file that a bare exists() gate would treat as complete; our
+        writer stamps ``complete=False`` at creation (save_pair) and
+        flips it in finalize(). Files WITHOUT the writer stamp (written
+        by the reference implementation) are accepted as complete — the
+        reference has no such marker."""
+        if not self.path.exists():
+            return False
+        with h5py.File(self.path, "r", libver="latest") as f:
+            if "writer" not in f.attrs:
+                return True
+            return bool(f.attrs.get("complete", False))
+
+    def finalize(self) -> None:
+        """Mark the cache complete (call when matching finished)."""
+        if self.path.exists():
+            with h5py.File(self.path, "a", libver="latest") as f:
+                f.attrs["complete"] = True
+
+    def check_grid(self, height: int, width: int) -> None:
+        """Refuse to reuse a cache written for a different target grid
+        (e.g. a different --image-scale): the stored pixel coordinates
+        are meaningless on another grid. Reference-written caches carry
+        no dims attrs and pass (load_dense still bounds-checks)."""
+        if not self.path.exists():
+            return
+        with h5py.File(self.path, "r", libver="latest") as f:
+            got = (f.attrs.get("height"), f.attrs.get("width"))
+        if got[0] is None:
+            return
+        if (int(got[0]), int(got[1])) != (height, width):
+            raise RuntimeError(
+                f"{self.path} was computed on a {got[0]}x{got[1]} target "
+                f"grid but this run restores at {height}x{width} (check "
+                f"--image-scale); pass --force-compute-matches to recompute"
+            )
+
     def pair_names(self) -> list[str]:
         with h5py.File(self.path, "r", libver="latest") as f:
             return [name for name, _ in _leaf_groups(f)]
@@ -124,6 +163,9 @@ class MatchesFile:
         v2: np.ndarray,
         d: np.ndarray,
         I: np.ndarray,  # (N, 3) observations-major
+        grid_hw: tuple[int, int] | None = None,  # target (H, W), stamped
+        # as dims attrs at creation so check_grid can refuse cross-scale
+        # reuse
     ) -> None:
         """Append one paired image's packed matches (reference schema:
         loader.py:68-76 — int16 coords, (3, N) float32 colors).
@@ -137,6 +179,15 @@ class MatchesFile:
         I = I.T  # stored channels-first per the reference schema
         self.path.parent.mkdir(parents=True, exist_ok=True)
         with h5py.File(self.path, "a", libver="latest") as f:
+            if "writer" not in f.attrs:
+                # crash-consistency stamp: a file that never reaches
+                # finalize() is discarded on reuse, not half-loaded
+                f.attrs["writer"] = "sucre_tpu"
+                f.attrs["complete"] = False
+                if grid_hw is not None:
+                    f.attrs["height"], f.attrs["width"] = (
+                        int(grid_hw[0]), int(grid_hw[1]),
+                    )
             group = f.create_group(image2_name)
             group.create_dataset("u1", data=np.asarray(u1, np.int16))
             group.create_dataset("v1", data=np.asarray(v1, np.int16))
@@ -156,7 +207,7 @@ class MatchesFile:
         I = np.asarray(I_dense)[v1, u1]
         if np.issubdtype(I.dtype, np.integer):
             I = (I / 255).astype(np.float32)  # h5 schema stores float colors
-        self.save_pair(image2_name, u1, v1, u2, v2, d, I)
+        self.save_pair(image2_name, u1, v1, u2, v2, d, I, grid_hw=valid.shape)
         return len(u1)
 
     def check_integrity(self) -> None:
@@ -189,13 +240,21 @@ class MatchesFile:
                 size += group["u1"].shape[0]
         return size
 
-    def load_dense(self, scene, height: int, width: int) -> tuple[DenseObs, list[str]]:
+    def load_dense(
+        self, scene, height: int, width: int, compact: bool = False
+    ) -> tuple[DenseObs, list[str]]:
         """Rasterize the packed matches onto the target grid.
 
         ``scene`` provides per-pair-view intrinsics (cP is rebuilt from
         (u2, v2, d) in the observing camera's frame — loader.py:103-118).
         Groups are iterated in h5py order (alphabetical), matching the
         reference's ``f.items()`` iteration.
+
+        ``compact=True`` builds the no-light z layout HOST-side
+        (z = ||cP||, DenseObs.compact()) so the upload moves a (V, H, W)
+        range stack instead of the 3x larger cP stack — the resume path
+        would otherwise pay the full cP host->device transfer only to
+        immediately reduce it on device.
         """
         names: list[str] = []
         with h5py.File(self.path, "r", libver="latest") as f:
@@ -203,7 +262,11 @@ class MatchesFile:
             names = [n for n, _ in groups]
             V = len(names)
             valid = np.zeros((V, height, width), bool)
-            cP = np.zeros((V, height, width, 3), np.float32)
+            cP = (
+                None if compact
+                else np.zeros((V, height, width, 3), np.float32)
+            )
+            z = np.zeros((V, height, width), np.float32) if compact else None
             I = np.zeros((V, height, width, 3), np.float32)
             for k, (name, g) in enumerate(groups):
                 u1 = g["u1"][()].astype(np.int64)
@@ -213,17 +276,45 @@ class MatchesFile:
                 d = g["d"][()]
                 Ik = g["I"][()]  # (3, N)
                 view2 = scene[name]
+                # Bounds gate before fancy indexing: negative or
+                # out-of-grid coords (corrupt cache, or one written at a
+                # different --image-scale) would otherwise wrap to the
+                # far edge / raise a raw IndexError and rasterize
+                # observations onto wrong pixels.
+                if len(u1) and not (
+                    (u1 >= 0).all() and (u1 < width).all()
+                    and (v1 >= 0).all() and (v1 < height).all()
+                ):
+                    raise RuntimeError(
+                        f"{self.path}: group {name} has target coords "
+                        f"outside the {height}x{width} grid — the cache "
+                        f"is corrupt or was written at a different "
+                        f"--image-scale; pass --force-compute-matches"
+                    )
                 valid[k, v1, u1] = True
-                cP[k, v1, u1] = _unproject_np(
+                cPk = _unproject_np(
                     view2.intrinsics, u2, v2, d,
                     dist=getattr(view2, "dist", None),
                     dist_model=getattr(view2, "dist_model", "none"),
                 )
+                if compact:
+                    # f32 accumulate + sqrt: matches the device-side
+                    # DenseObs.compact() reduction bit-for-bit
+                    z[k, v1, u1] = np.sqrt(
+                        np.sum(cPk * cPk, axis=-1, dtype=np.float32)
+                    ).astype(np.float32)
+                else:
+                    cP[k, v1, u1] = cPk
                 I[k, v1, u1] = Ik.T
         import jax.numpy as jnp
 
         return (
-            DenseObs(valid=jnp.asarray(valid), cP=jnp.asarray(cP), I=jnp.asarray(I)),
+            DenseObs(
+                valid=jnp.asarray(valid),
+                cP=None if compact else jnp.asarray(cP),
+                I=jnp.asarray(I),
+                z=jnp.asarray(z) if compact else None,
+            ),
             names,
         )
 

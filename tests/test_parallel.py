@@ -797,3 +797,56 @@ def test_fit_gspmd_collective_inventory(rng, vs, rs, closed_form):
         assert ok_scalar or ok_closed, (
             f"unexpected all-reduce of {n} elements over groups of {gsz}"
         )
+
+
+def test_make_mesh_oversubscribed_view_shards_raises():
+    """n_view_shards > device count used to floor n_row_shards to 0 and
+    build an EMPTY mesh that failed much later with a cryptic error."""
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="empty"):
+        make_mesh(n * 2)
+    with pytest.raises(ValueError, match="empty"):
+        make_mesh(0)
+
+
+def test_fit_sharded_explicit_none_callbacks_keep_kernel_route(rng):
+    """Passing snapshot_fn=None / telemetry_fn=None explicitly must not
+    disqualify the fused-kernel route (presence-of-kwarg is not a
+    request for callbacks)."""
+    import dataclasses
+
+    obs, image = _synthetic_obs(rng, V=4, H=8, W=16)
+    obs = obs.compact()
+    params = init_params(image=image)
+    mesh = make_mesh(2, 4)
+    cfg = FitConfig(num_iter=3, use_pallas=True)
+    # use_pallas=True raises if the kernel route is disqualified
+    res = fit_sharded(
+        params, obs, cfg, mesh, snapshot_fn=None, telemetry_fn=None
+    )
+    ref = fit(params, obs, dataclasses.replace(cfg, use_pallas=None))
+    np.testing.assert_allclose(
+        np.asarray(res.params.B), np.asarray(ref.params.B), atol=1e-5
+    )
+
+
+def test_fit_sharded_checkpoint_dir_disqualifies_kernel_route(rng, tmp_path):
+    """checkpoint_dir means 'resume if a checkpoint exists'; the fused
+    kernel route cannot, so forcing it must refuse rather than silently
+    restart from iteration 0."""
+    obs, image = _synthetic_obs(rng, V=4, H=8, W=16)
+    obs = obs.compact()
+    params = init_params(image=image)
+    mesh = make_mesh(2, 4)
+    cfg = FitConfig(num_iter=3, use_pallas=True, checkpoint_dir=tmp_path)
+    with pytest.raises(ValueError, match="use_pallas"):
+        fit_sharded(params, obs, cfg, mesh)
+
+
+def test_init_joint_params_validates_batch_size():
+    from sucre_tpu.parallel.joint import init_joint_params
+
+    imgs = [np.zeros((4, 6, 3), np.float32)] * 2
+    with pytest.raises(ValueError, match="T=3"):
+        init_joint_params(images=imgs, T=3)
+    init_joint_params(images=imgs, T=2)  # consistent sizes pass

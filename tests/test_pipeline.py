@@ -888,3 +888,96 @@ def test_fit_quality_metrics(tmp_path):
         for r in results:
             assert r.metrics["recon_psnr"] > 15.0
             assert r.metrics["obs_rmse"] < 0.5
+
+
+class TestCacheGuards:
+    """Crash-consistency + cross-scale guards on the matches cache.
+
+    Pairs are appended to the .h5 incrementally during matching; these
+    tests pin that a partial file from a killed run is discarded (not
+    half-loaded), that a cache written at one --image-scale refuses to
+    serve another, and that corrupt coordinates fail loudly instead of
+    numpy-wrapping onto the far edge of the grid."""
+
+    def _restore_with_cache(self, scene_dir, out):
+        scene = Scene.from_colmap(
+            scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir
+        )
+        cfg = RestoreConfig(num_iter=2, verbose=False, keep_matches=True)
+        res = restore_image(scene, "img_001.png", out, cfg)
+        return scene, cfg, res, (out / "img_001.h5")
+
+    def test_incomplete_cache_discarded_and_recomputed(self, scene_dir, tmp_path):
+        import h5py
+
+        scene, cfg, res1, h5 = self._restore_with_cache(scene_dir, tmp_path / "o")
+        # simulate a run killed mid-matching: our writer stamp present,
+        # complete never set
+        with h5py.File(h5, "a") as f:
+            f.attrs["complete"] = False
+            # drop one pair group = the partial-write state
+            del f[next(iter(f.keys()))]
+        res2 = restore_image(scene, "img_001.png", tmp_path / "o", cfg)
+        assert res2.n_obs == res1.n_obs  # recomputed, not half-loaded
+        mf = MatchesFile(h5)
+        assert mf.is_complete()  # the rewrite finalized
+
+    def test_reference_written_cache_accepted(self, scene_dir, tmp_path):
+        """Files without the writer stamp (written by the reference
+        implementation) must load: the reference has no completeness
+        marker, so absence of the stamp means 'complete'."""
+        import h5py
+
+        scene, cfg, res1, h5 = self._restore_with_cache(scene_dir, tmp_path / "o")
+        with h5py.File(h5, "a") as f:
+            for key in list(f.attrs):
+                del f.attrs[key]
+        mf = MatchesFile(h5)
+        assert mf.is_complete()
+        mf.check_grid(123, 456)  # no dims attrs -> cannot verify, pass
+        res2 = restore_image(scene, "img_001.png", tmp_path / "o", cfg)
+        assert res2.n_obs == res1.n_obs
+
+    def test_cross_scale_cache_refused(self, scene_dir, tmp_path):
+        import pytest
+
+        scene, cfg, _, h5 = self._restore_with_cache(scene_dir, tmp_path / "o")
+        half = Scene.from_colmap(
+            scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir,
+            image_scale=0.5,
+        )
+        with pytest.raises(RuntimeError, match="image-scale"):
+            restore_image(half, "img_001.png", tmp_path / "o", cfg)
+
+    def test_load_dense_rejects_out_of_grid_coords(self, scene_dir, tmp_path):
+        import pytest
+
+        scene = Scene.from_colmap(
+            scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir
+        )
+        t = scene["img_001.png"]
+        mf = MatchesFile(tmp_path / "bad.h5")
+        mf.save_pair(
+            "img_000.png",
+            u1=np.asarray([1, -1], np.int16), v1=np.asarray([0, 2], np.int16),
+            u2=np.asarray([3, 4], np.int16), v2=np.asarray([5, 6], np.int16),
+            d=np.asarray([1.0, 2.0], np.float32),
+            I=np.zeros((2, 3), np.float32),
+        )
+        with pytest.raises(RuntimeError, match="outside"):
+            mf.load_dense(scene, t.height, t.width)
+
+    def test_load_dense_compact_equals_device_compact(self, scene_dir, tmp_path):
+        scene, cfg, _, h5 = self._restore_with_cache(scene_dir, tmp_path / "o")
+        t = scene["img_001.png"]
+        mf = MatchesFile(h5)
+        full, names = mf.load_dense(scene, t.height, t.width)
+        comp, names2 = mf.load_dense(scene, t.height, t.width, compact=True)
+        assert names == names2
+        dev = full.compact()
+        assert comp.cP is None
+        np.testing.assert_array_equal(np.asarray(comp.valid), np.asarray(dev.valid))
+        np.testing.assert_allclose(
+            np.asarray(comp.z), np.asarray(dev.z), rtol=0, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(comp.I), np.asarray(dev.I))

@@ -227,3 +227,32 @@ def test_cli_stop_tol_reports_fewer_iters(tmp_path):
     report = json.loads((out / "report.json").read_text())
     iters = [t["iters"] for t in report["targets"]]
     assert iters and all(0 < i < 300 and i % 10 == 0 for i in iters)
+
+
+def test_snapshot_segments_do_not_perturb_stop_point(obs_params):
+    """Convergence must be evaluated ONLY at the stop_check cadence:
+    save_interval carves extra (down to 1-iteration) segments into the
+    plan, and a single-step cost delta extrapolated x stop_check is
+    noise — before the cadence gate, a near-zero 1-step delta at any
+    plateau or turning point stopped the fit at a non-check boundary."""
+    obs, params = obs_params
+    tol, window = 0.15, 10
+    cfg = FitConfig(num_iter=300, stop_tol=tol, stop_check=window)
+    base = fit(params, obs, cfg)
+    n_base = len(np.asarray(base.telemetry.cost))
+    assert n_base < 300 and n_base % window == 0
+
+    # save_interval=7 makes segment bounds {1, 8, 15, ...} ∪ {10, 20, ...}:
+    # plenty of 1-3 iteration segments, including some ending adjacent to
+    # check boundaries
+    cfg_snap = FitConfig(
+        num_iter=300, stop_tol=tol, stop_check=window, save_interval=7
+    )
+    snaps = []
+    res = fit(params, obs, cfg_snap, snapshot_fn=lambda it, p, J, o: snaps.append(it))
+    c = np.asarray(res.telemetry.cost)
+    assert len(c) == n_base, (
+        "snapshot-induced segments changed the stop iteration"
+    )
+    np.testing.assert_allclose(c, np.asarray(base.telemetry.cost), rtol=1e-4)
+    assert snaps, "snapshot_fn never fired"
