@@ -410,7 +410,13 @@ def main(argv: list[str] | None = None) -> int:
         from sucre_tpu.parallel import make_mesh
 
         if args.mesh:
-            v, r = (int(x) for x in args.mesh.lower().split("x"))
+            try:
+                v, r = (int(x) for x in args.mesh.lower().split("x"))
+            except ValueError:
+                raise SystemExit(
+                    f"--mesh must be VIEWSxROWS (e.g. 2x4), got "
+                    f"{args.mesh!r}"
+                )
         else:
             v, r = 1, len(devices)
         mesh = make_mesh(v, r, devices=devices)

@@ -217,13 +217,22 @@ def read_images_txt(path: Path | str) -> dict[int, ColmapImage]:
         if not lines[i]:  # stray blank while seeking a header (COLMAP's
             i += 1  # own reader skips these too)
             continue
-        parts = lines[i].split()
+        line = lines[i]
+        parts = line.split()
         image_id = int(parts[0])
         qvec = np.array([float(x) for x in parts[1:5]])
         tvec = np.array([float(x) for x in parts[5:8]])
         camera_id = int(parts[8])
-        # COLMAP reads the name as the line remainder — it may contain spaces.
-        name = " ".join(parts[9:])
+        # COLMAP treats the name as the line remainder VERBATIM — it may
+        # contain (even consecutive) spaces, which a split/rejoin would
+        # collapse into one. Slice past the 9 numeric fields instead.
+        pos = 0
+        for _ in range(9):
+            while pos < len(line) and line[pos].isspace():
+                pos += 1
+            while pos < len(line) and not line[pos].isspace():
+                pos += 1
+        name = line[pos:].lstrip()
         xys = np.zeros((0, 2))
         point3D_ids = np.zeros((0,), np.int64)
         if i + 1 < len(lines):

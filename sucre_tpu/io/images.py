@@ -63,6 +63,13 @@ def load_depth_map(depth_map_path: Path | str, width: int, height: int) -> np.nd
         raw = cv2.imread(str(depth_map_path), cv2.IMREAD_UNCHANGED)
         if raw is None:
             raise FileNotFoundError(f"Cannot decode depth map {depth_map_path}")
+        if raw.ndim == 3:
+            # multi-channel depth PNG (editor/exporter artifact): collapse
+            # to one plane exactly like the TIFF/EXR path, instead of
+            # returning an (H, W, 3) "depth map"
+            from sucre_tpu.io.depth_formats import _collapse_channels
+
+            raw = _collapse_channels(depth_map_path, raw)
         depth = raw / 1000
     if (depth.shape[0] != height) or (depth.shape[1] != width):
         depth = cv2.resize(depth, (width, height), interpolation=cv2.INTER_NEAREST)
@@ -114,7 +121,12 @@ def load_rgb_raw(rgb_path: Path | str, width: int, height: int) -> np.ndarray:
     if width < bgr.shape[1]:
         bgr = cv2.resize(bgr, (width, height), interpolation=cv2.INTER_AREA)
         return np.ascontiguousarray(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
-    return load_rgb(rgb_path, width, height)
+    # upscale: the reference's float-domain INTER_CUBIC (overshoots are
+    # load-bearing, see docstring) on the ALREADY-decoded pixels — a
+    # load_rgb call here would decode the file a second time
+    rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB) / 255
+    rgb = cv2.resize(rgb, (width, height), interpolation=cv2.INTER_CUBIC)
+    return np.ascontiguousarray(rgb, dtype=np.float32)
 
 
 def load_depth_raw(depth_map_path: Path | str, width: int, height: int) -> np.ndarray:
@@ -145,6 +157,10 @@ def load_depth_raw(depth_map_path: Path | str, width: int, height: int) -> np.nd
     raw = cv2.imread(str(depth_map_path), cv2.IMREAD_UNCHANGED)
     if raw is None:
         raise FileNotFoundError(f"Cannot decode depth map {depth_map_path}")
+    if raw.ndim == 3:
+        from sucre_tpu.io.depth_formats import _collapse_channels
+
+        raw = _collapse_channels(depth_map_path, raw)
     if raw.shape[0] != height or raw.shape[1] != width:
         raw = cv2.resize(raw, (width, height), interpolation=cv2.INTER_NEAREST)
     return np.ascontiguousarray(raw)

@@ -172,14 +172,24 @@ def read_ply(path: Path | str) -> Mesh:
                     for p in props:
                         if p[0] == "list":
                             cdt = np.dtype(_PLY_DTYPES[p[1]])
+                            raw = f.read(cdt.itemsize)
+                            if len(raw) < cdt.itemsize:
+                                raise ValueError(
+                                    f"{path}: truncated PLY element"
+                                )
                             (n,) = struct.unpack(
-                                endian + count_fmt[_PLY_DTYPES[p[1]]],
-                                f.read(cdt.itemsize),
+                                endian + count_fmt[_PLY_DTYPES[p[1]]], raw
                             )
                             item = np.dtype(_PLY_DTYPES[p[2]])
+                            raw = f.read(n * item.itemsize)
+                            if len(raw) < n * item.itemsize:
+                                # a short-but-aligned read would silently
+                                # drop vertices from the polygon
+                                raise ValueError(
+                                    f"{path}: truncated PLY element"
+                                )
                             vals = np.frombuffer(
-                                f.read(n * item.itemsize),
-                                dtype=endian + _PLY_DTYPES[p[2]],
+                                raw, dtype=endian + _PLY_DTYPES[p[2]]
                             )
                             if row_polys is None:
                                 row_polys = vals.astype(np.int64).tolist()

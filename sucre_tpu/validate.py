@@ -64,6 +64,22 @@ class Finding:
         return f"{self.level:5s} {self.code}{where}: {self.message}"
 
 
+def png_color_type(path: Path) -> int | None:
+    """IHDR color type of a PNG (0 gray, 2 RGB, 3 palette, 4 gray+alpha,
+    6 RGBA), or None for non-PNG/truncated files. Depth maps must be
+    single-plane (type 0): a 16-bit RGB "depth" PNG passes the
+    bit-depth check yet decodes to (H, W, 3)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(32)
+        if head[:8] == b"\x89PNG\r\n\x1a\n" and head[12:16] == b"IHDR" \
+                and len(head) >= 26:
+            return int(head[25])
+    except OSError:
+        pass
+    return None
+
+
 def probe_headers(path: Path):
     """(width, height, bit_depth, kind) from PNG/JPEG file headers, or
     None when the format is neither (the deep pass / pipeline decode
@@ -296,6 +312,15 @@ def _check_view(view, deep: bool, scaled: bool) -> list[Finding]:
                     "WARN", "depth-bitdepth", name,
                     f"depth PNG is {bit_depth}-bit, expected 16-bit millimeters "
                     f"(8-bit caps at 0.255 m — almost certainly a unit mistake)"))
+            ctype = png_color_type(view.depth_path)
+            if kind == "png" and ctype not in (None, 0):
+                names = {2: "RGB", 3: "palette", 4: "gray+alpha", 6: "RGBA"}
+                findings.append(Finding(
+                    "WARN", "depth-channels", name,
+                    f"depth PNG is {names.get(ctype, f'type {ctype}')} — "
+                    f"expected single-plane grayscale; the decoder collapses "
+                    f"multi-channel maps but an exporter that writes depth "
+                    f"into one channel of many is a common mistake"))
             if (w, h) != (view.width, view.height) and not scaled:
                 findings.append(Finding(
                     "WARN", "depth-dims", name,
@@ -402,14 +427,44 @@ def sfm_consistency(
     all_ratios: list[np.ndarray] = []
     all_errs: list[np.ndarray] = []
 
-    for iid, im in raw_images.items():
-        view = scene.views.get(iid)
-        raw_cam = raw_cameras.get(im.camera_id)
-        if view is None or raw_cam is None or len(im.point3D_ids) == 0:
-            continue
+    # Depth decodes are the dominant cost of this pass; run them on a
+    # small thread pool with bounded lookahead so the loop's numpy work
+    # overlaps decode instead of serializing a SECOND full-survey decode
+    # after _check_view's threaded pass (memory stays ~lookahead maps).
+    import concurrent.futures as cf
+    from collections import deque
+
+    cand = [
+        (iid, im) for iid, im in raw_images.items()
+        if scene.views.get(iid) is not None
+        and raw_cameras.get(im.camera_id) is not None
+        and len(im.point3D_ids) > 0
+    ]
+
+    def _decode(v):
+        try:
+            return load_depth_map(v.depth_path, v.width, v.height)
+        except Exception:
+            return None  # missing/corrupt depth is already its own finding
+
+    pool = cf.ThreadPoolExecutor(max_workers=4)
+    lookahead = 8
+    depth_futs: deque = deque()
+    submitted = 0
+
+    for k, (iid, im) in enumerate(cand):
+        while submitted < len(cand) and submitted <= k + lookahead:
+            depth_futs.append(
+                pool.submit(_decode, scene.views[cand[submitted][0]])
+            )
+            submitted += 1
+        depth_fut = depth_futs.popleft()
+        view = scene.views[iid]
+        raw_cam = raw_cameras[im.camera_id]
         ids = np.asarray(im.point3D_ids)
         sel = np.flatnonzero((ids >= 0) & np.isin(ids, known_ids))
         if len(sel) == 0:
+            depth_fut.cancel()
             continue
         if len(sel) > max_samples_per_image:
             sel = rng.choice(sel, max_samples_per_image, replace=False)
@@ -426,6 +481,7 @@ def sfm_consistency(
         z_sfm = Pc[:, 2]
         front = z_sfm > 1e-6
         if not front.any():
+            depth_fut.cancel()
             continue
 
         # (b) reprojection through our full camera model (lens included)
@@ -444,10 +500,9 @@ def sfm_consistency(
         err = np.hypot(pu - kp[:, 0], pv - kp[:, 1])
 
         # (a) depth-map Z at the keypoint pixel vs the point's Z
-        try:
-            depth = load_depth_map(view.depth_path, view.width, view.height)
-        except Exception:
-            continue  # missing/corrupt depth is already its own finding
+        depth = depth_fut.result()
+        if depth is None:
+            continue
         ui = np.floor(kp[:, 0]).astype(np.int64)
         vi = np.floor(kp[:, 1]).astype(np.int64)
         inb = (
@@ -468,6 +523,7 @@ def sfm_consistency(
                 float(np.median(errs)) if len(errs) else float("nan"),
                 len(ratios),
             ))
+    pool.shutdown(wait=False, cancel_futures=True)
 
     if not all_ratios:
         findings.append(Finding(

@@ -239,3 +239,20 @@ def test_images_txt_zero_points_and_spaced_names(tmp_path):
     assert len(images[1].point3D_ids) == 0
     assert images[2].name == "my photo 02.png"
     assert list(images[2].point3D_ids) == [7, 9]
+
+
+def test_images_txt_preserves_consecutive_spaces_in_names(tmp_path):
+    """COLMAP treats the name as the verbatim line remainder; a
+    split/rejoin parser would collapse 'frame  001.png' (double space)
+    to 'frame 001.png' and every path lookup would miss."""
+    from sucre_tpu.io import colmap as cio
+
+    txt = "\n".join([
+        "1 1.0 0.0 0.0 0.0 0.1 0.2 0.3 1 cam0/frame  001.png",
+        "",
+        "",
+    ])
+    p = tmp_path / "images.txt"
+    p.write_text(txt)
+    images = cio.read_images_txt(p)
+    assert images[1].name == "cam0/frame  001.png"

@@ -130,3 +130,33 @@ def test_scaled_scene_keeps_packed_path(tmp_path):
     import jax.numpy as jnp
 
     assert _is_raw_views(jnp.asarray(depth[None]), jnp.asarray(rgb[None]))
+
+
+def test_multichannel_png_depth_collapses(tmp_path):
+    """A 16-bit RGB depth PNG (editor/exporter artifact, all channels
+    equal) must decode to a single (H, W) plane like the TIFF/EXR path,
+    on both the f32 and the raw decode."""
+    from sucre_tpu.io.images import load_depth_raw
+
+    d = (np.arange(6 * 8, dtype=np.uint16).reshape(6, 8) * 100) + 500
+    cv2.imwrite(str(tmp_path / "d.png"), np.repeat(d[..., None], 3, axis=2))
+    out = load_depth_map(tmp_path / "d.png", 8, 6)
+    assert out.shape == (6, 8)
+    np.testing.assert_allclose(out, d / 1000, atol=1e-6)
+    raw = load_depth_raw(tmp_path / "d.png", 8, 6)
+    assert raw.shape == (6, 8)
+    np.testing.assert_array_equal(raw, d)
+
+
+def test_rgb_raw_upscale_matches_float_path(tmp_path):
+    """The upscale fallback decodes once and must still be byte-identical
+    to load_rgb (float-domain INTER_CUBIC, unclipped overshoots)."""
+    from sucre_tpu.io.images import load_rgb_raw
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (12, 16, 3), np.uint8)
+    cv2.imwrite(str(tmp_path / "i.png"), img[..., ::-1])
+    a = load_rgb_raw(tmp_path / "i.png", 32, 24)
+    b = load_rgb(tmp_path / "i.png", 32, 24)
+    assert a.dtype == np.float32
+    np.testing.assert_array_equal(a, b)

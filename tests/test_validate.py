@@ -322,3 +322,18 @@ class TestSfmConsistency:
         assert stats is not None
         assert abs(stats["median_depth_ratio"] - 1.0) < 0.05
         assert not any(f.code == "depth-scale" for f in findings)
+
+
+def test_multichannel_depth_png_flagged(sd):
+    """A 16-bit RGB depth PNG passes the bit-depth check but is almost
+    always an exporter mistake; the validator must call it out."""
+    import cv2
+
+    d = np.full((32, 48), 1000, np.uint16)
+    cv2.imwrite(
+        str(sd.depth_dir / "depth_img_001.png"),
+        np.repeat(d[..., None], 3, axis=2),
+    )
+    findings, _ = validate(sd.model_dir, sd.image_dir, sd.depth_dir)
+    codes = {(f.code, f.image) for f in findings}
+    assert ("depth-channels", "img_001.png") in codes
