@@ -156,8 +156,6 @@ def _rasterize(verts_cam, faces, fx, fy, cx, cy, width, height, znear, n_threads
         # seconds-long survey render into hours of numpy rasterization.
         if not _native_fallback_warned:
             _native_fallback_warned = True
-            import sys
-
             print(
                 f"WARNING: native rasterizer failed ({e!r}); falling back "
                 f"to the pure-numpy rasterizer (orders of magnitude "

@@ -40,6 +40,42 @@ def _ray_dirs(uu, vv, intrinsics, dist, dist_model: str):
     )
 
 
+def _backproject_grid(
+    depth_raw: np.ndarray,
+    intrinsics: np.ndarray,
+    R: np.ndarray,
+    t: np.ndarray,
+    stride: int,
+    dist: np.ndarray | None,
+    dist_model: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Strided backprojection of a depth map to world space, FULL-grid
+    layout: (Pw (h, w, 3) f64, valid (h, w) bool, vv, uu source pixel
+    grids). Shared by the
+    whole-view and tile-granular culls so their geometry (mm->m, +0.5
+    centers, inverse lens, cam->world) can never desynchronize; invalid
+    entries carry nan_to_num'd rays and must be masked by ``valid``."""
+    d = depth_raw[::stride, ::stride].astype(np.float64)
+    if np.issubdtype(depth_raw.dtype, np.integer):
+        d = d / 1000.0
+    H, W = depth_raw.shape
+    vv, uu = np.meshgrid(
+        np.arange(0, H, stride, dtype=np.float64),
+        np.arange(0, W, stride, dtype=np.float64),
+        indexing="ij",
+    )
+    xr, yr = _ray_dirs(uu, vv, intrinsics, dist, dist_model)
+    valid = (d > 0) & np.isfinite(xr)
+    xr = np.nan_to_num(xr)
+    yr = np.nan_to_num(yr)
+    P = np.stack([d * xr, d * yr, d], axis=-1)
+    Pw = (
+        P.reshape(-1, 3) @ np.asarray(R, np.float64).T
+        + np.asarray(t, np.float64)
+    )
+    return Pw.reshape(P.shape), valid, vv, uu
+
+
 def surface_aabb(
     depth_raw: np.ndarray,  # (H, W) uint16 mm or float32 m
     intrinsics: np.ndarray,  # (4,) fx fy cx cy
@@ -52,23 +88,12 @@ def surface_aabb(
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """World-space AABB of the view's observed surface (None if no valid
     depth)."""
-    d = depth_raw[::stride, ::stride].astype(np.float64)
-    if np.issubdtype(depth_raw.dtype, np.integer):
-        d = d / 1000.0
-    H, W = depth_raw.shape
-    vv, uu = np.meshgrid(
-        np.arange(0, H, stride, dtype=np.float64),
-        np.arange(0, W, stride, dtype=np.float64),
-        indexing="ij",
+    Pw, valid, _, _ = _backproject_grid(
+        depth_raw, intrinsics, R, t, stride, dist, dist_model
     )
-    xr, yr = _ray_dirs(uu, vv, intrinsics, dist, dist_model)
-    valid = (d > 0) & np.isfinite(xr)
     if not valid.any():
         return None
-    X = d * xr
-    Y = d * yr
-    P = np.stack([X[valid], Y[valid], d[valid]], axis=-1)  # (n, 3) camera frame
-    Pw = P @ np.asarray(R, np.float64).T + np.asarray(t, np.float64)
+    Pw = Pw[valid]
     lo = Pw.min(axis=0)
     hi = Pw.max(axis=0)
     pad = margin * float(np.linalg.norm(hi - lo))
@@ -127,23 +152,9 @@ def surface_tile_aabbs(
     th = -(-H // n_tiles)
     tw = -(-W // n_tiles)
     stride = max(1, min(stride, th // 2 or 1, tw // 2 or 1))
-    d = depth_raw[::stride, ::stride].astype(np.float64)
-    if np.issubdtype(depth_raw.dtype, np.integer):
-        d = d / 1000.0
-    vv, uu = np.meshgrid(
-        np.arange(0, H, stride, dtype=np.float64),
-        np.arange(0, W, stride, dtype=np.float64),
-        indexing="ij",
+    Pw, valid, vv, uu = _backproject_grid(
+        depth_raw, intrinsics, R, t, stride, dist, dist_model
     )
-    xr, yr = _ray_dirs(uu, vv, intrinsics, dist, dist_model)
-    valid = (d > 0) & np.isfinite(xr)
-    xr = np.nan_to_num(xr)
-    yr = np.nan_to_num(yr)
-    X = d * xr
-    Y = d * yr
-    P = np.stack([X, Y, d], axis=-1)
-    Pw = P.reshape(-1, 3) @ np.asarray(R, np.float64).T + np.asarray(t, np.float64)
-    Pw = Pw.reshape(P.shape)
 
     if not valid.any():
         return [None] * (n_tiles * n_tiles)

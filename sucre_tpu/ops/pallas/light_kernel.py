@@ -159,16 +159,10 @@ def _kernel_body(BBG_ref, aux_ref, cP_ref, I_ref, J_ref, dJ_ref, part_ref, *, u8
 
 def prepare_light_obs(cP: jnp.ndarray, I: jnp.ndarray):
     """(V, H, W, 3)/(V, H, W, 3) -> channel-leading padded kernel layout
-    ((1, 3, V, Hp, Wp) each). Do ONCE per fit, outside the loop."""
-    V, H, W = cP.shape[:3]
-    Wp = -(-W // LANES) * LANES
-    th = light_row_tile(Wp)
-    Hp = -(-H // th) * th
-    Vp = -(-V // VB) * VB
-    pad = [(0, Vp - V), (0, Hp - H), (0, Wp - W)]
-    cPt = jnp.pad(jnp.moveaxis(cP, -1, 0), [(0, 0)] + pad)[None]
-    It = jnp.pad(jnp.moveaxis(I, -1, 0), [(0, 0)] + pad)[None]
-    return cPt, It
+    ((1, 3, V, Hp, Wp) each). Do ONCE per fit, outside the loop.
+    Exactly the batched transform on a singleton target axis — one
+    padding/tiling rule, so the two entry points cannot desynchronize."""
+    return prepare_light_obs_batched(cP[None], I[None])
 
 
 def prepare_light_obs_batched(cP: jnp.ndarray, I: jnp.ndarray):

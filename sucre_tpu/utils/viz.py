@@ -122,15 +122,25 @@ def plot_J_batch_device(J, valid):
     return jax.vmap(one)(J, valid)
 
 
-def render_reconstruction_batch(params_stacked, J, intrs, depths) -> np.ndarray:
+def render_reconstruction_batch(
+    params_stacked, J, intrs, depths, dists=None, dist_model: str = "none"
+) -> np.ndarray:
     """Batched reconstruction render: one device dispatch + one u8 fetch
     for T targets. ``params_stacked`` has leading-T leaves; J (T, H, W, 3);
-    intrs (T, 4); depths (T, H, W). Returns (T, H, W, 3) float in [0, 1]."""
-    out = _render_reconstruction_batch_jit(
+    intrs (T, 4); depths (T, H, W). Returns (T, H, W, 3) float in [0, 1].
+
+    Convenience host wrapper over render_reconstruction_batch_device
+    (the pipeline uses the device form directly to fold the fetch into
+    its batched export transfer)."""
+    out = render_reconstruction_batch_device(
         params_stacked,
         jnp.asarray(J, jnp.float32),
         jnp.asarray(np.stack(intrs), jnp.float32),
         jnp.asarray(np.stack(depths), jnp.float32),
+        dists_dev=None if dists is None else jnp.asarray(
+            np.stack(dists), jnp.float32
+        ),
+        dist_model=dist_model,
     )
     return np.asarray(out).astype(np.float32) / 255.0
 
@@ -327,8 +337,18 @@ def save_plots(
     written.append(p)
 
     if params.cam2light is not None:
-        import matplotlib
+        try:
+            import matplotlib
+        except ImportError:
+            import sys
 
+            print(
+                "WARNING: matplotlib not installed (the 'viz' extra) — "
+                "skipping the vignetting colormap PNG; all other "
+                "artifacts were written.",
+                file=sys.stderr,
+            )
+            return written
         p = save_dir / f"{stem}_vignetting{suffix}.png"
         l_map = render_vignetting(params, intrinsics, depth_map,
                                   dist=dist, dist_model=dist_model)
