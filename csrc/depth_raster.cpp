@@ -71,10 +71,19 @@ void raster_tri(const V3 &A, const V3 &B, const V3 &C, double fx, double fy,
     double area = (bx - ax) * (gy - ay) - (by - ay) * (gx - ax);
     if (!(std::fabs(area) > 1e-14)) return;  // degenerate (or NaN)
 
-    int x0 = std::max(0, (int)std::floor(std::min({ax, bx, gx}) - 0.5));
-    int x1 = std::min(width - 1, (int)std::ceil(std::max({ax, bx, gx}) - 0.5));
-    int y0 = std::max(0, (int)std::floor(std::min({ay, by, gy}) - 0.5));
-    int y1 = std::min(height - 1, (int)std::ceil(std::max({ay, by, gy}) - 0.5));
+    // Clamp in DOUBLE before the int cast: a near-plane-clipped vertex
+    // can project to |px| > INT_MAX, and double->int overflow is UB
+    // (x86 yields INT_MIN, silently dropping the on-screen part).
+    double xlo = std::clamp(std::floor(std::min({ax, bx, gx}) - 0.5), 0.0, (double)(width - 1));
+    double xhi = std::clamp(std::ceil(std::max({ax, bx, gx}) - 0.5), 0.0, (double)(width - 1));
+    double ylo = std::clamp(std::floor(std::min({ay, by, gy}) - 0.5), 0.0, (double)(height - 1));
+    double yhi = std::clamp(std::ceil(std::max({ay, by, gy}) - 0.5), 0.0, (double)(height - 1));
+    if (std::min({ax, bx, gx}) - 0.5 > (double)(width - 1) ||
+        std::max({ax, bx, gx}) - 0.5 < 0.0 ||
+        std::min({ay, by, gy}) - 0.5 > (double)(height - 1) ||
+        std::max({ay, by, gy}) - 0.5 < 0.0)
+      return;  // fully off-screen
+    int x0 = (int)xlo, x1 = (int)xhi, y0 = (int)ylo, y1 = (int)yhi;
     if (x0 > x1 || y0 > y1) return;
 
     double inv_area = 1.0 / area;

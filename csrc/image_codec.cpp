@@ -223,7 +223,10 @@ int decode_depth_png16(const char* path, uint16_t* out, int32_t width, int32_t h
     if (ct != PNG_COLOR_TYPE_GRAY) return -3;
     if (setjmp(png_jmpbuf(ctx.png))) return -4;
     if (bd == 16) {
-        png_set_swap(ctx.png);  // PNG is big-endian; we want host little-endian
+        // PNG stores 16-bit samples big-endian; swap only on LE hosts
+        const uint16_t probe = 1;
+        if (*reinterpret_cast<const uint8_t*>(&probe) == 1)
+            png_set_swap(ctx.png);
     } else if (bd < 8) {
         png_set_expand_gray_1_2_4_to_8(ctx.png);
     }
@@ -267,8 +270,9 @@ int encode_png8(const char* path, const uint8_t* data, int32_t width,
     png_init_io(png, f);
     png_set_compression_level(png, compress_level);
     // Filter selection dominates encode time at low compression; NONE is
-    // the fast path and matches what level-1 encoders typically pick.
-    png_set_filter(png, 0, PNG_FILTER_NONE);
+    // the fast path. High levels (>= 6) request best size, so let libpng
+    // pick adaptive filters there instead of capping the ratio.
+    if (compress_level < 6) png_set_filter(png, 0, PNG_FILTER_NONE);
     png_set_IHDR(png, info, static_cast<png_uint_32>(width),
                  static_cast<png_uint_32>(height), 8,
                  channels == 3 ? PNG_COLOR_TYPE_RGB : PNG_COLOR_TYPE_GRAY,

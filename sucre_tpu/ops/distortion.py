@@ -243,13 +243,22 @@ def undistort(model: str, dist, xd, yd, xp=np, iters: int | None = None):
     """
     _check_model(model)
     if model == "rational":
-        x, y = _undistort_rational(xp, dist, xd, yd, iters or _FIXED_POINT_ITERS)
+        x, y = _undistort_rational(
+            xp, dist, xd, yd,
+            iters if iters is not None else _FIXED_POINT_ITERS,
+        )
     elif model == "fov":
         x, y = _undistort_fov(xp, dist, xd, yd)
     elif model == "thin_prism_fisheye":
-        x, y = _undistort_tpf(xp, dist, xd, yd, iters or _FIXED_POINT_ITERS)
+        x, y = _undistort_tpf(
+            xp, dist, xd, yd,
+            iters if iters is not None else _FIXED_POINT_ITERS,
+        )
     else:
-        x, y = _undistort_fisheye(xp, dist, xd, yd, iters or _NEWTON_ITERS)
+        x, y = _undistort_fisheye(
+            xp, dist, xd, yd,
+            iters if iters is not None else _NEWTON_ITERS,
+        )
     xr, yr = distort(model, dist, x, y, xp=xp)
     err2 = (xr - xd) ** 2 + (yr - yd) ** 2
     bad = ~(err2 < ROUNDTRIP_TOL * ROUNDTRIP_TOL)  # catches NaN err too

@@ -217,7 +217,6 @@ def make_scene(
     poses = []
     J_views = []
     J0 = None
-    uu, vv = np.meshgrid(np.arange(width), np.arange(height))
     for i, dx in enumerate(offsets):
         image_id = i + 1
         name = f"img_{i:03d}.{'jpg' if jpeg else 'png'}"
@@ -229,7 +228,14 @@ def make_scene(
             cam.model, cam.params
         )
         R_cw = np.eye(3)
-        t_cw = np.array([dx, 0.02 * i, offsets_z[i]])
+        # Terrain-following altitude: the camera tracks the tilted plane
+        # (z = slope * x) like a survey vehicle holding constant height
+        # over the seafloor, plus the cos() altitude variation that gives
+        # the fit its range diversity. Without the slope term, wide
+        # transects (|dx| > plane_z / slope) put the plane BEHIND the
+        # early cameras — zc < 0 is unrepresentable depth, so those
+        # views would export as all-invalid.
+        t_cw = np.array([dx, 0.02 * i, slope * dx + offsets_z[i]])
         poses.append((R_cw.astype(np.float32), t_cw.astype(np.float32)))
         # COLMAP stores world->cam
         R_wc = R_cw.T
@@ -286,7 +292,7 @@ def make_scene(
         if jpeg:
             cv2.imwrite(
                 str(image_dir / name),
-                cv2.cvtColor((I * 255).astype(np.uint8), cv2.COLOR_RGB2BGR),
+                cv2.cvtColor((I * 255).round().astype(np.uint8), cv2.COLOR_RGB2BGR),
                 [cv2.IMWRITE_JPEG_QUALITY, 98],
             )
         else:
@@ -294,7 +300,14 @@ def make_scene(
                 str(image_dir / name),
                 cv2.cvtColor((I * 255).round().astype(np.uint8), cv2.COLOR_RGB2BGR),
             )
-        depth_mm = np.round(zc * 1000.0).astype(np.uint16)
+        # out-of-u16-range depths (beyond 65.535 m, or behind the
+        # camera) are UNREPRESENTABLE in the reference's format: export
+        # them as 0 (invalid) so the oracle stays honest instead of
+        # wrapping modulo 65536 into plausible-looking wrong values
+        mm = np.round(zc * 1000.0)
+        depth_mm = np.where(
+            (mm > 0) & (mm <= 65535), mm, 0.0
+        ).astype(np.uint16)
         # depth PNG stores the Z-depth (camera-frame z), parity with the
         # reference's millimeter 16-bit convention (loader.py:166-170)
         cv2.imwrite(str(depth_dir / f"depth_img_{i:03d}.png"), depth_mm)
