@@ -46,11 +46,11 @@ def make_mesh(
     if n_row_shards is None:
         n_row_shards = len(devices) // n_view_shards
     n = n_view_shards * n_row_shards
-    if n_view_shards < 1 or n_row_shards < 1:
+    if n_row_shards < 1:
         raise ValueError(
-            f"mesh {n_view_shards}x{n_row_shards} is empty: "
-            f"n_view_shards must be in [1, {len(devices)}] "
-            f"(have {len(devices)} devices)"
+            f"mesh {n_view_shards}x{n_row_shards} is empty: n_row_shards "
+            f"must be >= 1 (explicitly, or {len(devices)} devices // "
+            f"n_view_shards must be)"
         )
     if n > len(devices):
         raise ValueError(

@@ -121,10 +121,15 @@ class MatchesFile:
         reference has no such marker."""
         if not self.path.exists():
             return False
-        with h5py.File(self.path, "r", libver="latest") as f:
-            if "writer" not in f.attrs:
-                return True
-            return bool(f.attrs.get("complete", False))
+        try:
+            with h5py.File(self.path, "r", libver="latest") as f:
+                if "writer" not in f.attrs:
+                    return True
+                return bool(f.attrs.get("complete", False))
+        except OSError:
+            # unreadable/corrupt HDF5 (e.g. killed inside h5py's write
+            # window) IS the incomplete case this gate exists for
+            return False
 
     def finalize(self) -> None:
         """Mark the cache complete (call when matching finished)."""

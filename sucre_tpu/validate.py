@@ -64,26 +64,12 @@ class Finding:
         return f"{self.level:5s} {self.code}{where}: {self.message}"
 
 
-def png_color_type(path: Path) -> int | None:
-    """IHDR color type of a PNG (0 gray, 2 RGB, 3 palette, 4 gray+alpha,
-    6 RGBA), or None for non-PNG/truncated files. Depth maps must be
-    single-plane (type 0): a 16-bit RGB "depth" PNG passes the
-    bit-depth check yet decodes to (H, W, 3)."""
-    try:
-        with open(path, "rb") as f:
-            head = f.read(32)
-        if head[:8] == b"\x89PNG\r\n\x1a\n" and head[12:16] == b"IHDR" \
-                and len(head) >= 26:
-            return int(head[25])
-    except OSError:
-        pass
-    return None
-
-
 def probe_headers(path: Path):
-    """(width, height, bit_depth, kind) from PNG/JPEG file headers, or
-    None when the format is neither (the deep pass / pipeline decode
-    will still try cv2). Reads at most a few KB."""
+    """(width, height, bit_depth, kind, color_type) from PNG/JPEG file
+    headers, or None when the format is neither (the deep pass /
+    pipeline decode will still try cv2). Reads at most a few KB.
+    ``color_type`` is the PNG IHDR type (0 gray, 2 RGB, 3 palette,
+    4 gray+alpha, 6 RGBA; depth maps must be 0) and None for JPEG."""
     # A truncated header (interrupted copy) must degrade to None — the
     # deep pass / pipeline decode reports it properly — hence the broad
     # short-read guards and struct.error/IndexError in the catch.
@@ -95,7 +81,8 @@ def probe_headers(path: Path):
                     return None
                 w, h = struct.unpack(">II", head[16:24])
                 bit_depth = head[24]
-                return int(w), int(h), int(bit_depth), "png"
+                ctype = int(head[25]) if len(head) >= 26 else None
+                return int(w), int(h), int(bit_depth), "png", ctype
             if head[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF
                 f.seek(2)
                 while True:
@@ -111,7 +98,7 @@ def probe_headers(path: Path):
                             return None
                         precision = sof[0]
                         h, w = struct.unpack(">HH", sof[1:5])
-                        return int(w), int(h), int(precision), "jpeg"
+                        return int(w), int(h), int(precision), "jpeg", None
                     (seg_len,) = struct.unpack(">H", seg[2:4])
                     if seg_len < 2:
                         return None
@@ -255,7 +242,7 @@ def _check_view(view, deep: bool, scaled: bool) -> list[Finding]:
                     f"but off the native fast path — and one such file "
                     f"demotes the whole batch prefill to cv2"))
         if probe is not None:
-            w, h, _, _ = probe
+            w, h, _, _, _ = probe
             if orient >= 5:
                 w, h = h, w  # decoders report/apply the displayed frame
             if (w, h) != (view.width, view.height) and not scaled:
@@ -303,7 +290,7 @@ def _check_view(view, deep: bool, scaled: bool) -> list[Finding]:
     else:
         probe = probe_headers(view.depth_path)
         if probe is not None:
-            w, h, bit_depth, kind = probe
+            w, h, bit_depth, kind, ctype = probe
             if kind != "png":
                 findings.append(Finding("WARN", "depth-format", name,
                                         f"depth map is {kind}, expected 16-bit PNG"))
@@ -312,7 +299,6 @@ def _check_view(view, deep: bool, scaled: bool) -> list[Finding]:
                     "WARN", "depth-bitdepth", name,
                     f"depth PNG is {bit_depth}-bit, expected 16-bit millimeters "
                     f"(8-bit caps at 0.255 m — almost certainly a unit mistake)"))
-            ctype = png_color_type(view.depth_path)
             if kind == "png" and ctype not in (None, 0):
                 names = {2: "RGB", 3: "palette", 4: "gray+alpha", 6: "RGBA"}
                 findings.append(Finding(
@@ -452,78 +438,80 @@ def sfm_consistency(
     depth_futs: deque = deque()
     submitted = 0
 
-    for k, (iid, im) in enumerate(cand):
-        while submitted < len(cand) and submitted <= k + lookahead:
-            depth_futs.append(
-                pool.submit(_decode, scene.views[cand[submitted][0]])
+    try:
+        for k, (iid, im) in enumerate(cand):
+            while submitted < len(cand) and submitted <= k + lookahead:
+                depth_futs.append(
+                    pool.submit(_decode, scene.views[cand[submitted][0]])
+                )
+                submitted += 1
+            depth_fut = depth_futs.popleft()
+            view = scene.views[iid]
+            raw_cam = raw_cameras[im.camera_id]
+            ids = np.asarray(im.point3D_ids)
+            sel = np.flatnonzero((ids >= 0) & np.isin(ids, known_ids))
+            if len(sel) == 0:
+                depth_fut.cancel()
+                continue
+            if len(sel) > max_samples_per_image:
+                sel = rng.choice(sel, max_samples_per_image, replace=False)
+            X = np.stack([xyz[int(p)] for p in np.asarray(im.point3D_ids)[sel]])
+            kp = np.asarray(im.xys, np.float64)[sel]
+            # keypoints are stored at the ORIGINAL resolution; continuous
+            # +0.5-center coords scale linearly with the pixel grid
+            kp = kp * [view.width / raw_cam.width, view.height / raw_cam.height]
+
+            # world -> camera through OUR ingested pose (R/t are cam->world)
+            R_cw = np.asarray(view.R, np.float64)
+            t_cw = np.asarray(view.t, np.float64)
+            Pc = (X - t_cw) @ R_cw  # == R_cw.T @ (X - t)
+            z_sfm = Pc[:, 2]
+            front = z_sfm > 1e-6
+            if not front.any():
+                depth_fut.cancel()
+                continue
+
+            # (b) reprojection through our full camera model (lens included)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xn = Pc[:, 0] / np.where(front, z_sfm, 1.0)
+                yn = Pc[:, 1] / np.where(front, z_sfm, 1.0)
+            if view.dist_model != "none":
+                xd, yd = distortion_ops.distort(
+                    view.dist_model, np.asarray(view.dist, np.float64), xn, yn,
+                    xp=np,
+                )
+            else:
+                xd, yd = xn, yn
+            pu = view.fx * xd + view.cx
+            pv = view.fy * yd + view.cy
+            err = np.hypot(pu - kp[:, 0], pv - kp[:, 1])
+
+            # (a) depth-map Z at the keypoint pixel vs the point's Z
+            depth = depth_fut.result()
+            if depth is None:
+                continue
+            ui = np.floor(kp[:, 0]).astype(np.int64)
+            vi = np.floor(kp[:, 1]).astype(np.int64)
+            inb = (
+                front & (ui >= 0) & (ui < view.width) & (vi >= 0) & (vi < view.height)
             )
-            submitted += 1
-        depth_fut = depth_futs.popleft()
-        view = scene.views[iid]
-        raw_cam = raw_cameras[im.camera_id]
-        ids = np.asarray(im.point3D_ids)
-        sel = np.flatnonzero((ids >= 0) & np.isin(ids, known_ids))
-        if len(sel) == 0:
-            depth_fut.cancel()
-            continue
-        if len(sel) > max_samples_per_image:
-            sel = rng.choice(sel, max_samples_per_image, replace=False)
-        X = np.stack([xyz[int(p)] for p in np.asarray(im.point3D_ids)[sel]])
-        kp = np.asarray(im.xys, np.float64)[sel]
-        # keypoints are stored at the ORIGINAL resolution; continuous
-        # +0.5-center coords scale linearly with the pixel grid
-        kp = kp * [view.width / raw_cam.width, view.height / raw_cam.height]
-
-        # world -> camera through OUR ingested pose (R/t are cam->world)
-        R_cw = np.asarray(view.R, np.float64)
-        t_cw = np.asarray(view.t, np.float64)
-        Pc = (X - t_cw) @ R_cw  # == R_cw.T @ (X - t)
-        z_sfm = Pc[:, 2]
-        front = z_sfm > 1e-6
-        if not front.any():
-            depth_fut.cancel()
-            continue
-
-        # (b) reprojection through our full camera model (lens included)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xn = Pc[:, 0] / np.where(front, z_sfm, 1.0)
-            yn = Pc[:, 1] / np.where(front, z_sfm, 1.0)
-        if view.dist_model != "none":
-            xd, yd = distortion_ops.distort(
-                view.dist_model, np.asarray(view.dist, np.float64), xn, yn,
-                xp=np,
-            )
-        else:
-            xd, yd = xn, yn
-        pu = view.fx * xd + view.cx
-        pv = view.fy * yd + view.cy
-        err = np.hypot(pu - kp[:, 0], pv - kp[:, 1])
-
-        # (a) depth-map Z at the keypoint pixel vs the point's Z
-        depth = depth_fut.result()
-        if depth is None:
-            continue
-        ui = np.floor(kp[:, 0]).astype(np.int64)
-        vi = np.floor(kp[:, 1]).astype(np.int64)
-        inb = (
-            front & (ui >= 0) & (ui < view.width) & (vi >= 0) & (vi < view.height)
-        )
-        z_map = np.where(inb, depth[np.clip(vi, 0, view.height - 1),
-                                    np.clip(ui, 0, view.width - 1)], 0.0)
-        good = inb & (z_map > 0)
-        errs = err[inb & np.isfinite(err)]
-        ratios = z_map[good] / z_sfm[good]
-        if len(errs):
-            all_errs.append(errs)
-        if len(ratios):
-            all_ratios.append(ratios)
-        if len(ratios) >= 20:
-            per_image.append((
-                im.name, float(np.median(ratios)),
-                float(np.median(errs)) if len(errs) else float("nan"),
-                len(ratios),
-            ))
-    pool.shutdown(wait=False, cancel_futures=True)
+            z_map = np.where(inb, depth[np.clip(vi, 0, view.height - 1),
+                                        np.clip(ui, 0, view.width - 1)], 0.0)
+            good = inb & (z_map > 0)
+            errs = err[inb & np.isfinite(err)]
+            ratios = z_map[good] / z_sfm[good]
+            if len(errs):
+                all_errs.append(errs)
+            if len(ratios):
+                all_ratios.append(ratios)
+            if len(ratios) >= 20:
+                per_image.append((
+                    im.name, float(np.median(ratios)),
+                    float(np.median(errs)) if len(errs) else float("nan"),
+                    len(ratios),
+                ))
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
 
     if not all_ratios:
         findings.append(Finding(

@@ -30,13 +30,13 @@ def test_probe_headers_png_and_jpeg(tmp_path):
 
     depth = (np.arange(48 * 32, dtype=np.uint16)).reshape(32, 48)
     cv2.imwrite(str(tmp_path / "d.png"), depth)
-    assert probe_headers(tmp_path / "d.png") == (48, 32, 16, "png")
+    assert probe_headers(tmp_path / "d.png") == (48, 32, 16, "png", 0)
 
     rgb = np.zeros((32, 48, 3), np.uint8)
     cv2.imwrite(str(tmp_path / "i.png"), rgb)
-    assert probe_headers(tmp_path / "i.png") == (48, 32, 8, "png")
+    assert probe_headers(tmp_path / "i.png") == (48, 32, 8, "png", 2)
     cv2.imwrite(str(tmp_path / "i.jpg"), rgb)
-    assert probe_headers(tmp_path / "i.jpg") == (48, 32, 8, "jpeg")
+    assert probe_headers(tmp_path / "i.jpg") == (48, 32, 8, "jpeg", None)
 
     (tmp_path / "x.bin").write_bytes(b"not an image")
     assert probe_headers(tmp_path / "x.bin") is None
