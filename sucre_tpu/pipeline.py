@@ -600,7 +600,13 @@ def compute_matches(
                     d1, intr1, R1, t1, *dev, compact=compact, bilinear=bilinear,
                     t_dist=t_dist, v_dists=v_dists, dist_model=dist_model,
                 )
-            pending.append((sub, n, obs, match, obs.valid[:n].sum(axis=(1, 2))))
+            # PairMatch buffers are only read by the h5 save; drop them
+            # at dispatch otherwise (halves the window's transient HBM,
+            # same as match_targets_shared)
+            pending.append((
+                sub, n, obs, match if matches_file is not None else None,
+                obs.valid[:n].sum(axis=(1, 2)),
+            ))
             if len(pending) >= window:
                 flush_pending()
     flush_pending()
@@ -1998,7 +2004,10 @@ def restore_many(
         mesh, log,
     )
     t0 = time.perf_counter()
-    jax.block_until_ready(b.J_dev)
+    # tiny scalar fetch: block_until_ready does not reliably block on
+    # tunneled devices (CLAUDE.md), which would misattribute the device
+    # time to fetch_render
+    np.asarray(jax.device_get(b.J_dev[0, 0, 0, 0]))
     b.timings["fit_batch"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     fetched = _fetch_batch(b)
@@ -2053,7 +2062,23 @@ def restore_survey(
             processes=cfg.decode_processes,
         )
     if device_views is None:
-        device_views = DeviceViews(image_list, cache, cfg.match_chunk)
+        resident = sum(5 * v.width * v.height for v in image_list)
+        budget = int(os.environ.get(
+            "SUCRE_RESIDENT_BYTES", 12 * 1024 ** 3  # ~16 GB v5e minus
+            # headroom for the matching/fit transients
+        ))
+        if resident <= budget:
+            device_views = DeviceViews(image_list, cache, cfg.match_chunk)
+        else:
+            # surveys past device HBM stream chunks from the host cache
+            # (match_targets_shared's cacheless path) instead of crashing
+            # in the upload; raise SUCRE_RESIDENT_BYTES on larger chips
+            logger.warning(
+                f"Survey stack (~{resident / 1e9:.1f} GB raw) exceeds the "
+                f"device-residency budget ({budget / 1e9:.1f} GB, "
+                f"SUCRE_RESIDENT_BYTES); matching will stream view chunks "
+                f"from the host cache."
+            )
 
     from sucre_tpu.ops.distortion import stack_class
 

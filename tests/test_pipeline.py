@@ -981,3 +981,20 @@ class TestCacheGuards:
             np.asarray(comp.z), np.asarray(dev.z), rtol=0, atol=1e-6
         )
         np.testing.assert_array_equal(np.asarray(comp.I), np.asarray(dev.I))
+
+
+def test_restore_survey_streams_past_residency_budget(scene_dir, tmp_path, monkeypatch):
+    """A survey whose raw stack exceeds SUCRE_RESIDENT_BYTES must stream
+    view chunks from the host cache (no DeviceViews upload) and produce
+    the same results as the resident path, instead of OOMing at startup."""
+    from sucre_tpu.pipeline import restore_survey
+
+    scene = Scene.from_colmap(scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir)
+    names = ["img_001.png", "img_002.png"]
+    cfg = RestoreConfig(num_iter=3, verbose=False, store="memory")
+    a = restore_survey(scene, names, tmp_path / "a", cfg, batch_targets=2)
+    monkeypatch.setenv("SUCRE_RESIDENT_BYTES", "1")
+    b = restore_survey(scene, names, tmp_path / "b", cfg, batch_targets=2)
+    for ra, rb in zip(a, b):
+        assert ra.n_obs == rb.n_obs
+        np.testing.assert_allclose(np.nan_to_num(ra.J), np.nan_to_num(rb.J), atol=1e-6)
