@@ -43,7 +43,8 @@ BENCH_W (960), BENCH_H (544), BENCH_TARGETS (12), BENCH_BATCH (4),
 BENCH_ITERS (200), BENCH_REPS (6), BENCH_DEV_REPS (4), BENCH_F16_REPS
 (4), BENCH_MIN_MEAS (3), BENCH_PHASE_BUDGET_S (240),
 BENCH_TRANSECT_VIEWS (48), BENCH_TRANSECT_TARGETS (8), BENCH_SPREAD
-(40), BENCH_SKIP_TRANSECT=1 to drop the transect phases.
+(40), BENCH_SKIP_TRANSECT=1 to drop the transect phases, BENCH_PLATFORM
+(e.g. cpu) to force a JAX backend for off-TPU smoke runs.
 """
 
 from __future__ import annotations
@@ -89,9 +90,12 @@ class Workload:
         if spread is None:
             self.targets = sd.names[:targets]
         else:
-            # targets spread across the transect (edge + middle coverage)
+            # targets spread across the transect (edge + middle
+            # coverage); int() floor keeps the indices DISTINCT when
+            # targets approaches n (banker's round() collides: n ==
+            # targets == 8 gives [0,2,2,4,4,6,6,7])
             n = max(n_views, targets)
-            idx = [round((i + 0.5) * n / targets) for i in range(targets)]
+            idx = [int((i + 0.5) * n / targets) for i in range(targets)]
             self.targets = [sd.names[min(i, n - 1)] for i in idx]
         self.batch = batch
         self.mpix = targets * width * height / 1e6

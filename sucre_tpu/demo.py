@@ -69,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
     t_idx = sd.names.index(target)
     J_true = sd.J_views[t_idx]
     valid = np.asarray(res.valid, bool)
-    q = psnr(np.nan_to_num(np.asarray(res.J)), J_true, mask=valid)
+    q = psnr(np.asarray(res.J), J_true, mask=valid)  # psnr excludes non-finite pixels itself
     cost = np.asarray(res.telemetry.cost)
     final = f"{float(cost[-1]):.4e}" if cost.shape[0] else "n/a (0 iterations)"
     print()

@@ -122,7 +122,12 @@ def _collapse_channels(path, arr: np.ndarray) -> np.ndarray:
     channel; genuinely conflicting planes raise."""
     n = arr.shape[2]
     first = arr[..., 0]
-    if all(np.array_equal(arr[..., i], first) for i in range(1, n)):
+    # equal_nan: geometric-filtered float maps carry NaN at no-depth
+    # pixels; replicated channels must still count as equal there
+    if all(
+        np.array_equal(arr[..., i], first, equal_nan=True)
+        for i in range(1, n)
+    ):
         return first
 
     def _pick(i):
@@ -145,7 +150,8 @@ def _collapse_channels(path, arr: np.ndarray) -> np.ndarray:
     if len(varying) == 1:
         return _pick(varying[0])
     if varying and all(
-        np.array_equal(arr[..., i], arr[..., varying[0]]) for i in varying[1:]
+        np.array_equal(arr[..., i], arr[..., varying[0]], equal_nan=True)
+        for i in varying[1:]
     ):
         return arr[..., varying[0]]
     raise ValueError(
@@ -175,7 +181,10 @@ def _tiff_stored_dtype(path: Path) -> np.dtype:
             tag, _typ, cnt = struct.unpack(en + "HHI", e[:8])
             if tag not in (258, 339):
                 continue
-            if cnt == 1:
+            # TIFF stores the value INLINE in the 4-byte field whenever
+            # cnt * sizeof(SHORT) fits (e.g. gray+alpha's two SHORTs);
+            # only larger counts indirect through a file offset
+            if cnt * 2 <= 4:
                 (val,) = struct.unpack(en + "H", e[8:10])
             else:  # per-channel SHORTs at an offset (channels agree here)
                 pos = f.tell()
@@ -247,11 +256,14 @@ def source_dtype(path: Path | str) -> np.dtype:
         # mmap: header-only read, public API
         return np.load(path, mmap_mode="r", allow_pickle=False).dtype
     if suffix in (".tif", ".tiff", ".exr"):
+        import struct as _struct
+
         try:
             if suffix == ".exr":
                 return _exr_stored_dtype(path)
             return _tiff_stored_dtype(path)
-        except ValueError:
+        except (ValueError, _struct.error):
+            # unparseable/truncated header: fall back to a full decode
             pass
         import os
 

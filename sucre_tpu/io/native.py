@@ -113,17 +113,20 @@ def _lib() -> ctypes.CDLL:
                 ]
             except AttributeError:
                 pass
-            lib.decode_batch.argtypes = [
-                ctypes.POINTER(ctypes.c_char_p),
-                ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16)),
-                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
-                ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_int32),
-                ctypes.c_int32,
-                ctypes.c_int32,
-                ctypes.POINTER(ctypes.c_int32),
-            ]
+            try:  # absent from .so builds older than the batch pool
+                lib.decode_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16)),
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_int32),
+                ]
+            except AttributeError:
+                pass
             return lib
     raise NativeUnavailable(
         "libsucre_native.so not built; run `make -C csrc` (falls back to "
@@ -266,6 +269,11 @@ def decode_batch(
     Returns arrays in job order (uint16 (H,W) or uint8 (H,W,3)).
     """
     lib = _lib()
+    if not hasattr(lib, "decode_batch"):
+        raise NativeUnavailable(
+            "libsucre_native.so predates decode_batch; rebuild with "
+            "`make -C csrc`"
+        )
     n = len(jobs)
     outs: list[np.ndarray] = []
     paths = (ctypes.c_char_p * n)()

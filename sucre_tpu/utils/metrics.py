@@ -55,6 +55,11 @@ def ssim(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
     if a.ndim == 2:
         a = a[..., None]
         b = b[..., None]
+    if a.shape[0] < 11 or a.shape[1] < 11:
+        raise ValueError(
+            f"ssim needs at least an 11x11 image (the Gaussian window), "
+            f"got {a.shape[0]}x{a.shape[1]}"
+        )
     k = _gaussian_kernel()
     C1 = (0.01 * peak) ** 2
     C2 = (0.03 * peak) ** 2

@@ -433,3 +433,35 @@ class TestEndToEnd:
         cfg = RestoreConfig(num_iter=3, verbose=False)
         res = restore_image(scene, "img_001.png", tmp_path / "out", cfg)
         assert res.n_obs > 0
+
+
+def test_nan_replicated_channels_collapse(tmp_path):
+    """Geometric-filtered float maps carry NaN at no-depth pixels; a
+    3-channel replicated export must still collapse (equal_nan) instead
+    of raising 'differing non-zero channels'."""
+    import cv2
+
+    from sucre_tpu.io.depth_formats import read_depth_any
+
+    d = np.full((16, 20), 2.5, np.float32)
+    d[0, :2] = np.nan
+    cv2.imwrite(str(tmp_path / "d.tif"), np.repeat(d[..., None], 3, axis=2))
+    out = read_depth_any(tmp_path / "d.tif")
+    assert out.shape == (16, 20)
+    # NaN pixels become invalid (0) under the u16-mm quantization
+    assert out[0, 0] == 0 and out[1, 0] == 2500
+
+
+def test_source_dtype_gray_alpha_tiff(tmp_path):
+    """Gray+alpha TIFF stores its two BitsPerSample SHORTs INLINE in the
+    tag value field; treating them as a file offset crashed (or silently
+    misread) the stored-dtype probe."""
+    PIL = pytest.importorskip("PIL.Image")
+
+    from sucre_tpu.io.depth_formats import source_dtype
+
+    la = np.zeros((16, 20, 2), np.uint8)
+    la[..., 0] = np.arange(20, dtype=np.uint8)[None]
+    la[..., 1] = 255
+    PIL.fromarray(la, mode="LA").save(tmp_path / "t.tif")
+    assert source_dtype(tmp_path / "t.tif") == np.uint8
