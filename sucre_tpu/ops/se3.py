@@ -15,7 +15,15 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_SMALL = 1e-6
+# Taylor-branch threshold for the Rodrigues coefficients. Must sit ABOVE
+# float32's cancellation band, not at f64-epsilon scale: for
+# th in (1e-6, ~2.4e-4), f32 cos(th) rounds to exactly 1.0 and sin(th)
+# to th, so the exact branch returns B = C = 0 (true ~0.5 and ~1/6) and
+# autodiff through (1-cos)/th^2 yields ~0.5/th^2 — a wrong-sign,
+# orders-of-magnitude-off translation gradient precisely where a
+# camera-to-light pose with near-parallel mounting converges. At 1e-3
+# the truncated Taylor error is ~th^4/120 ~ 1e-14, far below f32 eps.
+_SMALL = 1e-3
 
 
 def hat(w: jnp.ndarray) -> jnp.ndarray:

@@ -229,6 +229,12 @@ class Scene:
             t_wc = np.asarray(im.tvec, dtype=np.float64)
             R_cw = R_wc.T
             t_cw = -R_wc.T @ t_wc
+            if im.camera_id not in scaled:
+                raise ValueError(
+                    f"image {im.name!r} references camera_id "
+                    f"{im.camera_id}, which is not in the model's cameras "
+                    f"({sorted(scaled)}) — truncated or filtered model?"
+                )
             width, height, fx, fy, cx, cy, dist, dist_model = scaled[im.camera_id]
             rgb_path = image_dir / im.name
             # with_stem semantics (sfm.py:214): nested names like
@@ -277,6 +283,10 @@ class Scene:
     @staticmethod
     def stack(views: list[View]) -> ViewStack:
         """Stack views with uniform dims into batched arrays."""
+        if not views:
+            raise ValueError(
+                "ViewStack of zero views (did culling drop everything?)"
+            )
         widths = {v.width for v in views}
         heights = {v.height for v in views}
         if len(widths) != 1 or len(heights) != 1:

@@ -62,11 +62,35 @@ def load_fit_state(path: Path | str, params_like, opt_state_like):
         arrays = {k: f[k] for k in f.files}
     iteration = int(arrays.pop("iteration"))
 
+    # Structure gate BEFORE any leaf loads: a checkpoint from a run with
+    # different fit flags (e.g. --light-model toggled, direct vs
+    # closed-form) has a different key set. Loading the overlap would
+    # silently resume a DIFFERENT objective at iteration N with foreign
+    # Adam moments; a missing key would raise a bare KeyError. Fail with
+    # the actionable difference instead.
+    expected = {
+        f"{name}|{k}"
+        for name, tree in (("params", params_like), ("opt", opt_state_like))
+        for k in _flatten(tree)
+    }
+    stored_keys = set(arrays)
+    if stored_keys != expected:
+        raise ValueError(
+            f"checkpoint {path} does not match this fit configuration: "
+            f"missing {sorted(expected - stored_keys) or 'none'}, "
+            f"unexpected {sorted(stored_keys - expected) or 'none'} — "
+            f"resume with the original flags or clear the checkpoint dir"
+        )
+
     def rebuild(name, tree_like):
         flat_like = _flatten(tree_like)
         leaves_like, treedef = jax.tree_util.tree_flatten(tree_like)
         keys = list(flat_like.keys())
-        assert len(keys) == len(leaves_like)
+        if len(keys) != len(leaves_like):
+            raise ValueError(
+                f"pytree path keys collide for {name}: {len(keys)} unique "
+                f"keys for {len(leaves_like)} leaves"
+            )
         new_leaves = []
         for key, like in zip(keys, leaves_like):
             stored = arrays[f"{name}|{key}"]

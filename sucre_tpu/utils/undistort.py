@@ -80,9 +80,11 @@ def resample_bilinear(
     if squeeze:
         image = image[..., None]
     H, W, C = image.shape
-    if valid is None:
-        valid = np.isfinite(image).all(axis=-1)
-    valid = np.asarray(valid, bool) & np.isfinite(image).all(axis=-1)
+    finite_src = np.isfinite(image).all(axis=-1)
+    valid = (
+        finite_src if valid is None
+        else np.asarray(valid, bool) & finite_src
+    )
 
     si = np.asarray(sv, np.float64) - 0.5  # row index space
     sj = np.asarray(su, np.float64) - 0.5

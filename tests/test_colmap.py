@@ -256,3 +256,32 @@ def test_images_txt_preserves_consecutive_spaces_in_names(tmp_path):
     p.write_text(txt)
     images = cio.read_images_txt(p)
     assert images[1].name == "cam0/frame  001.png"
+
+
+def test_scene_rejects_unknown_camera_id(tmp_path):
+    """An images.bin entry referencing a camera missing from cameras.bin
+    (truncated/filtered model) must fail with a named error, not a bare
+    KeyError from deep inside ingest."""
+    import pytest
+
+    from sucre_tpu.scene import Scene
+    from tests.synthetic import make_scene
+
+    sd = make_scene(tmp_path, n_views=3, width=32, height=24)
+    from sucre_tpu.io import colmap as cio
+
+    cams, images, _ = cio.read_model(sd.model_dir)
+    import dataclasses
+
+    images[1] = dataclasses.replace(images[1], camera_id=99)
+    with pytest.raises(ValueError, match="camera_id"):
+        Scene.from_model_dicts(cams, images, sd.image_dir, sd.depth_dir)
+
+
+def test_scene_stack_empty_raises(tmp_path):
+    import pytest
+
+    from sucre_tpu.scene import Scene
+
+    with pytest.raises(ValueError, match="zero views"):
+        Scene.stack([])

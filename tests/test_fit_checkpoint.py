@@ -58,3 +58,21 @@ def test_state_shape_mismatch_raises(rng, tmp_path):
     bad_state = optax.adam(0.05).init(bad)
     with pytest.raises(ValueError, match="shape"):
         fckpt.load_fit_state(fckpt.latest_fit_state(tmp_path), bad, bad_state)
+
+
+def test_changed_fit_flags_refused(rng, tmp_path):
+    """A checkpoint from a --light-model run must refuse to resume a
+    no-light fit (different params pytree): silently loading the
+    overlapping leaves would resume a DIFFERENT objective at iteration N
+    with foreign Adam moments."""
+    import optax
+
+    light = init_params(
+        image=np.zeros((6, 7, 3), np.float32), light_model=True
+    )
+    fckpt.save_fit_state(tmp_path, 5, light, optax.adam(0.05).init(light))
+    plain = init_params(image=np.zeros((6, 7, 3), np.float32))
+    with pytest.raises(ValueError, match="fit configuration"):
+        fckpt.load_fit_state(
+            fckpt.latest_fit_state(tmp_path), plain, optax.adam(0.05).init(plain)
+        )

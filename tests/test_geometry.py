@@ -149,3 +149,26 @@ class TestPinhole:
 
 def test_devices_virtual_mesh():
     assert jax.device_count() == 8
+
+
+def test_se3_exp_gradient_through_f32_cancellation_band():
+    """For th in (1e-6, ~2.4e-4), f32 cos/sin cancellation makes the
+    EXACT Rodrigues branch return B = C = 0 with an autodiff gradient of
+    ~0.5/th^2 (wrong sign, orders of magnitude off). The Taylor branch
+    must cover that whole band: dt/dw at tiny rotation is ~-0.5 [p]x."""
+    p = jnp.asarray([0.3, -0.7, 1.1], jnp.float32)
+
+    def t_of_w(w):
+        R, t = se3_exp(jnp.concatenate([w, p]))
+        return t
+
+    for scale in (1e-5, 1e-4, 5e-4):
+        w = jnp.asarray([scale, -scale, 0.5 * scale], jnp.float32)
+        J = jax.jacobian(t_of_w)(w)
+        expected = -0.5 * np.asarray(hat(p))  # d(0.5 w x p)/dw
+        np.testing.assert_allclose(np.asarray(J), expected, atol=2e-3)
+        # and the value itself: t ~ p + 0.5 w x p
+        t = t_of_w(w)
+        np.testing.assert_allclose(
+            np.asarray(t), np.asarray(p + 0.5 * jnp.cross(w, p)), atol=1e-6
+        )
