@@ -51,10 +51,10 @@ def _backproject_grid(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Strided backprojection of a depth map to world space, FULL-grid
     layout: (Pw (h, w, 3) f64, valid (h, w) bool, vv, uu source pixel
-    grids). Shared by the
-    whole-view and tile-granular culls so their geometry (mm->m, +0.5
-    centers, inverse lens, cam->world) can never desynchronize; invalid
-    entries carry nan_to_num'd rays and must be masked by ``valid``."""
+    grids). Shared by the whole-view and tile-granular culls so their
+    geometry (mm->m, +0.5 centers, inverse lens, cam->world) can never
+    desynchronize; invalid entries carry nan_to_num'd rays and must be
+    masked by ``valid``."""
     d = depth_raw[::stride, ::stride].astype(np.float64)
     if np.issubdtype(depth_raw.dtype, np.integer):
         d = d / 1000.0

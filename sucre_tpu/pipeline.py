@@ -907,17 +907,13 @@ def restore_image(
     obs = None
     primed_depths: dict[str, np.ndarray] = {}
     view_rects = None
-    if (
-        use_h5 and not cfg.force_compute_matches
-        and matches_path.exists() and not matches_file.is_complete()
-    ):
-        # pairs are appended incrementally during matching — a partial
-        # file from a killed run would silently restore from a subset
+    # pairs are appended incrementally during matching — a partial file
+    # from a killed run would silently restore from a subset
+    if use_h5 and matches_file.discard_if_incomplete():
         logger.warning(
             "Discarding incomplete matches cache %s (interrupted run).",
             matches_path,
         )
-        matches_path.unlink()
     if not use_h5 or cfg.force_compute_matches or not matches_path.exists():
         if cfg.frustum_cull:
             # depth-only pre-pass: drop views whose observed surface cannot
@@ -1350,12 +1346,11 @@ def dispatch_survey_batch(
         if use_h5:
             matches_path = (output_dir / target.name).with_suffix(".h5")
             mf = MatchesFile(matches_path, overwrite=cfg.force_compute_matches)
-            if mf.exists() and not mf.is_complete():
+            if mf.discard_if_incomplete():
                 get_logger().warning(
                     "Discarding incomplete matches cache %s "
                     "(interrupted run).", matches_path,
                 )
-                matches_path.unlink()
             if mf.exists():
                 log(f"Load {target.name} matches from cache.")
                 mf.check_integrity()
@@ -1602,10 +1597,8 @@ def dispatch_survey_batch(
                 )
                 if v_dists is not None:
                     v_dists = jnp.pad(v_dists, [(0, 1), (0, 0)])
-                _g2 = _pt_pad_gran(cfg.match_chunk)
-                vmax_p = -(-max(
-                    max((len(k) for k in pt_keep), default=0), 1
-                ) // _g2) * _g2
+                # vmax_p is in scope from the routing block above
+                # (pt_keep non-None implies it ran on these kept lists)
                 idx_np = np.full((len(targets), vmax_p), V_arr, np.int32)
                 for ti, names in enumerate(pt_keep):
                     for j, n in enumerate(names):

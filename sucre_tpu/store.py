@@ -131,6 +131,15 @@ class MatchesFile:
             # window) IS the incomplete case this gate exists for
             return False
 
+    def discard_if_incomplete(self) -> bool:
+        """Unlink a partial cache from a killed run (exists but not
+        complete); returns True when one was discarded so the caller can
+        log it. The single gate both restore paths share."""
+        if self.path.exists() and not self.is_complete():
+            self.path.unlink()
+            return True
+        return False
+
     def finalize(self) -> None:
         """Mark the cache complete (call when matching finished)."""
         if self.path.exists():
