@@ -153,8 +153,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "--stop-check-iteration window falls below this "
                              "for every target (off by default — the "
                              "reference always runs exactly --num-iter "
-                             "iterations). Typical: 0.01-0.05; num-iter "
-                             "stays the hard cap.")
+                             "iterations). Measured (BASELINE.md): <= 0.02 "
+                             "is quality-neutral; 0.05 stopped 125 iters "
+                             "early but cost -0.41 dB PSNR on noisy data. "
+                             "num-iter stays the hard cap.")
     parser.add_argument("--stop-check", type=int, default=25,
                         help="iterations per convergence-check window for "
                              "--stop-tol (each check costs one small device "

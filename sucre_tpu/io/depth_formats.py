@@ -154,6 +154,24 @@ def _collapse_channels(path, arr: np.ndarray) -> np.ndarray:
         for i in varying[1:]
     ):
         return arr[..., varying[0]]
+    if not varying:
+        # Every non-zero plane is CONSTANT (a genuinely flat depth map
+        # paired with constant alpha/padding). Equal planes are one
+        # value replicated; otherwise a trailing alpha plane on 2/4
+        # channel (gray+alpha / RGBA) images is fill — drop it and
+        # accept a consensus among the rest.
+        if all(
+            np.array_equal(arr[..., i], arr[..., nonzero[0]], equal_nan=True)
+            for i in nonzero[1:]
+        ):
+            return _pick(nonzero[0])
+        if n in (2, 4):
+            body = [i for i in nonzero if i != n - 1]
+            if body and all(
+                np.array_equal(arr[..., i], arr[..., body[0]], equal_nan=True)
+                for i in body[1:]
+            ):
+                return _pick(body[0])
     raise ValueError(
         f"{path}: {n}-channel depth map with differing non-zero "
         f"channels — ambiguous (export depth as a single plane, or "
@@ -196,7 +214,10 @@ def _tiff_stored_dtype(path: Path) -> np.dtype:
             else:
                 fmt = val
     kind = {1: "u", 2: "i", 3: "f"}.get(fmt)
-    if kind is None or bits % 8 or bits > 64:
+    # bits == 0 can reach here from a malformed/big-endian-4-byte-typed
+    # BitsPerSample tag; np.dtype('u0') would raise TypeError outside
+    # callers' fallback catches, so reject it as unsupported instead.
+    if kind is None or bits == 0 or bits % 8 or bits > 64:
         raise ValueError(f"unsupported TIFF sample format {fmt}/{bits}")
     return np.dtype(f"{kind}{bits // 8}")
 

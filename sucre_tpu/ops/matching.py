@@ -546,23 +546,27 @@ def match_survey_per_target(
     directly. Output identical to the shared-table program on the
     common views (the gather just reorders the view axis per target).
     """
-    def one(d1, intr1, R1, t1, vd, vr, vi, vR, vt, td, vd8):
+    def one(d1, intr1, R1, t1, vd, vr, vi, vR, vt, td, vd8, ar):
         obs = match_survey(
             d1[None], intr1[None], R1[None], t1[None], vd, vr, vi, vR, vt,
-            min_cover, compact=compact, bilinear=bilinear, area=area,
+            min_cover, compact=compact, bilinear=bilinear, area=ar,
             t_dists=None if td is None else td[None], v_dists=vd8,
             dist_model=dist_model,
         )
         return jax.tree.map(lambda x: x[0], obs)
 
+    # A per-target (T,) area vmaps alongside the targets; a scalar (or
+    # None -> H*W default inside match_survey) is shared across them.
+    area_axis = 0 if area is not None and jnp.ndim(area) == 1 else None
     in_axes = (0,) * 9 + (
         None if t_dists is None else 0,
         None if v_dists is None else 0,
+        area_axis,
     )
     return jax.vmap(one, in_axes=in_axes)(
         t_depths, t_intrs, t_Rs, t_ts,
         v_depths, v_rgbs, v_intrs, v_Rs, v_ts,
-        t_dists, v_dists,
+        t_dists, v_dists, area,
     )
 
 

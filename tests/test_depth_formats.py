@@ -201,6 +201,30 @@ class TestReadDepthAny:
             read_depth_any(p), (d * 1000).astype(np.uint16)
         )
 
+    def test_flat_depth_with_constant_alpha(self, capsys):
+        """A genuinely FLAT depth plane paired with a constant alpha has
+        no varying plane at all — the alpha must still be recognized as
+        padding, not a conflict (gray+alpha and RGBA-replicated forms)."""
+        from sucre_tpu.io.depth_formats import _collapse_channels
+
+        d = np.full((2, 3), 1.5, np.float32)
+        ga = np.stack([d, np.ones_like(d)], axis=-1)
+        np.testing.assert_array_equal(_collapse_channels("ga", ga), d)
+        rgba = np.repeat(d[..., None], 4, axis=-1)
+        rgba[..., 3] = 0.25
+        np.testing.assert_array_equal(_collapse_channels("rgba", rgba), d)
+        capsys.readouterr()
+
+    def test_flat_depth_replicated_all_constant(self):
+        """All non-zero planes equal (replicated flat depth, opaque alpha
+        sharing the value) -> that value, silently or with a warning but
+        never a raise."""
+        from sucre_tpu.io.depth_formats import _collapse_channels
+
+        d = np.full((2, 2), 2.0, np.float32)
+        arr = np.repeat(d[..., None], 3, axis=-1)
+        np.testing.assert_array_equal(_collapse_channels("rep", arr), d)
+
     def test_rgba_conflicting_still_raises(self, tmp_path):
         bgra = np.zeros((1, 2, 4), np.float32)
         bgra[..., 0] = np.array([1.0, 2.0])
@@ -236,6 +260,26 @@ class TestReadDepthAny:
         pb = tmp_path / "u8.tif"
         assert cv2.imwrite(str(pb), np.ones((3, 4), np.uint8))
         assert source_dtype(pb) == np.uint8
+
+    def test_tiff_long_typed_bits_rejected_not_crash(self, tmp_path):
+        """A big-endian TIFF whose BitsPerSample is written with a 4-byte
+        LONG type reads 0 from the inline half-word; that must raise
+        ValueError (caught by source_dtype's fallback), never reach
+        np.dtype('u0') and TypeError."""
+        import struct
+
+        from sucre_tpu.io.depth_formats import _tiff_stored_dtype
+
+        en = ">"
+        ifd = struct.pack(en + "H", 1)
+        # tag 258 BitsPerSample, type 4 (LONG), count 1, value 32:
+        # inline bytes 00 00 00 20 -> the SHORT read sees 0
+        ifd += struct.pack(en + "HHI", 258, 4, 1) + struct.pack(en + "I", 32)
+        ifd += struct.pack(en + "I", 0)
+        p = tmp_path / "long_bits.tif"
+        p.write_bytes(b"MM" + struct.pack(en + "HI", 42, 8) + ifd)
+        with pytest.raises(ValueError, match="unsupported TIFF sample"):
+            _tiff_stored_dtype(p)
 
     def test_source_dtype_exr_header_only(self, tmp_path):
         """EXR pixel type parses from the chlist header; HALF reports the

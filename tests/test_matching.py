@@ -409,3 +409,56 @@ def test_origin_slice_bit_identical(rng):
         np.asarray(sl_obs.I[0]), np.asarray(full_obs.I[0, r0:r1, c0:c1])
     )
     assert int(np.asarray(sl_m.valid).sum()) > 100
+
+
+def test_per_target_area_vmaps_with_targets():
+    """match_survey_per_target must route a per-target (T,) ``area``
+    array one-row-per-target into the min-cover threshold — not forward
+    the whole array to every target (regression: it was closed over).
+    A scalar area still broadcasts."""
+    import jax
+
+    from sucre_tpu.ops.matching import match_survey, match_survey_per_target
+
+    rng = np.random.default_rng(5)
+    T, V, H, W = 2, 3, 24, 32
+    depth_mm = (
+        rng.uniform(1200, 3000, size=(V, H, W))
+        * (rng.uniform(size=(V, H, W)) < 0.9)
+    ).astype(np.uint16)
+    rgbs = rng.integers(0, 256, size=(V, H, W, 3), dtype=np.uint8)
+    intr = np.tile(_intr(30.0, 30.0, W / 2, H / 2), (V, 1))
+    Rs = np.tile(np.eye(3, dtype=np.float32), (V, 1, 1))
+    ts = np.stack(
+        [np.array([0.1 * k, 0.0, 0.0], np.float32) for k in range(V)]
+    )
+    pt = lambda a: (jnp.asarray(a[:T]),)  # targets = first T views
+    vt = jnp.asarray
+    # per-target tables: both targets see the same V views here
+    tile = lambda a: jnp.asarray(np.broadcast_to(a, (T,) + a.shape).copy())
+    min_cover = jnp.float32(1e-3)
+    # areas chosen so target 0 keeps pairs and target 1 discards all:
+    # a huge area drives count/area below min_cover
+    areas = jnp.asarray([float(H * W), 1e9], jnp.float32)
+    obs = match_survey_per_target(
+        vt(depth_mm[:T]), vt(intr[:T]), vt(Rs[:T]), vt(ts[:T]),
+        tile(depth_mm), tile(rgbs), tile(intr), tile(Rs), tile(ts),
+        min_cover, area=areas,
+    )
+    n0 = int(np.asarray(obs.valid[0]).sum())
+    n1 = int(np.asarray(obs.valid[1]).sum())
+    assert n0 > 0 and n1 == 0, (n0, n1)
+    # scalar area still broadcasts to every target
+    obs_s = match_survey_per_target(
+        vt(depth_mm[:T]), vt(intr[:T]), vt(Rs[:T]), vt(ts[:T]),
+        tile(depth_mm), tile(rgbs), tile(intr), tile(Rs), tile(ts),
+        min_cover, area=jnp.float32(H * W),
+    )
+    ref = match_survey(
+        vt(depth_mm[:T]), vt(intr[:T]), vt(Rs[:T]), vt(ts[:T]),
+        vt(depth_mm), vt(rgbs), vt(intr), vt(Rs), vt(ts),
+        min_cover, area=jnp.float32(H * W),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(obs_s.valid), np.asarray(ref.valid)
+    )
