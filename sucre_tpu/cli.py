@@ -114,6 +114,18 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--params-format", choices=["npz", "pt"], default="npz",
                         help="parameter-checkpoint format: native .npz or the "
                              "reference's torch .pt state-dict (interop).")
+    parser.add_argument("--artifacts", choices=["full", "renders"],
+                        default="full",
+                        help="artifact selection: 'full' (default, reference "
+                             "parity) writes the PNG renders AND the "
+                             ".npz/.pt parameter checkpoint; 'renders' writes "
+                             "only the PNGs — the f32 J never leaves the "
+                             "device (it is ~6.3 MB of the ~8 MB/target "
+                             "export payload at 544x960), a large "
+                             "link/disk/CPU win when the restored PNGs are "
+                             "the deliverable. Note: without the checkpoint "
+                             "there is nothing for a later --params-path "
+                             "warm start.")
     parser.add_argument("--undistort-output", action="store_true",
                         help="distorted cameras: also write "
                              "<stem>_rgb_undistorted.png — the restored image "
@@ -300,10 +312,19 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.skip_existing:
         ext = "." + args.params_format
-        remaining = [
-            n for n in targets
-            if not (args.output_dir / n).with_suffix(ext).exists()
-        ]
+
+        def _done(n: str) -> bool:
+            base = (args.output_dir / n).with_suffix("")
+            if args.artifacts == "renders":
+                # renders-only runs write no checkpoint; the
+                # reconstruction PNG is written after the _rgb one, so
+                # its presence marks the target's renders as complete
+                return base.with_name(
+                    base.name + "_reconstruction.png"
+                ).exists()
+            return base.with_suffix(ext).exists()
+
+        remaining = [n for n in targets if not _done(n)]
         if len(remaining) < len(targets):
             print(
                 f"Skip {len(targets) - len(remaining)} already-restored "
@@ -340,6 +361,7 @@ def main(argv: list[str] | None = None) -> int:
         joint_params=args.joint_params,
         bilinear_colors=args.bilinear_colors,
         params_format=args.params_format,
+        artifacts=args.artifacts,
         undistort_output=args.undistort_output,
         checkpoint_interval=args.checkpoint_interval,
         stop_tol=args.stop_tol,

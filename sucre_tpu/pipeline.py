@@ -99,6 +99,15 @@ class RestoreConfig:
     # too (~5e-4 relative) — opt in only when the link dominates and the
     # npz J is not the deliverable. PNG renders are u8 either way.
     export_dtype: str = "f32"
+    # Artifact selection: "full" (default — reference parity: PNG renders
+    # AND the .npz/.pt parameter checkpoint with the f32 J,
+    # sucre.py:212-215) | "renders" — PNG renders only. "renders" skips
+    # the J device->host fetch AND the npz encode+write entirely: at
+    # 544x960 the f32 J npz is ~6.3 MB of the ~8 MB/target export
+    # payload, the dominant link+disk cost when the PNGs are the
+    # deliverable. No checkpoint artifact means no later --params-path
+    # warm start from this run.
+    artifacts: str = "full"
     checkpoint_interval: int | None = None  # mid-fit solver snapshots
     # Measured-convergence early stop (solve.FitConfig.stop_tol): OFF by
     # default — the reference runs exactly num_iter iterations
@@ -146,7 +155,9 @@ class NoObservationsError(RuntimeError):
 class RestoreResult(NamedTuple):
     image_name: str
     params: SucreParams
-    J: np.ndarray  # (H, W, 3) with NaN at invalid/unobserved pixels
+    # (H, W, 3) with NaN at invalid/unobserved pixels; None under
+    # artifacts="renders" (J never leaves the device)
+    J: np.ndarray | None
     valid: np.ndarray  # (H, W) export validity mask
     telemetry: FitTelemetry
     n_obs: int
@@ -1124,19 +1135,24 @@ def restore_image(
     rec_dev = jnp.where(valid_dev[..., None], rec_dev, 0)
     rgb_dev = viz.plot_J_batch_device(res.J[None], valid_dev[None])[0]
     observed_fetch = res.observed if cfg.use_closed_form else None
+    renders_only = cfg.artifacts == "renders"
+    J_fetch = None if renders_only and not cfg.undistort_output else res.J
     params_noJ, J, observed, rec_u8, rgb_u8, tel = jax.device_get(
-        (res.params._replace(J=None), res.J, observed_fetch, rec_dev, rgb_dev,
+        (res.params._replace(J=None), J_fetch, observed_fetch, rec_dev, rgb_dev,
          res.telemetry)
     )
     res = res._replace(
-        params=params_noJ._replace(J=J if res.params.J is not None else None),
+        params=params_noJ._replace(
+            J=J if J is not None and res.params.J is not None else None
+        ),
         telemetry=tel,
     )
     valid = _export_mask(
         cfg, target_depth, None if observed is None else np.asarray(observed)
     )
-    J = np.asarray(J, np.float32).copy()
-    J[~valid] = np.nan
+    if J is not None:
+        J = np.asarray(J, np.float32).copy()
+        J[~valid] = np.nan
 
     artifacts = viz.save_plots(
         output_dir, target.name, res.params, J, valid, target.intrinsics,
@@ -1144,9 +1160,12 @@ def restore_image(
         dist=target.dist, dist_model=target.dist_model,
         undistort=cfg.undistort_output,
     )
-    params_out = (output_dir / target.name).with_suffix("." + cfg.params_format)
-    ckpt.save_params(params_out, res.params, J=J, valid=valid)
-    artifacts.append(params_out)
+    if not renders_only:
+        params_out = (output_dir / target.name).with_suffix(
+            "." + cfg.params_format
+        )
+        ckpt.save_params(params_out, res.params, J=J, valid=valid)
+        artifacts.append(params_out)
 
     if use_h5 and not cfg.keep_matches:
         log(f"Erase {matches_path}.")
@@ -1774,10 +1793,14 @@ def dispatch_survey_batch(
     valid_dev = (
         observed.astype(bool) if cfg.use_closed_form else t_depths_dev > 0
     )
+    renders_only = cfg.artifacts == "renders"
     recon_on_device = cfg.reconstruction_on_device
     if recon_on_device is None:
         recon_on_device = True
     recon_on_device = recon_on_device or cfg.light_model  # host render is no-light only
+    # renders-only export never fetches J, so host renders (which read
+    # the fetched J) are impossible — force both u8 renders on device
+    recon_on_device = recon_on_device or renders_only
     recs_dev = None
     if recon_on_device:
         recs_dev = viz.render_reconstruction_batch_device(
@@ -1793,7 +1816,7 @@ def dispatch_survey_batch(
         # pixels, which would otherwise render pure backscatter).
         recs_dev = jnp.where(valid_dev[..., None], recs_dev, 0)
     rgbs_dev = None
-    if cfg.rgb_plot_on_device is None or cfg.rgb_plot_on_device:
+    if cfg.rgb_plot_on_device is None or cfg.rgb_plot_on_device or renders_only:
         rgbs_dev = viz.plot_J_batch_device(J, valid_dev)
     if stacked_obs is not None:
         n_obs_dev = stacked_obs.valid.sum(
@@ -1801,7 +1824,12 @@ def dispatch_survey_batch(
         )
     else:
         n_obs_dev = jnp.stack([o.valid.sum() for o in obs_list])
-    J_fetch = J.astype(jnp.float16) if cfg.export_dtype == "f16" else J
+    if renders_only and not cfg.undistort_output:
+        # the PNGs are already u8 device arrays; J never crosses the link
+        # (undistorted export is the one render computed host-side from J)
+        J_fetch = None
+    else:
+        J_fetch = J.astype(jnp.float16) if cfg.export_dtype == "f16" else J
     mark("fit_dispatch")
     return BatchInFlight(
         targets=targets,
@@ -1838,8 +1866,11 @@ def _fetch_batch(b: BatchInFlight):
         )
     )
     n_obs_list = [int(x) for x in np.asarray(n_obs_arr)]
-    J = np.asarray(J, np.float32)
-    params = params_noJ._replace(J=J if b.params_dev.J is not None else None)
+    if J is not None:
+        J = np.asarray(J, np.float32)
+    params = params_noJ._replace(
+        J=J if J is not None and b.params_dev.J is not None else None
+    )
     if recs is not None:
         recs = np.asarray(recs)  # (T, H, W, 3) uint8, written to PNG as-is
     return params, J, observed, tel, recs, rgb_plots, n_obs_list
@@ -1873,8 +1904,11 @@ def _export_batch(b: BatchInFlight, fetched) -> list[RestoreResult]:
         valid = _export_mask(
             cfg, b.depths[t], None if observed is None else np.asarray(observed[t])
         )
-        J_t = np.asarray(J[t], np.float32).copy()
-        J_t[~valid] = np.nan
+        if J is None:  # renders-only export: J never left the device
+            J_t = None
+        else:
+            J_t = np.asarray(J[t], np.float32).copy()
+            J_t[~valid] = np.nan
         if recs is None:
             # host render from the already-fetched J (its u8 device
             # transfer skipped; runs inside the overlapped exporter)
@@ -1892,9 +1926,12 @@ def _export_batch(b: BatchInFlight, fetched) -> list[RestoreResult]:
             dist=target.dist, dist_model=target.dist_model,
             undistort=cfg.undistort_output,
         )
-        params_out = (output_dir / target.name).with_suffix("." + cfg.params_format)
-        ckpt.save_params(params_out, p_t, J=J_t, valid=valid)
-        artifacts.append(params_out)
+        if cfg.artifacts != "renders":
+            params_out = (output_dir / target.name).with_suffix(
+                "." + cfg.params_format
+            )
+            ckpt.save_params(params_out, p_t, J=J_t, valid=valid)
+            artifacts.append(params_out)
         if b.use_h5 and not cfg.keep_matches:
             (output_dir / target.name).with_suffix(".h5").unlink(missing_ok=True)
         tel_t = FitTelemetry(

@@ -559,3 +559,26 @@ def test_skip_existing_nested_names(tmp_path, capsys):
     rc = main(_base_args(sd, out) + ["--image-list", str(lst), "--skip-existing"])
     assert rc == 0
     assert "Nothing to do" in capsys.readouterr().out
+
+
+def test_artifacts_renders_flag(scene_dir, tmp_path, capsys):
+    """--artifacts renders writes only PNGs and --skip-existing uses the
+    reconstruction PNG as the completion marker."""
+    out = tmp_path / "r"
+    lst = tmp_path / "two.txt"
+    lst.write_text("img_000.png\nimg_001.png\n")
+    rc = main(_base_args(scene_dir, out) + [
+        "--image-list", str(lst), "--artifacts", "renders",
+    ])
+    assert rc == 0
+    for n in (0, 1):
+        assert (out / f"img_{n:03d}_rgb.png").exists()
+        assert (out / f"img_{n:03d}_reconstruction.png").exists()
+        assert not (out / f"img_{n:03d}.npz").exists()
+    capsys.readouterr()
+    rc = main(_base_args(scene_dir, out) + [
+        "--image-list", str(lst), "--artifacts", "renders",
+        "--skip-existing",
+    ])
+    assert rc == 0
+    assert "Nothing to do" in capsys.readouterr().out

@@ -998,3 +998,73 @@ def test_restore_survey_streams_past_residency_budget(scene_dir, tmp_path, monke
     for ra, rb in zip(a, b):
         assert ra.n_obs == rb.n_obs
         np.testing.assert_allclose(np.nan_to_num(ra.J), np.nan_to_num(rb.J), atol=1e-6)
+
+
+def test_artifacts_renders_mode(scene_dir, tmp_path):
+    """artifacts='renders' writes only the PNG renders (no .npz/.pt) with
+    pixel-identical content to the full export, skips the J fetch
+    (result.J is None), and the single path matches the survey path."""
+    import dataclasses
+
+    from sucre_tpu.pipeline import restore_survey
+
+    scene = Scene.from_colmap(
+        scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir
+    )
+    names = ["img_001.png", "img_002.png"]
+    # pin both u8 renders to the device path so full vs renders compare
+    # byte-for-byte (the survey default host-renders from fetched J)
+    base = RestoreConfig(
+        num_iter=4, verbose=False, store="memory",
+        rgb_plot_on_device=True, reconstruction_on_device=True,
+    )
+    full = restore_survey(
+        scene, names, tmp_path / "full", base, batch_targets=2
+    )
+    cfg_r = dataclasses.replace(base, artifacts="renders")
+    rend = restore_survey(
+        scene, names, tmp_path / "rend", cfg_r, batch_targets=2
+    )
+    for r_full, r_rend, n in zip(full, rend, names):
+        stem = Path(n).stem
+        assert r_rend.J is None
+        assert r_full.J is not None
+        assert not (tmp_path / "rend" / f"{stem}.npz").exists()
+        assert not any(
+            str(a).endswith(".npz") for a in r_rend.artifacts
+        )
+        for suffix in ("_rgb.png", "_reconstruction.png"):
+            a = (tmp_path / "full" / (stem + suffix)).read_bytes()
+            b = (tmp_path / "rend" / (stem + suffix)).read_bytes()
+            assert a == b, suffix
+        # params still fetched for the report/telemetry
+        np.testing.assert_allclose(
+            np.asarray(r_rend.params.beta), np.asarray(r_full.params.beta)
+        )
+        assert r_rend.metrics["recon_psnr"] == r_full.metrics["recon_psnr"]
+
+    # single-image path
+    res1 = restore_image(scene, "img_002.png", tmp_path / "one", cfg_r)
+    assert res1.J is None
+    assert (tmp_path / "one" / "img_002_rgb.png").exists()
+    assert (tmp_path / "one" / "img_002_reconstruction.png").exists()
+    assert not (tmp_path / "one" / "img_002.npz").exists()
+
+
+def test_artifacts_renders_closed_form(scene_dir, tmp_path):
+    """renders mode in closed-form mode still fetches the observed mask
+    (export-mask parity) while skipping J."""
+    import dataclasses
+
+    scene = Scene.from_colmap(
+        scene_dir.model_dir, scene_dir.image_dir, scene_dir.depth_dir
+    )
+    cfg = RestoreConfig(
+        num_iter=4, verbose=False, store="memory", use_closed_form=True,
+        artifacts="renders",
+    )
+    res = restore_image(scene, "img_002.png", tmp_path / "cf", cfg)
+    assert res.J is None
+    assert res.valid.any()
+    assert (tmp_path / "cf" / "img_002_rgb.png").exists()
+    assert not (tmp_path / "cf" / "img_002.npz").exists()
