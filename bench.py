@@ -18,7 +18,15 @@ Prints ONE JSON line:
   {"metric": "restore_throughput", "value": <Mpix/s>, "unit": "Mpix/s",
    "vs_baseline": <value / 50.0>, "device_mpix_s": ..., "value_f16": ...,
    "value_transect": ..., "device_mpix_s_transect": ...,
+   "link": {"rtt_ms": ..., "h2d_mbs": ..., "d2h_mbs": ...},
+   "link_end": {...},
    "reps": {<metric>: <n steady-state samples>, ...}}
+
+``link`` / ``link_end`` record THIS session's host<->device link quality
+(measured before and after the bulk phases): e2e numbers on this tunnel
+are link-bound, so a cross-round `value` regression with an equal
+`device_mpix_s` and a worse `link.d2h_mbs` is a tunnel session, not a
+code change.
 
 ``value_f16`` is the all-overlap end-to-end run with export_dtype="f16"
 (half the J fetch bytes on link-bound hosts, ~5e-4 relative rounding in
@@ -168,6 +176,53 @@ class Workload:
         return time.perf_counter() - t0
 
 
+def measure_link(tag: str) -> dict:
+    """Host<->device link probe (~2 s): dispatch round-trip latency and
+    H2D/D2H bandwidth from three ~8 MB transfers each way, perturbed per
+    rep (the tunnel caches identical-input executions). Emitted in the
+    bench JSON so cross-round e2e comparisons can separate code
+    regressions from link-quality sessions (r4's 0.945-vs-1.177 question
+    was unanswerable without this)."""
+    import jax
+    import numpy as np
+
+    dev = jax.devices()[0]
+    # warm the path (first transfers can stall on the tunnel)
+    jax.device_get(jax.device_put(np.float32(0.0), dev))
+
+    rtts = []
+    for i in range(5):
+        x = jax.device_put(np.float32(i + 1), dev)
+        t0 = time.perf_counter()
+        jax.device_get(x)
+        rtts.append(time.perf_counter() - t0)
+    rtt_s = min(rtts)
+
+    nbytes = 8 << 20
+    base = np.arange(nbytes, dtype=np.uint8)
+    h2d, d2h = [], []
+    for rep in range(3):
+        buf = base + np.uint8(rep)  # distinct contents per rep
+        t0 = time.perf_counter()
+        x = jax.device_put(buf, dev)
+        # a 1-element fetch completes only after the upload materialized
+        # (block_until_ready is unreliable on the tunnel)
+        jax.device_get(x[:1])
+        h2d.append(time.perf_counter() - t0 - rtt_s)
+        t0 = time.perf_counter()
+        jax.device_get(x)
+        d2h.append(time.perf_counter() - t0)
+    mb = nbytes / 1e6
+    link = {
+        "rtt_ms": round(rtt_s * 1e3, 2),
+        "h2d_mbs": round(mb / max(min(h2d), 1e-9), 1),
+        "d2h_mbs": round(mb / max(min(d2h), 1e-9), 1),
+    }
+    log(f"[link {tag}] rtt {link['rtt_ms']} ms, "
+        f"h2d {link['h2d_mbs']} MB/s, d2h {link['d2h_mbs']} MB/s")
+    return link
+
+
 def run_phase(label, fn, perturb, *, reps, min_meas, budget_s, pbase):
     """Run one metric's reps with stall immunity: rep 0 is warmup, then
     at least ``min_meas`` measured reps ALWAYS run; the budget only trims
@@ -225,6 +280,10 @@ def main() -> None:
 
     out: dict = {"metric": "restore_throughput", "unit": "Mpix/s"}
     nreps: dict = {}
+
+    # Link quality of THIS session, before any bulk work touches the
+    # tunnel — the context every link-bound e2e number needs.
+    out["link"] = measure_link("start")
 
     # ---- all-overlap workload: value / value_f16 / device_mpix_s -------
     # Perturbation indices are allocated strictly increasing per workload:
@@ -289,6 +348,12 @@ def main() -> None:
         )
         out["value_transect"] = round(twl.mpix / best, 3)
         nreps["value_transect"] = n
+
+    # Re-probe after the sustained bulk transfers: the tunnel has been
+    # observed to degrade for the rest of the process after the e2e
+    # phases (see the transect ordering note above) — the delta between
+    # the two probes records that state for the artifact.
+    out["link_end"] = measure_link("end")
 
     out["reps"] = nreps
     print(json.dumps(out))
