@@ -97,7 +97,29 @@ def surface_aabb(
     lo = Pw.min(axis=0)
     hi = Pw.max(axis=0)
     pad = margin * float(np.linalg.norm(hi - lo))
+    pad += _match_tolerance(depth_raw, intrinsics)
     return lo - pad, hi + pad
+
+
+def _match_tolerance(depth_raw: np.ndarray, intrinsics: np.ndarray) -> float:
+    """World-space slack a two-way-consistent match allows between the
+    two cameras' 3D points of the SAME correspondence: each side's point
+    comes from its own depth map and integer pixel, so they deviate by
+    up to ~a pixel footprint at the surface distance (z/f per pixel;
+    trunc-toward-zero + center offsets span <~1.5 px, factor 2 for
+    slack) plus the u16 millimeter depth quantization. Without this term
+    two surfaces can be measurably disjoint yet still produce matches —
+    pads built only from the surface DIAGONAL miss it on short-focal
+    (coarse-footprint) cameras, where it dominates (caught live: a
+    single-column sliver pair survived min_cover while both padded AABBs
+    were disjoint). Uses the FULL map's max depth — a stride subsample
+    can miss the deepest pixel."""
+    d = depth_raw.astype(np.float64)
+    if np.issubdtype(depth_raw.dtype, np.integer):
+        d = d / 1000.0
+    z_max = float(d.max(initial=0.0))
+    fx, fy = float(intrinsics[0]), float(intrinsics[1])
+    return 2.0 * z_max * float(np.hypot(1.0 / fx, 1.0 / fy)) + 0.002
 
 
 def aabb_overlap(a, b) -> bool:
@@ -160,6 +182,7 @@ def surface_tile_aabbs(
         return [None] * (n_tiles * n_tiles)
     whole = Pw[valid]
     pad = margin * float(np.linalg.norm(whole.max(axis=0) - whole.min(axis=0)))
+    pad += _match_tolerance(depth_raw, intrinsics)
 
     out = []
     for i in range(n_tiles):

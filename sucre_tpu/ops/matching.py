@@ -296,6 +296,8 @@ def bilinear_observation(
     dist1=None,
     dist2=None,
     dist_model: str = "none",
+    shape2: tuple[int, int] | None = None,
+    sample=None,  # (y, x) -> (..., 3) f32; default indexes rgb2
 ) -> jnp.ndarray:
     """Bilinear color sampling at the continuous reprojection — the
     flagged quality upgrade over the reference's nearest-pixel gather
@@ -304,8 +306,15 @@ def bilinear_observation(
     pixel centers (projection coords follow the +0.5 center convention),
     clamped at borders. Returns (H, W, 3) f32 in [0, 1], zero at invalid
     matches. Geometry/validity are untouched — only the observed color
-    changes, so fits keep the exact reference observation sets."""
-    H2, W2 = rgb2.shape[:2]
+    changes, so fits keep the exact reference observation sets.
+    ``sample``/``shape2`` let the flat-index survey path (see
+    match_survey_indexed) supply its own neighbor gather; rgb2 is then
+    unused (pass None)."""
+    if rgb2 is not None:
+        shape2 = rgb2.shape[:2]
+        rgb2f = to_f32_rgb(rgb2)
+        sample = lambda y, x: rgb2f[y, x]
+    H2, W2 = shape2
     # same shared geometry block the consistency check trunc-samples
     x2, y2 = _forward_projection(depth1, intr1, R1, t1, intr2, R2, t2, origin,
                                  dist1=dist1, dist2=dist2, dist_model=dist_model)
@@ -320,11 +329,10 @@ def bilinear_observation(
     fx = (xs - x0.astype(jnp.float32))[..., None]
     fy = (ys - y0.astype(jnp.float32))[..., None]
 
-    rgb2f = to_f32_rgb(rgb2)
-    c00 = rgb2f[y0, x0]
-    c01 = rgb2f[y0, x1p]
-    c10 = rgb2f[y1p, x0]
-    c11 = rgb2f[y1p, x1p]
+    c00 = sample(y0, x0)
+    c01 = sample(y0, x1p)
+    c10 = sample(y1p, x0)
+    c11 = sample(y1p, x1p)
     top = c00 * (1.0 - fx) + c01 * fx
     bot = c10 * (1.0 - fx) + c11 * fx
     I = top * (1.0 - fy) + bot * fy
@@ -568,6 +576,132 @@ def match_survey_per_target(
         v_depths, v_rgbs, v_intrs, v_Rs, v_ts,
         t_dists, v_dists, area,
     )
+
+
+@partial(jax.jit, static_argnames=("compact", "bilinear", "dist_model"))
+def match_survey_indexed(
+    t_depths: jnp.ndarray,  # (T, H, W)
+    t_intrs: jnp.ndarray,  # (T, 4)
+    t_Rs: jnp.ndarray,  # (T, 3, 3)
+    t_ts: jnp.ndarray,  # (T, 3)
+    v_depths: jnp.ndarray,  # (V, H2, W2) SHARED resident view stack
+    v_rgbs: jnp.ndarray,  # (V, H2, W2, 3)
+    v_intrs: jnp.ndarray,  # (V, 4)
+    v_Rs: jnp.ndarray,  # (V, 3, 3)
+    v_ts: jnp.ndarray,  # (V, 3)
+    view_idx: jnp.ndarray,  # (T, S) int32 view ids; >= V marks a pad slot
+    min_cover: jnp.ndarray,
+    compact: bool = True,
+    bilinear: bool = False,
+    area: jnp.ndarray | None = None,  # scalar or per-target (T,)
+    t_dists: jnp.ndarray | None = None,  # (T, 8)
+    v_dists: jnp.ndarray | None = None,  # (V, 8)
+    dist_model: str | tuple[str, str] = "none",
+) -> DenseObs:
+    """Per-target-culled survey matching WITHOUT per-target table copies:
+    target t matches views ``view_idx[t]`` by gathering records from the
+    SHARED stack at flat index ``vid*H2*W2 + v2*W2 + u2``.
+
+    Semantically identical to ``match_survey_per_target`` fed tables
+    gathered with the same ids (the fix for its measured 1.29x intrinsic
+    overhead at identical shapes: the (T, S, H2, W2) table materialization
+    plus T-times-repacked records — here the packed u32x2 table is built
+    ONCE over the resident stack and the per-pair view id just offsets the
+    one gather per pixel-pair, which is the whole cost of matching).
+    Pad slots (id >= V) produce no matches. Caller must keep
+    V*H2*W2 < 2**31 (int32 flat index) — the pipeline routes larger
+    stacks elsewhere.
+    """
+    t_depths = to_f32_depth(t_depths)
+    T, H, W = t_depths.shape
+    V, H2, W2 = v_depths.shape[:3]
+    area = jnp.float32(H * W) if area is None else jnp.asarray(area, jnp.float32)
+    if area.ndim == 0:
+        area = jnp.broadcast_to(area, (T,))
+
+    raw = _is_raw_views(v_depths, v_rgbs)
+    if raw:
+        flat = _pack_view_records(v_depths, v_rgbs).reshape(V * H2 * W2, 2)
+    else:
+        v_depths = to_f32_depth(v_depths)
+        d_flat = v_depths.reshape(V * H2 * W2)
+        rgb_flat = v_rgbs.reshape(V * H2 * W2, v_rgbs.shape[-1])
+    if bilinear:
+        rgbf_flat = to_f32_rgb(v_rgbs).reshape(V * H2 * W2, v_rgbs.shape[-1])
+
+    tag1, tag2 = _split_tags(dist_model)
+    t_extra = () if tag1 == "none" else (t_dists,)
+
+    ok = view_idx < V  # (T, S)
+    vids = jnp.clip(view_idx, 0, V - 1)
+    p_intrs = v_intrs[vids]  # (T, S, 4) — tiny parameter gathers
+    p_Rs = v_Rs[vids]
+    p_ts = v_ts[vids]
+    base = vids.astype(jnp.int32) * jnp.int32(H2 * W2)  # (T, S)
+    v_extra = () if tag2 == "none" else (v_dists[vids],)
+
+    def _one(tail):
+        return tail[0] if tail else None
+
+    def one_target(d1, intr1, R1, t1, intr2s, R2s, t2s, bases, oks, *tail):
+        dist1 = tail[0] if t_extra else None
+        d2s = tail[-1] if v_extra else None
+        pair_extra = (d2s,) if v_extra else ()
+
+        def one_pair(intr2, R2, t2, b, okp, *d2tail):
+            dist2 = _one(d2tail)
+
+            def fetch(v2s, u2s):
+                idx = b + v2s * jnp.int32(W2) + u2s
+                if raw:
+                    rec = flat[idx]
+                    w0, w1 = rec[..., 0], rec[..., 1]
+                    d2 = (w0 & jnp.uint32(0xFFFF)).astype(jnp.float32) / 1000.0
+                    I = jnp.stack(
+                        [
+                            ((w0 >> 16) & jnp.uint32(0xFF)).astype(jnp.uint8),
+                            ((w0 >> 24) & jnp.uint32(0xFF)).astype(jnp.uint8),
+                            (w1 & jnp.uint32(0xFF)).astype(jnp.uint8),
+                        ],
+                        axis=-1,
+                    )
+                else:
+                    d2 = d_flat[idx]
+                    I = rgb_flat[idx]
+                return d2, I
+
+            m, cP, I = _match_pair_core(
+                d1, intr1, R1, t1, (H2, W2), intr2, R2, t2, fetch,
+                dist1=dist1, dist2=dist2, dist_model=dist_model,
+            )
+            if bilinear:
+                I = bilinear_observation(
+                    d1, intr1, R1, t1, None, intr2, R2, t2, m,
+                    dist1=dist1, dist2=dist2, dist_model=dist_model,
+                    shape2=(H2, W2),
+                    sample=lambda y, x: rgbf_flat[b + y * jnp.int32(W2) + x],
+                )
+            valid = m.valid & okp
+            return valid, cP, I
+
+        valid, cP, I = jax.vmap(one_pair)(
+            intr2s, R2s, t2s, bases, oks, *pair_extra
+        )
+        return valid, cP, I
+
+    in_axes = (0,) * 9 + (0,) * len(t_extra) + (0,) * len(v_extra)
+    valid, cP, I = jax.vmap(one_target, in_axes=in_axes)(
+        t_depths, t_intrs, t_Rs, t_ts, p_intrs, p_Rs, p_ts, base, ok,
+        *t_extra, *v_extra,
+    )
+    valid = jax.vmap(_min_cover_mask, in_axes=(0, 0, None))(
+        valid, area, min_cover
+    )
+    I = jnp.where(valid[..., None], I, jnp.zeros((), I.dtype))
+    obs = DenseObs(valid=valid, cP=jnp.where(valid[..., None], cP, 0.0), I=I)
+    if compact:
+        obs = obs.compact()
+    return obs
 
 
 @partial(jax.jit, static_argnames=("compact", "bilinear", "dist_model"))

@@ -371,15 +371,21 @@ def _chunk_rect(sub, view_rects, Hp: int, Wp: int):
 
 def _pt_pad_gran(match_chunk: int) -> int:
     """Per-target survey tables pad each target's kept-view list to this
-    granularity (bounds the distinct compiled V shapes). Default =
-    match_chunk. Finer pads LOSE on the chip despite fewer gather rows:
-    an interleaved A/B at the bench transect shape measured the V=20
-    program (granularity 4) at 2.28 s/run vs V=24 (granularity 8) at
-    1.92 s — the per-view cost of the survey program is not uniform in
-    V, so don't trade pad rows for an unluckier shape. SUCRE_PT_PAD_GRAN
-    overrides for probing; read at call time so it applies without a
-    reimport."""
-    return int(os.environ.get("SUCRE_PT_PAD_GRAN", match_chunk))
+    granularity (bounds the distinct compiled V shapes). Default 2: a
+    round-5 interleaved on-chip sweep of FORCED table sizes on the
+    honest transect measured matching time monotone and ~uniform per
+    view (V=10/12/16/20/24 -> 1.03/1.22/1.71/2.07/2.58 s), refuting the
+    round-4 V=20-vs-24 A/B (a cross-session artifact on the pre-fix
+    inflated transect) — pad rows are pure cost, so pad as little as
+    recompile hygiene allows (granularity 2 halves the distinct-shape
+    count vs 1; the fit kernel pads views to its VB=4 blocks internally
+    and its occupancy table skips all-invalid pad blocks either way).
+    Measured on the bench transect (kept 8-10 views): tables of 10 run
+    1.46x the default-16 full pipeline (2.89 vs 1.97 Mpix/s device).
+    SUCRE_PT_PAD_GRAN overrides for probing; read at call time so it
+    applies without a reimport."""
+    del match_chunk  # no longer tied to the matching chunk size
+    return int(os.environ.get("SUCRE_PT_PAD_GRAN", 2))
 
 
 def _est_chunked_pairs(
@@ -1526,11 +1532,15 @@ def dispatch_survey_batch(
             vmax = max((len(k) for k in kept_lists), default=0)
             _g = _pt_pad_gran(cfg.match_chunk)
             vmax_p = -(-max(vmax, 1) // _g) * _g
+            _b0 = device_views.buckets[0]
             use_pt = (
                 os.environ.get("SUCRE_PER_TARGET_SURVEY", "1") != "0"
                 and vmax_p < n_views_eff
                 and len(targets) * vmax_p * t0_.width * t0_.height
                 <= pair_budget
+                # flat-index gather addressing (see match_survey_indexed)
+                # needs the resident stack within int32 range
+                and len(_b0["views"]) * t0_.width * t0_.height < 2**31
             )
             baseline_views = vmax_p if use_pt else n_views_eff
             baseline_pairs = (
@@ -1564,7 +1574,7 @@ def dispatch_survey_batch(
             elif use_pt:
                 pt_keep = kept_lists
                 log(
-                    f"Per-target survey tables: {vmax_p} of "
+                    f"Per-target view lists: {vmax_p} of "
                     f"{n_views_eff} union views per target."
                 )
         if use_survey:
@@ -1583,10 +1593,12 @@ def dispatch_survey_batch(
             if v_dists is not None:
                 arrays = arrays + (v_dists,)
             sel_names = [v.name for v in b["views"]]
-            if len(culled_list) < len(image_list):
+            if len(culled_list) < len(image_list) and pt_keep is None:
                 # device-side selection of surviving views, padded to the
                 # match_chunk granularity (bounds recompiles); padded rows
-                # have zero depth => no matches
+                # have zero depth => no matches. (The per-target flat-
+                # index route below needs no selection: its view-id
+                # array addresses the FULL resident stack directly.)
                 kept_names_set = {v.name for v in culled_list}
                 idx = [
                     i for i, v in enumerate(b["views"]) if v.name in kept_names_set
@@ -1603,29 +1615,24 @@ def dispatch_survey_batch(
                 )
             v_dists = arrays[5] if len(arrays) > 5 else None
             arrays = arrays[:5]
+            pt_idx_dev = None
             if pt_keep is not None:
-                # Gather each target's surviving views into its own table
-                # row (short lists pad with an appended all-zero view =>
-                # no matches). One device gather; the matching program
-                # then runs T x vmax_p pairs instead of T x V_union.
+                # Per-target view-id array into the resident stack: slot
+                # (t, s) holds the stack index of target t's s-th kept
+                # view, sentinel V for pad slots (no matches). The
+                # matching program gathers records at flat index
+                # vid*H2*W2 + pixel — no (T, vmax) table copies (the old
+                # materialized-tables route measured 1.40x slower at
+                # identical shapes; see match_survey_indexed).
                 pos = {n: i for i, n in enumerate(sel_names)}
                 V_arr = arrays[0].shape[0]
-                arrays = tuple(
-                    jnp.pad(a, [(0, 1)] + [(0, 0)] * (a.ndim - 1))
-                    for a in arrays
-                )
-                if v_dists is not None:
-                    v_dists = jnp.pad(v_dists, [(0, 1), (0, 0)])
                 # vmax_p is in scope from the routing block above
                 # (pt_keep non-None implies it ran on these kept lists)
                 idx_np = np.full((len(targets), vmax_p), V_arr, np.int32)
                 for ti, names in enumerate(pt_keep):
                     for j, n in enumerate(names):
                         idx_np[ti, j] = pos[n]
-                jidx2 = jnp.asarray(idx_np)
-                arrays = tuple(jnp.take(a, jidx2, axis=0) for a in arrays)
-                if v_dists is not None:
-                    v_dists = jnp.take(v_dists, jidx2, axis=0)
+                pt_idx_dev = jnp.asarray(idx_np)
             dist_kw = dict(
                 t_dists=t_dists_dev, v_dists=v_dists, dist_model=survey_tag,
             )
@@ -1656,19 +1663,21 @@ def dispatch_survey_batch(
                         lambda x: x[:, :, :H0], stacked_obs
                     )
             elif pt_keep is not None:
-                from sucre_tpu.ops.matching import match_survey_per_target
+                from sucre_tpu.ops.matching import match_survey_indexed
 
                 log(
                     f"Compute matches for {len(targets)} targets "
-                    f"(one survey program, per-target tables of "
-                    f"{arrays[0].shape[1]} views)."
+                    f"(one survey program, per-target view lists of "
+                    f"{pt_idx_dev.shape[1]} over the "
+                    f"{arrays[0].shape[0]}-view stack)."
                 )
-                stacked_obs = match_survey_per_target(
+                stacked_obs = match_survey_indexed(
                     target_depth_stack(),
                     jnp.asarray(t_intrs_np),
                     t_Rs_dev,
                     t_ts_dev,
                     *arrays,
+                    pt_idx_dev,
                     jnp.float32(cfg.min_cover),
                     compact=not cfg.light_model,
                     bilinear=cfg.bilinear_colors,

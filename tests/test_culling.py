@@ -19,9 +19,16 @@ def test_surface_aabb_plane():
     t = np.zeros(3)
     box = surface_aabb(depth, intr, R, t, stride=4, margin=0.0)
     lo, hi = box
-    # plane at z=3: box spans z=[3,3], x in +-3*(32/51.2)
-    np.testing.assert_allclose(lo[2], 3.0, atol=1e-6)
-    np.testing.assert_allclose(hi[2], 3.0, atol=1e-6)
+    # plane at z=3: the raw box spans z=[3,3] inflated by exactly the
+    # match-tolerance pad (pixel footprint + depth quantization —
+    # required for culling to stay lossless; see _match_tolerance),
+    # x in +-3*(32/51.2)
+    from sucre_tpu.ops.culling import _match_tolerance
+
+    tol = _match_tolerance(depth, intr)
+    assert 0 < tol < 0.2
+    np.testing.assert_allclose(lo[2], 3.0 - tol, atol=1e-6)
+    np.testing.assert_allclose(hi[2], 3.0 + tol, atol=1e-6)
     assert lo[0] < -1.5 and hi[0] > 1.5
 
 

@@ -462,3 +462,128 @@ def test_per_target_area_vmaps_with_targets():
     np.testing.assert_array_equal(
         np.asarray(obs_s.valid), np.asarray(ref.valid)
     )
+
+
+def test_indexed_survey_equals_per_target_tables():
+    """match_survey_indexed (flat-index gather from the SHARED stack)
+    must reproduce match_survey_per_target fed tables gathered with the
+    same view ids — including pad slots (id >= V), per-target areas,
+    and both raw-u8/u16 and float stacks."""
+    import jax
+
+    from sucre_tpu.ops.matching import (
+        match_survey_indexed,
+        match_survey_per_target,
+        to_f32_depth,
+        to_f32_rgb,
+    )
+
+    rng = np.random.default_rng(7)
+    T, V, S, H, W = 2, 5, 3, 24, 32
+    depth_mm = (
+        rng.uniform(1200, 3000, size=(V, H, W))
+        * (rng.uniform(size=(V, H, W)) < 0.9)
+    ).astype(np.uint16)
+    rgbs = rng.integers(0, 256, size=(V, H, W, 3), dtype=np.uint8)
+    intr = np.tile(_intr(30.0, 30.0, W / 2, H / 2), (V, 1))
+    Rs, ts = [], []
+    for k in range(V):
+        th = 0.04 * k
+        Rs.append(np.array(
+            [[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+             [-np.sin(th), 0, np.cos(th)]], np.float32))
+        ts.append(np.array([0.08 * k, 0.0, 0.0], np.float32))
+    Rs, ts = np.stack(Rs), np.stack(ts)
+    j = jnp.asarray
+    targs = (j(depth_mm[:T]), j(intr[:T]), j(Rs[:T]), j(ts[:T]))
+    mc = jnp.float32(1e-6)
+    # target 0: views 1, 3 + one pad; target 1: views 0, 2, 4
+    idx = np.array([[1, 3, V], [0, 2, 4]], np.int32)
+
+    def tables(arr):
+        safe = np.concatenate(
+            [arr, np.zeros_like(arr[:1])], axis=0
+        )  # pad slot -> all-zero view
+        return j(safe[idx])
+
+    for raw in (True, False):
+        if raw:
+            vd, vr = j(depth_mm), j(rgbs)
+            tvd, tvr = tables(depth_mm), tables(rgbs)
+        else:
+            vd = to_f32_depth(j(depth_mm))
+            vr = to_f32_rgb(j(rgbs))
+            tvd, tvr = (
+                to_f32_depth(tables(depth_mm)), to_f32_rgb(tables(rgbs)),
+            )
+        for bilinear in (False, True):
+            obs_i = match_survey_indexed(
+                *targs, vd, vr, j(intr), j(Rs), j(ts), j(idx), mc,
+                bilinear=bilinear,
+            )
+            obs_t = match_survey_per_target(
+                *targs, tvd, tvr, tables(intr), tables(Rs), tables(ts),
+                mc, bilinear=bilinear,
+            )
+            for f in ("valid", "z", "I"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(obs_i, f)),
+                    np.asarray(getattr(obs_t, f)),
+                    err_msg=f"{f} raw={raw} bilinear={bilinear}",
+                )
+            assert int(np.asarray(obs_i.valid).sum()) > 50
+    # per-target area: huge area on target 1 kills its pairs
+    areas = jnp.asarray([float(H * W), 1e9], jnp.float32)
+    obs_a = match_survey_indexed(
+        *targs, j(depth_mm), j(rgbs), j(intr), j(Rs), j(ts), j(idx), mc,
+        area=areas,
+    )
+    assert int(np.asarray(obs_a.valid[0]).sum()) > 0
+    assert int(np.asarray(obs_a.valid[1]).sum()) == 0
+
+
+def test_indexed_survey_distorted_equals_per_target():
+    """Distorted-lens flat-index survey: the (V, 8) per-view distortion
+    vectors gather by view id exactly like the camera params."""
+    from sucre_tpu.ops.matching import (
+        match_survey_indexed,
+        match_survey_per_target,
+    )
+
+    rng = np.random.default_rng(9)
+    T, V, S, H, W = 2, 4, 2, 24, 32
+    depth_mm = (
+        rng.uniform(1200, 3000, size=(V, H, W))
+        * (rng.uniform(size=(V, H, W)) < 0.9)
+    ).astype(np.uint16)
+    rgbs = rng.integers(0, 256, size=(V, H, W, 3), dtype=np.uint8)
+    intr = np.tile(_intr(30.0, 30.0, W / 2, H / 2), (V, 1))
+    Rs = np.tile(np.eye(3, dtype=np.float32), (V, 1, 1))
+    ts = np.stack(
+        [np.array([0.06 * k, 0.0, 0.0], np.float32) for k in range(V)]
+    )
+    dists = np.zeros((V, 8), np.float32)
+    dists[:, 0] = np.linspace(-0.05, 0.05, V)  # k1 per view
+    j = jnp.asarray
+    targs = (j(depth_mm[:T]), j(intr[:T]), j(Rs[:T]), j(ts[:T]))
+    idx = np.array([[1, 3], [0, 2]], np.int32)
+
+    def tables(arr):
+        return j(arr[idx])
+
+    mc = jnp.float32(1e-6)
+    obs_i = match_survey_indexed(
+        *targs, j(depth_mm), j(rgbs), j(intr), j(Rs), j(ts), j(idx), mc,
+        t_dists=j(dists[:T]), v_dists=j(dists), dist_model="rational",
+    )
+    obs_t = match_survey_per_target(
+        *targs, tables(depth_mm), tables(rgbs), tables(intr), tables(Rs),
+        tables(ts), mc,
+        t_dists=j(dists[:T]), v_dists=tables(dists), dist_model="rational",
+    )
+    for f in ("valid", "z", "I"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(obs_i, f)), np.asarray(getattr(obs_t, f)),
+            err_msg=f,
+        )
+    assert int(np.asarray(obs_i.valid).sum()) > 50

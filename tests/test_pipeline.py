@@ -565,14 +565,15 @@ def test_partial_overlap_routes_per_target_tables(tmp_path, monkeypatch):
     import sucre_tpu.ops.matching as m
 
     calls = {"pt": 0}
-    real_pt = m.match_survey_per_target
+    real_pt = m.match_survey_indexed
 
     def counting_pt(*a, **k):
         calls["pt"] += 1
-        assert a[4].ndim == 4  # per-target (T, V, H2, W2) tables
+        assert a[4].ndim == 3  # SHARED (V, H2, W2) stack, no table copies
+        assert a[9].ndim == 2  # (T, S) per-target view-id array
         return real_pt(*a, **k)
 
-    monkeypatch.setattr(m, "match_survey_per_target", counting_pt)
+    monkeypatch.setattr(m, "match_survey_indexed", counting_pt)
 
     # pin a small chunked margin: on fast local devices the adaptive
     # factor (0.9) would route this batch chunked before the per-target
