@@ -582,3 +582,30 @@ def test_artifacts_renders_flag(scene_dir, tmp_path, capsys):
     ])
     assert rc == 0
     assert "Nothing to do" in capsys.readouterr().out
+
+
+def test_validate_pod_script(tmp_path):
+    """scripts/validate_pod.py --virtual runs every correctness/HLO
+    check green in a subprocess (its own virtual platform)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).parent.parent
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("PALLAS_AXON", "AXON", "XLA_FLAGS", "JAX_PLATFORMS"))
+    }
+    out = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "validate_pod.py"),
+         "--virtual", "4", "--skip-bench"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["ok"] and rep["devices"] == 4
+    assert rep["matching_communication_free_hlo"]["ok"]
+    assert rep["fit_row_mesh_zero_bytes_hlo"]["ok"]
