@@ -17,7 +17,7 @@ driver). Two workload geometries:
 Prints ONE JSON line:
   {"metric": "restore_throughput", "value": <Mpix/s>, "unit": "Mpix/s",
    "vs_baseline": <value / 50.0>, "device_mpix_s": ..., "value_f16": ...,
-   "value_transect": ..., "device_mpix_s_transect": ...,
+   "value_renders": ..., "value_transect": ..., "device_mpix_s_transect": ...,
    "link": {"rtt_ms": ..., "h2d_mbs": ..., "d2h_mbs": ...},
    "link_end": {...},
    "reps": {<metric>: <n steady-state samples>, ...}}
@@ -311,6 +311,19 @@ def main() -> None:
     pbase += used
     out["value_f16"] = round(wl.mpix / best, 3)
     nreps["value_f16"] = n
+
+    # renders-only artifacts: the J payload (most of the per-target
+    # export bytes) never leaves the device — the e2e number for users
+    # whose deliverable is the PNGs (--artifacts renders)
+    cfg_rend = dc.replace(wl.cfg, artifacts="renders")
+    best, n, used = run_phase(
+        "renders", lambda rep: wl.run_e2e(wl.tmp / f"rendout{rep}", cfg_rend),
+        wl.perturb,
+        reps=F16_REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET, pbase=pbase,
+    )
+    pbase += used
+    out["value_renders"] = round(wl.mpix / best, 3)
+    nreps["value_renders"] = n
 
     best, n, used = run_phase(
         "device", lambda rep: wl.run_device_only(wl.tmp / "devout"),
