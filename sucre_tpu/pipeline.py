@@ -1286,22 +1286,27 @@ def _device_target_arrays(device_views, targets):
 
 
 _LINK_RTT_S: float | None = None
+_LINK_RTT_PROBES: int = 0
 
 
 def _link_rtt() -> float:
-    """Device round-trip latency (seconds), measured ONCE per process
-    (min of 3 tiny device_gets). Distinguishes directly-attached devices
-    (~0.1 ms) from tunneled/remote ones (~30 ms+): the chunked matching
-    route's host-driven dispatch chain is cheap on the former and
-    ruinous on the latter, so the routing margin adapts. The first
-    measurement may flush queued device work and, if heavy work is
-    queued at that moment, can overestimate the RTT for the process's
-    lifetime — set SUCRE_CHUNKED_ROUTE_FACTOR explicitly to bypass the
-    measurement entirely. Invoked only at the first routing decision
-    (batch 0 of a survey, before bulk work is queued on our own
-    paths)."""
-    global _LINK_RTT_S
-    if _LINK_RTT_S is None:
+    """Device round-trip latency (seconds): min of 3 tiny device_gets,
+    self-correcting across routing decisions. Distinguishes directly-
+    attached devices (~0.1 ms) from tunneled/remote ones (~30 ms+): the
+    chunked matching route's host-driven dispatch chain is cheap on the
+    former and ruinous on the latter, so the routing margin adapts.
+
+    A measurement taken while device work is queued can only OVERSTATE
+    the RTT (the gets flush the queue) — which routes conservatively
+    (survey program over chunked), never dangerously. To recover from a
+    contaminated first sample, a link classified high-RTT (>= 5 ms)
+    re-probes on up to two later routing decisions and keeps the
+    process-wide MIN; low-RTT classifications are already correct
+    (queued work can't make a slow link look fast). Set
+    SUCRE_CHUNKED_ROUTE_FACTOR explicitly to bypass the measurement
+    entirely."""
+    global _LINK_RTT_S, _LINK_RTT_PROBES
+    if _LINK_RTT_S is None or (_LINK_RTT_S >= 0.005 and _LINK_RTT_PROBES < 3):
         import time as _time
 
         x = jnp.zeros(())
@@ -1310,7 +1315,8 @@ def _link_rtt() -> float:
             t0 = _time.perf_counter()
             jax.device_get(x)
             best = min(best, _time.perf_counter() - t0)
-        _LINK_RTT_S = best
+        _LINK_RTT_S = best if _LINK_RTT_S is None else min(_LINK_RTT_S, best)
+        _LINK_RTT_PROBES += 1
     return _LINK_RTT_S
 
 

@@ -1069,3 +1069,19 @@ def test_artifacts_renders_closed_form(scene_dir, tmp_path):
     assert res.valid.any()
     assert (tmp_path / "cf" / "img_002_rgb.png").exists()
     assert not (tmp_path / "cf" / "img_002.npz").exists()
+
+
+def test_link_rtt_self_corrects_high_estimate(monkeypatch):
+    """A contaminated (overstated) first RTT sample must be corrected by
+    later probes (process-wide min); a low-RTT classification sticks
+    without re-probing."""
+    import sucre_tpu.pipeline as pl
+
+    monkeypatch.setattr(pl, "_LINK_RTT_S", 0.5)  # contaminated: 500 ms
+    monkeypatch.setattr(pl, "_LINK_RTT_PROBES", 1)
+    r = pl._link_rtt()  # re-probes on CPU (real RTT ~µs) and takes min
+    assert r < 0.5
+    # once classified low-RTT, further calls don't probe again
+    monkeypatch.setattr(pl, "_LINK_RTT_S", 1e-6)
+    monkeypatch.setattr(pl, "_LINK_RTT_PROBES", 3)
+    assert pl._link_rtt() == 1e-6
