@@ -1539,9 +1539,17 @@ def dispatch_survey_batch(
             _g = _pt_pad_gran(cfg.match_chunk)
             vmax_p = -(-max(vmax, 1) // _g) * _g
             _b0 = device_views.buckets[0]
+            # Per-pair-distinct-table gathers run at ~45M rows/s where
+            # the uniform shared program reaches ~81M (measured r5 on
+            # coherent transect content: the shared T x V structure
+            # re-reads each view's table with T index planes — reuse the
+            # per-target pair list can't express). The per-target route
+            # must therefore cut PAIRS by more than the rate ratio to
+            # win wall-clock, not merely run fewer of them.
+            _pt_rate = float(os.environ.get("SUCRE_PT_RATE_FACTOR", "1.8"))
             use_pt = (
                 os.environ.get("SUCRE_PER_TARGET_SURVEY", "1") != "0"
-                and vmax_p < n_views_eff
+                and vmax_p * _pt_rate < n_views_eff
                 and len(targets) * vmax_p * t0_.width * t0_.height
                 <= pair_budget
                 # flat-index gather addressing (see match_survey_indexed)
