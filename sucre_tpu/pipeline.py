@@ -369,23 +369,39 @@ def _chunk_rect(sub, view_rects, Hp: int, Wp: int):
     )
 
 
-def _pt_pad_gran(match_chunk: int) -> int:
-    """Per-target survey tables pad each target's kept-view list to this
-    granularity (bounds the distinct compiled V shapes). Default 2: a
-    round-5 interleaved on-chip sweep of FORCED table sizes on the
+def _pt_pad_views(vmax: int, match_chunk: int) -> int:
+    """Padded per-target view-list size for a batch whose largest kept
+    list is ``vmax``.
+
+    A round-5 interleaved on-chip sweep of FORCED table sizes on the
     honest transect measured matching time monotone and ~uniform per
     view (V=10/12/16/20/24 -> 1.03/1.22/1.71/2.07/2.58 s), refuting the
     round-4 V=20-vs-24 A/B (a cross-session artifact on the pre-fix
-    inflated transect) — pad rows are pure cost, so pad as little as
-    recompile hygiene allows (granularity 2 halves the distinct-shape
-    count vs 1; the fit kernel pads views to its VB=4 blocks internally
-    and its occupancy table skips all-invalid pad blocks either way).
-    Measured on the bench transect (kept 8-10 views): tables of 10 run
-    1.46x the default-16 full pipeline (2.89 vs 1.97 Mpix/s device).
-    SUCRE_PT_PAD_GRAN overrides for probing; read at call time so it
-    applies without a reimport."""
+    inflated transect) — pad rows are pure cost. But every distinct
+    padded size is a fresh multi-minute first compile of the survey
+    program, and a 200-target transect whose kept counts drift along
+    the line presented a NEW shape almost every batch at granularity 2
+    (the first full-survey run spent ~2x its device time in compiles).
+    So the padding is PIECEWISE: fine (VB=4 kernel-block multiples)
+    where pad rows are relatively expensive, coarser as V grows and the
+    relative overpad shrinks — the distinct-shape set stays ~8 per
+    (T, H, W) family. Measured cost of the compromise at the bench
+    transect (kept 8-10): tables of 12 run 2.62 Mpix/s vs 2.89 at exact
+    10 and 1.97 at the old flat-16 default. SUCRE_PT_PAD_GRAN forces a
+    flat granularity for probing; read at call time so it applies
+    without a reimport."""
     del match_chunk  # no longer tied to the matching chunk size
-    return int(os.environ.get("SUCRE_PT_PAD_GRAN", 2))
+    g = os.environ.get("SUCRE_PT_PAD_GRAN")
+    if g is not None:
+        return -(-max(vmax, 1) // int(g)) * int(g)
+    v = max(vmax, 1)
+    if v <= 12:  # fine where each pad row is a large relative cost
+        return -(-v // 2) * 2
+    if v <= 16:
+        return -(-v // 4) * 4
+    if v <= 32:
+        return -(-v // 8) * 8
+    return -(-v // 16) * 16
 
 
 def _est_chunked_pairs(
@@ -1536,8 +1552,7 @@ def dispatch_survey_batch(
                     if (r := rl.get(v.name)) is not None and r[1] > r[0]
                 ])
             vmax = max((len(k) for k in kept_lists), default=0)
-            _g = _pt_pad_gran(cfg.match_chunk)
-            vmax_p = -(-max(vmax, 1) // _g) * _g
+            vmax_p = _pt_pad_views(vmax, cfg.match_chunk)
             _b0 = device_views.buckets[0]
             # Per-pair-distinct-table gathers run at ~45M rows/s where
             # the uniform shared program reaches ~81M (measured r5 on

@@ -577,8 +577,14 @@ def test_partial_overlap_routes_per_target_tables(tmp_path, monkeypatch):
 
     # pin a small chunked margin: on fast local devices the adaptive
     # factor (0.9) would route this batch chunked before the per-target
-    # tables get a look-in
+    # tables get a look-in. Pin the pad granularity + rate factor too:
+    # on this tiny scene the default piecewise pad (5 kept -> 8) times
+    # the measured gather-rate charge (1.8x) correctly prefers the
+    # shared program — the test's job is exercising the pt ROUTE, so
+    # force its engagement deterministically.
     monkeypatch.setenv("SUCRE_CHUNKED_ROUTE_FACTOR", "0.1")
+    monkeypatch.setenv("SUCRE_PT_PAD_GRAN", "2")
+    monkeypatch.setenv("SUCRE_PT_RATE_FACTOR", "1.0")
     a = restore_many(scene, names, tmp_path / "a", cfg, cache=cache, device_views=dv)
     assert calls["pt"] == 1, "partial overlap should take per-target tables"
 
