@@ -316,12 +316,16 @@ def main(argv: list[str] | None = None) -> int:
         def _done(n: str) -> bool:
             base = (args.output_dir / n).with_suffix("")
             if args.artifacts == "renders":
-                # renders-only runs write no checkpoint; the
-                # reconstruction PNG is written after the _rgb one, so
-                # its presence marks the target's renders as complete
-                return base.with_name(
-                    base.name + "_reconstruction.png"
-                ).exists()
+                # renders-only runs write no checkpoint; the LAST
+                # render written marks completion — the vignetting PNG
+                # under --light-model (viz.save_plots writes _rgb,
+                # _reconstruction, then _vignetting), else the
+                # reconstruction PNG
+                marker = (
+                    "_vignetting.png" if args.light_model
+                    else "_reconstruction.png"
+                )
+                return base.with_name(base.name + marker).exists()
             return base.with_suffix(ext).exists()
 
         remaining = [n for n in targets if not _done(n)]

@@ -354,6 +354,24 @@ def _pack_view_records(depths_u16: jnp.ndarray, rgbs_u8: jnp.ndarray) -> jnp.nda
     return jnp.stack([d | (r << 16) | (g << 24), b], axis=-1)
 
 
+def _unpack_record(rec: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of ``_pack_view_records`` on gathered (..., 2) u32 words:
+    (d2 f32 meters, I (..., 3) u8). The ONE decoder both gather forms
+    share — a layout change must touch only _pack_view_records and
+    this."""
+    w0, w1 = rec[..., 0], rec[..., 1]
+    d2 = (w0 & jnp.uint32(0xFFFF)).astype(jnp.float32) / 1000.0
+    I = jnp.stack(
+        [
+            ((w0 >> 16) & jnp.uint32(0xFF)).astype(jnp.uint8),
+            ((w0 >> 24) & jnp.uint32(0xFF)).astype(jnp.uint8),
+            (w1 & jnp.uint32(0xFF)).astype(jnp.uint8),
+        ],
+        axis=-1,
+    )
+    return d2, I
+
+
 def _match_observe_pair_packed(
     depth1: jnp.ndarray,  # (H, W) f32 meters
     intr1: jnp.ndarray,
@@ -373,18 +391,7 @@ def _match_observe_pair_packed(
     colors stay exact u8), one gather instead of two."""
 
     def fetch(v2s, u2s):
-        rec = packed2[v2s, u2s]  # the ONE gather
-        w0, w1 = rec[..., 0], rec[..., 1]
-        d2 = (w0 & jnp.uint32(0xFFFF)).astype(jnp.float32) / 1000.0
-        I = jnp.stack(
-            [
-                ((w0 >> 16) & jnp.uint32(0xFF)).astype(jnp.uint8),
-                ((w0 >> 24) & jnp.uint32(0xFF)).astype(jnp.uint8),
-                (w1 & jnp.uint32(0xFF)).astype(jnp.uint8),
-            ],
-            axis=-1,
-        )
-        return d2, I
+        return _unpack_record(packed2[v2s, u2s])  # the ONE gather
 
     return _match_pair_core(
         depth1, intr1, R1, t1, packed2.shape[:2], intr2, R2, t2, fetch,
@@ -654,21 +661,8 @@ def match_survey_indexed(
             def fetch(v2s, u2s):
                 idx = b + v2s * jnp.int32(W2) + u2s
                 if raw:
-                    rec = flat[idx]
-                    w0, w1 = rec[..., 0], rec[..., 1]
-                    d2 = (w0 & jnp.uint32(0xFFFF)).astype(jnp.float32) / 1000.0
-                    I = jnp.stack(
-                        [
-                            ((w0 >> 16) & jnp.uint32(0xFF)).astype(jnp.uint8),
-                            ((w0 >> 24) & jnp.uint32(0xFF)).astype(jnp.uint8),
-                            (w1 & jnp.uint32(0xFF)).astype(jnp.uint8),
-                        ],
-                        axis=-1,
-                    )
-                else:
-                    d2 = d_flat[idx]
-                    I = rgb_flat[idx]
-                return d2, I
+                    return _unpack_record(flat[idx])
+                return d_flat[idx], rgb_flat[idx]
 
             m, cP, I = _match_pair_core(
                 d1, intr1, R1, t1, (H2, W2), intr2, R2, t2, fetch,

@@ -382,10 +382,9 @@ def _pt_pad_views(vmax: int, match_chunk: int) -> int:
     program, and a 200-target transect whose kept counts drift along
     the line presented a NEW shape almost every batch at granularity 2
     (the first full-survey run spent ~2x its device time in compiles).
-    So the padding is PIECEWISE: fine (VB=4 kernel-block multiples)
-    where pad rows are relatively expensive, coarser as V grows and the
-    relative overpad shrinks — the distinct-shape set stays ~8 per
-    (T, H, W) family. Measured cost of the compromise at the bench
+    So the padding is PIECEWISE: multiples of 2 up to 12 views (where
+    each pad row is a large relative cost), 4 up to 16, 8 up to 32, 16
+    beyond — the distinct-shape set stays ~9 per (T, H, W) family. Measured cost of the compromise at the bench
     transect (kept 8-10): tables of 12 run 2.62 Mpix/s vs 2.89 at exact
     10 and 1.97 at the old flat-16 default. SUCRE_PT_PAD_GRAN forces a
     flat granularity for probing; read at call time so it applies
@@ -1158,7 +1157,11 @@ def restore_image(
     rgb_dev = viz.plot_J_batch_device(res.J[None], valid_dev[None])[0]
     observed_fetch = res.observed if cfg.use_closed_form else None
     renders_only = cfg.artifacts == "renders"
-    J_fetch = None if renders_only and not cfg.undistort_output else res.J
+    # undistorted export is computed host-side from J, but only for
+    # DISTORTED targets (save_plots' branch is a no-op on pinhole) —
+    # don't forfeit the renders-mode link win fetching J for nothing
+    need_undist = cfg.undistort_output and target.dist_model != "none"
+    J_fetch = None if renders_only and not need_undist else res.J
     params_noJ, J, observed, rec_u8, rgb_u8, tel = jax.device_get(
         (res.params._replace(J=None), J_fetch, observed_fetch, rec_dev, rgb_dev,
          res.telemetry)
@@ -1315,14 +1318,19 @@ def _link_rtt() -> float:
     A measurement taken while device work is queued can only OVERSTATE
     the RTT (the gets flush the queue) — which routes conservatively
     (survey program over chunked), never dangerously. To recover from a
-    contaminated first sample, a link classified high-RTT (>= 5 ms)
-    re-probes on up to two later routing decisions and keeps the
-    process-wide MIN; low-RTT classifications are already correct
+    GROSSLY contaminated first sample (>= 200 ms: a real tunnel RTT is
+    ~30 ms, so a reading that high means multi-second queued work was
+    flushed), re-probe on up to two later routing decisions and keep
+    the process-wide MIN. Plausible high-RTT readings (5-200 ms) are
+    trusted WITHOUT re-probing: a mid-survey probe must drain the
+    in-flight batch before sampling — exactly the pipelining stall the
+    slow links this matters on cannot afford — and on a genuinely slow
+    link it learns nothing. Low-RTT classifications are already correct
     (queued work can't make a slow link look fast). Set
     SUCRE_CHUNKED_ROUTE_FACTOR explicitly to bypass the measurement
     entirely."""
     global _LINK_RTT_S, _LINK_RTT_PROBES
-    if _LINK_RTT_S is None or (_LINK_RTT_S >= 0.005 and _LINK_RTT_PROBES < 3):
+    if _LINK_RTT_S is None or (_LINK_RTT_S >= 0.2 and _LINK_RTT_PROBES < 3):
         import time as _time
 
         x = jnp.zeros(())
@@ -1553,7 +1561,6 @@ def dispatch_survey_batch(
                 ])
             vmax = max((len(k) for k in kept_lists), default=0)
             vmax_p = _pt_pad_views(vmax, cfg.match_chunk)
-            _b0 = device_views.buckets[0]
             # Per-pair-distinct-table gathers run at ~45M rows/s where
             # the uniform shared program reaches ~81M (measured r5 on
             # coherent transect content: the shared T x V structure
@@ -1568,8 +1575,8 @@ def dispatch_survey_batch(
                 and len(targets) * vmax_p * t0_.width * t0_.height
                 <= pair_budget
                 # flat-index gather addressing (see match_survey_indexed)
-                # needs the resident stack within int32 range
-                and len(_b0["views"]) * t0_.width * t0_.height < 2**31
+                # needs the (culled, padded) union stack in int32 range
+                and n_views_eff * t0_.width * t0_.height < 2**31
             )
             baseline_views = vmax_p if use_pt else n_views_eff
             baseline_pairs = (
@@ -1622,12 +1629,17 @@ def dispatch_survey_batch(
             if v_dists is not None:
                 arrays = arrays + (v_dists,)
             sel_names = [v.name for v in b["views"]]
-            if len(culled_list) < len(image_list) and pt_keep is None:
+            if len(culled_list) < len(image_list):
                 # device-side selection of surviving views, padded to the
                 # match_chunk granularity (bounds recompiles); padded rows
-                # have zero depth => no matches. (The per-target flat-
-                # index route below needs no selection: its view-id
-                # array addresses the FULL resident stack directly.)
+                # have zero depth => no matches. The per-target flat-
+                # index route also addresses this CULLED union (not the
+                # full resident stack): its in-program packed-record
+                # table — u32x2 per pixel, plus an f32 RGB copy under
+                # bilinear — is a per-batch HBM transient that must stay
+                # bounded by the union, or surveys near the resident
+                # budget would OOM on the repack of views no batch
+                # target can reach.
                 kept_names_set = {v.name for v in culled_list}
                 idx = [
                     i for i, v in enumerate(b["views"]) if v.name in kept_names_set
@@ -1646,9 +1658,9 @@ def dispatch_survey_batch(
             arrays = arrays[:5]
             pt_idx_dev = None
             if pt_keep is not None:
-                # Per-target view-id array into the resident stack: slot
-                # (t, s) holds the stack index of target t's s-th kept
-                # view, sentinel V for pad slots (no matches). The
+                # Per-target view-id array into the CULLED union stack:
+                # slot (t, s) holds the stack index of target t's s-th
+                # kept view, sentinel V for pad slots (no matches). The
                 # matching program gathers records at flat index
                 # vid*H2*W2 + pixel — no (T, vmax) table copies (the old
                 # materialized-tables route measured 1.40x slower at
@@ -1862,9 +1874,12 @@ def dispatch_survey_batch(
         )
     else:
         n_obs_dev = jnp.stack([o.valid.sum() for o in obs_list])
-    if renders_only and not cfg.undistort_output:
-        # the PNGs are already u8 device arrays; J never crosses the link
-        # (undistorted export is the one render computed host-side from J)
+    if renders_only and not (cfg.undistort_output and t_tag != "none"):
+        # the PNGs are already u8 device arrays; J never crosses the
+        # link. The one J consumer left is the host-side undistorted
+        # export, which only exists for DISTORTED targets (t_tag) —
+        # --undistort-output on a pinhole batch must not forfeit the
+        # renders-mode link win.
         J_fetch = None
     else:
         J_fetch = J.astype(jnp.float16) if cfg.export_dtype == "f16" else J

@@ -1078,16 +1078,21 @@ def test_artifacts_renders_closed_form(scene_dir, tmp_path):
 
 
 def test_link_rtt_self_corrects_high_estimate(monkeypatch):
-    """A contaminated (overstated) first RTT sample must be corrected by
-    later probes (process-wide min); a low-RTT classification sticks
-    without re-probing."""
+    """A GROSSLY contaminated (>= 200 ms) first RTT sample must be
+    corrected by later probes (process-wide min); plausible readings —
+    low OR genuinely-slow-link — stick without re-probing (a mid-survey
+    probe would stall the pipelined dispatch)."""
     import sucre_tpu.pipeline as pl
 
     monkeypatch.setattr(pl, "_LINK_RTT_S", 0.5)  # contaminated: 500 ms
     monkeypatch.setattr(pl, "_LINK_RTT_PROBES", 1)
     r = pl._link_rtt()  # re-probes on CPU (real RTT ~µs) and takes min
     assert r < 0.5
-    # once classified low-RTT, further calls don't probe again
+    # a plausible slow-tunnel reading is trusted: no further probes
+    monkeypatch.setattr(pl, "_LINK_RTT_S", 0.03)
+    monkeypatch.setattr(pl, "_LINK_RTT_PROBES", 1)
+    assert pl._link_rtt() == 0.03
+    # low-RTT classification sticks too
     monkeypatch.setattr(pl, "_LINK_RTT_S", 1e-6)
     monkeypatch.setattr(pl, "_LINK_RTT_PROBES", 3)
     assert pl._link_rtt() == 1e-6
