@@ -587,3 +587,47 @@ def test_indexed_survey_distorted_equals_per_target():
             err_msg=f,
         )
     assert int(np.asarray(obs_i.valid).sum()) > 50
+
+
+def test_indexed_survey_mixed_tag_equals_per_target():
+    """Mixed-rig (target_tag, view_tag) tuple tags through the
+    flat-index program: pinhole targets over distorted views."""
+    from sucre_tpu.ops.matching import (
+        match_survey_indexed,
+        match_survey_per_target,
+    )
+
+    rng = np.random.default_rng(13)
+    T, V, H, W = 2, 4, 24, 32
+    depth_mm = (
+        rng.uniform(1200, 3000, size=(V, H, W))
+        * (rng.uniform(size=(V, H, W)) < 0.9)
+    ).astype(np.uint16)
+    rgbs = rng.integers(0, 256, size=(V, H, W, 3), dtype=np.uint8)
+    intr = np.tile(_intr(30.0, 30.0, W / 2, H / 2), (V, 1))
+    Rs = np.tile(np.eye(3, dtype=np.float32), (V, 1, 1))
+    ts = np.stack(
+        [np.array([0.06 * k, 0.0, 0.0], np.float32) for k in range(V)]
+    )
+    dists = np.zeros((V, 8), np.float32)
+    dists[:, 0] = np.linspace(-0.04, 0.04, V)
+    j = jnp.asarray
+    targs = (j(depth_mm[:T]), j(intr[:T]), j(Rs[:T]), j(ts[:T]))
+    idx = np.array([[0, 2], [1, 3]], np.int32)
+    tables = lambda a: j(a[idx])
+    mc = jnp.float32(1e-6)
+    tag = ("none", "rational")
+    obs_i = match_survey_indexed(
+        *targs, j(depth_mm), j(rgbs), j(intr), j(Rs), j(ts), j(idx), mc,
+        v_dists=j(dists), dist_model=tag,
+    )
+    obs_t = match_survey_per_target(
+        *targs, tables(depth_mm), tables(rgbs), tables(intr), tables(Rs),
+        tables(ts), mc, v_dists=tables(dists), dist_model=tag,
+    )
+    for f in ("valid", "z", "I"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(obs_i, f)), np.asarray(getattr(obs_t, f)),
+            err_msg=f,
+        )
+    assert int(np.asarray(obs_i.valid).sum()) > 50
