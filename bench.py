@@ -359,8 +359,22 @@ def main() -> None:
             twl.perturb,
             reps=REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET, pbase=tbase,
         )
+        tbase += used
         out["value_transect"] = round(twl.mpix / best, 3)
         nreps["value_transect"] = n
+
+        # the most production-representative row: partial-overlap
+        # geometry + PNG-deliverable export (no J fetch)
+        cfg_tr = dc.replace(twl.cfg, artifacts="renders")
+        best, n, used = run_phase(
+            "renders_transect",
+            lambda rep: twl.run_e2e(twl.tmp / f"rout{rep}", cfg_tr),
+            twl.perturb,
+            reps=F16_REPS, min_meas=MIN_MEAS, budget_s=PHASE_BUDGET,
+            pbase=tbase,
+        )
+        out["value_transect_renders"] = round(twl.mpix / best, 3)
+        nreps["value_transect_renders"] = n
 
     # Re-probe after the sustained bulk transfers: the tunnel has been
     # observed to degrade for the rest of the process after the e2e
