@@ -572,6 +572,8 @@ def _write_report(path, args, results, shard_mode: str, wall_s: float,
             # recon_psnr flags targets whose fit diverged
             "obs_rmse": finite(m.get("obs_rmse")),
             "recon_psnr": finite(m.get("recon_psnr")),
+            # structure-sensitive companion (None on sub-11px images)
+            "recon_ssim": finite(m.get("recon_ssim")),
             "timings_s": {k: round(v, 4) for k, v in r.timings.items()},
             "artifacts": [str(a) for a in r.artifacts],
         }

@@ -2266,6 +2266,9 @@ def _fit_metrics(telemetry, n_obs: int, rec_u8, raw_rgb, valid) -> dict:
       raw target image over export-valid pixels — the quantitative form
       of the reference's eyeball-the-reconstruction check
       (sucre.py:106-113). Low values flag targets whose fit diverged.
+    - ``recon_ssim``: SSIM of the same pair (invalid pixels zeroed on
+      both sides) — structure-sensitive where PSNR is not: a fit that
+      nails mean color but smears texture scores high PSNR, low SSIM.
     """
     m: dict = {}
     cost = np.asarray(telemetry.cost)
@@ -2274,12 +2277,16 @@ def _fit_metrics(telemetry, n_obs: int, rec_u8, raw_rgb, valid) -> dict:
         m["final_cost"] = final
         m["obs_rmse"] = float(np.sqrt(max(final, 0.0) / (n_obs * 3)))
     if rec_u8 is not None and raw_rgb is not None:
-        from sucre_tpu.utils.metrics import psnr
+        from sucre_tpu.utils.metrics import psnr, ssim
 
-        m["recon_psnr"] = psnr(
-            np.asarray(rec_u8, np.float32) / 255.0, rgb_to_f32(raw_rgb),
-            mask=valid,
-        )
+        rec = np.asarray(rec_u8, np.float32) / 255.0
+        raw = rgb_to_f32(raw_rgb)
+        m["recon_psnr"] = psnr(rec, raw, mask=valid)
+        if min(rec.shape[0], rec.shape[1]) >= 11:  # ssim's Gaussian window
+            v3 = np.asarray(valid, bool)[..., None]
+            m["recon_ssim"] = ssim(
+                np.where(v3, rec, 0.0), np.where(v3, raw, 0.0)
+            )
     return m
 
 

@@ -885,6 +885,7 @@ def test_fit_quality_metrics(tmp_path):
                       np.sqrt(m["final_cost"] / (res.n_obs * 3)))
     # after 40 iterations the reconstruction should resemble the input
     assert m["recon_psnr"] > 15.0
+    assert 0.3 < m["recon_ssim"] <= 1.0
 
     for cf in (False, True):
         results = restore_survey(
@@ -894,6 +895,7 @@ def test_fit_quality_metrics(tmp_path):
         )
         for r in results:
             assert r.metrics["recon_psnr"] > 15.0
+            assert 0.3 < r.metrics["recon_ssim"] <= 1.0
             assert r.metrics["obs_rmse"] < 0.5
 
 
