@@ -223,6 +223,23 @@ def measure_link(tag: str) -> dict:
     return link
 
 
+def quick_d2h(tag: str) -> float:
+    """One ~8 MB D2H sample (MB/s) — cheap enough to take after every
+    phase, so the artifact shows WHEN the tunnel degraded within a run
+    (observed: e2e phases halving while device metrics stay put)."""
+    import jax
+    import numpy as np
+
+    buf = np.arange(8 << 20, dtype=np.uint8) + np.uint8(hash(tag) & 0x7F)
+    x = jax.device_put(buf, jax.devices()[0])
+    jax.device_get(x[:1])
+    t0 = time.perf_counter()
+    jax.device_get(x)
+    mbs = (8 << 20) / 1e6 / max(time.perf_counter() - t0, 1e-9)
+    log(f"[link@{tag}] d2h {mbs:.1f} MB/s")
+    return round(mbs, 1)
+
+
 def run_phase(label, fn, perturb, *, reps, min_meas, budget_s, pbase):
     """Run one metric's reps with stall immunity: rep 0 is warmup, then
     at least ``min_meas`` measured reps ALWAYS run; the budget only trims
@@ -280,6 +297,7 @@ def main() -> None:
 
     out: dict = {"metric": "restore_throughput", "unit": "Mpix/s"}
     nreps: dict = {}
+    link_phase: dict = {}  # one D2H sample after each phase
 
     # Link quality of THIS session, before any bulk work touches the
     # tunnel — the context every link-bound e2e number needs.
@@ -301,6 +319,7 @@ def main() -> None:
     out["value"] = round(wl.mpix / best, 3)
     out["vs_baseline"] = round(out["value"] / 50.0, 4)
     nreps["value"] = n
+    link_phase["value"] = quick_d2h("value")
 
     cfg_f16 = dc.replace(wl.cfg, export_dtype="f16")
     best, n, used = run_phase(
@@ -311,6 +330,7 @@ def main() -> None:
     pbase += used
     out["value_f16"] = round(wl.mpix / best, 3)
     nreps["value_f16"] = n
+    link_phase["value_f16"] = quick_d2h("value_f16")
 
     # renders-only artifacts: the J payload (most of the per-target
     # export bytes) never leaves the device — the e2e number for users
@@ -324,6 +344,7 @@ def main() -> None:
     pbase += used
     out["value_renders"] = round(wl.mpix / best, 3)
     nreps["value_renders"] = n
+    link_phase["value_renders"] = quick_d2h("value_renders")
 
     best, n, used = run_phase(
         "device", lambda rep: wl.run_device_only(wl.tmp / "devout"),
@@ -332,6 +353,7 @@ def main() -> None:
     )
     out["device_mpix_s"] = round(wl.mpix / best, 3)
     nreps["device_mpix_s"] = n
+    link_phase["device_mpix_s"] = quick_d2h("device_mpix_s")
 
     # ---- transect workload: the partial-overlap survey geometry --------
     # Device-only runs FIRST: measured repeatedly, running it after the
@@ -353,6 +375,7 @@ def main() -> None:
         tbase += used
         out["device_mpix_s_transect"] = round(twl.mpix / best, 3)
         nreps["device_mpix_s_transect"] = n
+        link_phase["device_mpix_s_transect"] = quick_d2h("device_mpix_s_transect")
 
         best, n, used = run_phase(
             "e2e_transect", lambda rep: twl.run_e2e(twl.tmp / f"out{rep}"),
@@ -362,6 +385,7 @@ def main() -> None:
         tbase += used
         out["value_transect"] = round(twl.mpix / best, 3)
         nreps["value_transect"] = n
+        link_phase["value_transect"] = quick_d2h("value_transect")
 
         # the most production-representative row: partial-overlap
         # geometry + PNG-deliverable export (no J fetch)
@@ -375,6 +399,7 @@ def main() -> None:
         )
         out["value_transect_renders"] = round(twl.mpix / best, 3)
         nreps["value_transect_renders"] = n
+        link_phase["value_transect_renders"] = quick_d2h("value_transect_renders")
 
     # Re-probe after the sustained bulk transfers: the tunnel has been
     # observed to degrade for the rest of the process after the e2e
@@ -382,6 +407,7 @@ def main() -> None:
     # the two probes records that state for the artifact.
     out["link_end"] = measure_link("end")
 
+    out["link_phase"] = link_phase
     out["reps"] = nreps
     print(json.dumps(out))
 
