@@ -133,3 +133,86 @@ def test_origin_slice_bit_identical_any_rect(r0, r1, c0, c1):
     np.testing.assert_array_equal(
         np.asarray(sl_obs.cP[0]), np.asarray(full_obs.cP[0, r0:r1, c0:c1])
     )
+
+
+_IDX_SCENE = None
+
+
+def _indexed_scene():
+    rng = np.random.default_rng(21)
+    V, H, W = 6, 24, 32
+    depth_mm = (
+        rng.uniform(1200, 3000, size=(V, H, W))
+        * (rng.uniform(size=(V, H, W)) < 0.9)
+    ).astype(np.uint16)
+    rgbs = rng.integers(0, 256, size=(V, H, W, 3), dtype=np.uint8)
+    intr = np.tile(
+        np.array([30.0, 30.0, W / 2, H / 2], np.float32), (V, 1)
+    )
+    Rs = np.tile(np.eye(3, dtype=np.float32), (V, 1, 1))
+    ts = np.stack(
+        [np.array([0.07 * k, 0.0, 0.0], np.float32) for k in range(V)]
+    )
+    return depth_mm, rgbs, intr, Rs, ts
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(0, 7), min_size=2, max_size=8), st.data())
+def test_indexed_survey_equals_tables_any_idx(row0, data):
+    """Hypothesis: for ANY per-target view-id pattern — duplicates, pad
+    slots (>= V), arbitrary order — the flat-index program equals the
+    materialized-tables program fed the same ids."""
+    from sucre_tpu.ops.matching import (
+        match_survey_indexed,
+        match_survey_per_target,
+    )
+
+    global _IDX_SCENE
+    if _IDX_SCENE is None:
+        _IDX_SCENE = _indexed_scene()
+    depth_mm, rgbs, intr, Rs, ts = _IDX_SCENE
+    V = depth_mm.shape[0]
+    S = len(row0)
+    row1 = data.draw(
+        st.lists(st.integers(0, 7), min_size=S, max_size=S)
+    )
+    idx = np.asarray([row0, row1], np.int32)  # 6/7 act as pad sentinels
+    j = jnp.asarray
+    targs = (j(depth_mm[:2]), j(intr[:2]), j(Rs[:2]), j(ts[:2]))
+    mc = jnp.float32(1e-6)
+
+    def tables(arr):
+        safe = np.concatenate(
+            [arr, np.zeros_like(arr[:2])], axis=0
+        )  # ids V..V+1 -> all-zero views (no matches), like pad slots
+        return j(safe[np.minimum(idx, safe.shape[0] - 1)])
+
+    obs_i = match_survey_indexed(
+        *targs, j(depth_mm), j(rgbs), j(intr), j(Rs), j(ts), j(idx), mc
+    )
+    obs_t = match_survey_per_target(
+        *targs, tables(depth_mm), tables(rgbs), tables(intr), tables(Rs),
+        tables(ts), mc,
+    )
+    for f in ("valid", "z", "I"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(obs_i, f)), np.asarray(getattr(obs_t, f)),
+            err_msg=f,
+        )
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 500))
+def test_pt_pad_views_properties(v):
+    """Piecewise padding: >= max(v, 1), monotone, bounded overpad (< 2x
+    for v >= 2), and a bounded distinct-shape set below any cap."""
+    from sucre_tpu.pipeline import _pt_pad_views
+
+    p = _pt_pad_views(v, 8)
+    assert p >= max(v, 1)
+    assert p >= _pt_pad_views(v - 1, 8) if v > 0 else True
+    if v >= 2:
+        assert p < 2 * v
+    # distinct shapes below 64 stay a small set
+    shapes = {_pt_pad_views(k, 8) for k in range(1, 65)}
+    assert len(shapes) <= 14
