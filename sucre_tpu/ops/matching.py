@@ -548,8 +548,14 @@ def match_survey_per_target(
     dist_model: str | tuple[str, str] = "none",
 ) -> DenseObs:
     """``match_survey`` with PER-TARGET view tables: target t matches
-    only ITS V views (the pipeline gathers each target's surviving views
-    into row t, padding short lists with all-zero views => no matches).
+    only ITS V views (each target's surviving views gathered into row t,
+    padding short lists with all-zero views => no matches).
+
+    Since round 5 the pipeline routes this case through
+    ``match_survey_indexed`` (same semantics, no table copies); this
+    form remains as the independently-structured equality ORACLE the
+    indexed program is tested against (test_matching / test_properties)
+    and as API for callers holding materialized tables.
 
     This is the single-dispatch form of per-target culling: on
     partial-overlap surveys the shared-table program must carry the
