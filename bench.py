@@ -223,14 +223,22 @@ def measure_link(tag: str) -> dict:
     return link
 
 
+_QD2H_SEQ = [0]
+
+
 def quick_d2h(tag: str) -> float:
     """One ~8 MB D2H sample (MB/s) — cheap enough to take after every
     phase, so the artifact shows WHEN the tunnel degraded within a run
-    (observed: e2e phases halving while device metrics stay put)."""
+    (observed: e2e phases halving while device metrics stay put). Each
+    sample's buffer contents are unique process-wide (a deterministic
+    counter offset past measure_link's 0..2) — the tunnel serves
+    identical-input transfers from a cache, which would record a
+    falsely healthy link."""
     import jax
     import numpy as np
 
-    buf = np.arange(8 << 20, dtype=np.uint8) + np.uint8(hash(tag) & 0x7F)
+    _QD2H_SEQ[0] += 1
+    buf = np.arange(8 << 20, dtype=np.uint8) + np.uint8(16 + _QD2H_SEQ[0])
     x = jax.device_put(buf, jax.devices()[0])
     jax.device_get(x[:1])
     t0 = time.perf_counter()

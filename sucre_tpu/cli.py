@@ -370,6 +370,9 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint_interval=args.checkpoint_interval,
         stop_tol=args.stop_tol,
         stop_check=args.stop_check,
+        # SSIM costs real host CPU per target; compute it only when the
+        # report (its one consumer) was requested
+        ssim_metric=args.report is not None,
         verbose=not args.quiet,
     )
 

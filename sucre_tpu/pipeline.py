@@ -124,6 +124,12 @@ class RestoreConfig:
     # the extra u8 image transfer when batches are software-pipelined.
     # None = auto: device in restore_many, host in restore_survey.
     rgb_plot_on_device: bool | None = None
+    # Compute the report's recon_ssim (structure-sensitive quality
+    # metric). Off by default: the 5-convolution SSIM costs ~0.2 s of
+    # host CPU per target at production shapes — real money on the
+    # pipelined exporter — while recon_psnr is ~free. The CLI enables
+    # it when --report is requested (the metric's only consumer).
+    ssim_metric: bool = False
     # Where the reconstruction render runs on the batched path. Device
     # renders while J is resident (one fused fetch); host renders from
     # the already-fetched J inside the exporter thread, saving the u8
@@ -1216,7 +1222,8 @@ def restore_image(
         n_obs=n_obs,
         artifacts=artifacts,
         timings=timings,
-        metrics=_fit_metrics(res.telemetry, n_obs, rec_u8, raw_rgb, valid),
+        metrics=_fit_metrics(res.telemetry, n_obs, rec_u8, raw_rgb, valid,
+                             want_ssim=cfg.ssim_metric),
     )
 
 
@@ -1996,7 +2003,8 @@ def _export_batch(b: BatchInFlight, fetched) -> list[RestoreResult]:
             telemetry=tel_t, n_obs=n_obs_list[t],
             artifacts=artifacts, timings=dict(b.timings),
             metrics=_fit_metrics(tel_t, n_obs_list[t], rec_t,
-                                 b.target_rgbs[t], valid),
+                                 b.target_rgbs[t], valid,
+                                 want_ssim=cfg.ssim_metric),
         )
 
     # Export targets concurrently: PNG/npz encode is host-bound.
@@ -2255,7 +2263,8 @@ def restore_survey(
     return [by_name[n] for n in order if n in by_name]
 
 
-def _fit_metrics(telemetry, n_obs: int, rec_u8, raw_rgb, valid) -> dict:
+def _fit_metrics(telemetry, n_obs: int, rec_u8, raw_rgb, valid,
+                 want_ssim: bool = False) -> dict:
     """Quantitative fit-quality summary for one restored target.
 
     - ``final_cost``: last-iteration sum of squared residuals (what the
@@ -2266,9 +2275,14 @@ def _fit_metrics(telemetry, n_obs: int, rec_u8, raw_rgb, valid) -> dict:
       raw target image over export-valid pixels — the quantitative form
       of the reference's eyeball-the-reconstruction check
       (sucre.py:106-113). Low values flag targets whose fit diverged.
-    - ``recon_ssim``: SSIM of the same pair (invalid pixels zeroed on
-      both sides) — structure-sensitive where PSNR is not: a fit that
-      nails mean color but smears texture scores high PSNR, low SSIM.
+    - ``recon_ssim`` (opt-in via ``want_ssim``; the CLI enables it with
+      --report): SSIM over the valid region's bounding box (invalid
+      pixels inside it zeroed on both sides) — structure-sensitive
+      where PSNR is not: a fit that nails mean color but smears texture
+      scores high PSNR, low SSIM. Cropping to the bbox keeps identical
+      all-zero invalid margins from inflating the score (an all-invalid
+      target reports no SSIM rather than a perfect 1.0); scipy-less
+      installs simply omit the field.
     """
     m: dict = {}
     cost = np.asarray(telemetry.cost)
@@ -2277,16 +2291,29 @@ def _fit_metrics(telemetry, n_obs: int, rec_u8, raw_rgb, valid) -> dict:
         m["final_cost"] = final
         m["obs_rmse"] = float(np.sqrt(max(final, 0.0) / (n_obs * 3)))
     if rec_u8 is not None and raw_rgb is not None:
-        from sucre_tpu.utils.metrics import psnr, ssim
+        from sucre_tpu.utils.metrics import psnr
 
         rec = np.asarray(rec_u8, np.float32) / 255.0
         raw = rgb_to_f32(raw_rgb)
         m["recon_psnr"] = psnr(rec, raw, mask=valid)
-        if min(rec.shape[0], rec.shape[1]) >= 11:  # ssim's Gaussian window
-            v3 = np.asarray(valid, bool)[..., None]
-            m["recon_ssim"] = ssim(
-                np.where(v3, rec, 0.0), np.where(v3, raw, 0.0)
-            )
+        v = np.asarray(valid, bool)
+        rows, cols = np.nonzero(v) if want_ssim else (np.array([]),) * 2
+        if want_ssim and rows.size:
+            r0, r1 = int(rows.min()), int(rows.max()) + 1
+            c0, c1 = int(cols.min()), int(cols.max()) + 1
+            if r1 - r0 >= 11 and c1 - c0 >= 11:
+                from sucre_tpu.utils.metrics import ssim
+
+                v3 = v[r0:r1, c0:c1, None]
+                try:
+                    m["recon_ssim"] = ssim(
+                        np.where(v3, rec[r0:r1, c0:c1], 0.0),
+                        np.where(v3, raw[r0:r1, c0:c1], 0.0),
+                    )
+                except ImportError:
+                    # neither cv2 nor scipy present for the convolution
+                    # backend: omit the field rather than fail the run
+                    pass
     return m
 
 

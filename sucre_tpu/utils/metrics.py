@@ -44,12 +44,32 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return k / k.sum()
 
 
+def _valid_conv(x: np.ndarray) -> np.ndarray:
+    """11x11 Gaussian correlation, 'valid' region only (full-overlap
+    windows). cv2's separable filter when available (C++, ~10x the
+    scipy FFT path on megapixel images — this runs per restored target
+    in the report metrics); scipy otherwise. Identical values: the
+    Gaussian kernel is outer(g, g)/sum == outer(gn, gn) with
+    gn = g/sum(g), and interior pixels don't see the border mode."""
+    try:
+        import cv2
+
+        x64 = np.ascontiguousarray(x, np.float64)
+        g = np.exp(-((np.arange(11) - 5) ** 2) / (2 * 1.5**2))
+        gn = (g / g.sum()).astype(np.float64)
+        out = cv2.sepFilter2D(x64, -1, gn, gn,
+                              borderType=cv2.BORDER_CONSTANT)
+        return out[5:-5, 5:-5]
+    except ImportError:
+        from scipy.signal import fftconvolve
+
+        return fftconvolve(x, _gaussian_kernel(), mode="valid")
+
+
 def ssim(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
     """Structural similarity (standard 11x11 Gaussian window, K1=0.01,
     K2=0.03), averaged over channels. NaNs are replaced by 0 before
     filtering — prefer cropping to the valid region for masked images."""
-    from scipy.signal import fftconvolve
-
     a = np.nan_to_num(np.asarray(a, np.float64))
     b = np.nan_to_num(np.asarray(b, np.float64))
     if a.ndim == 2:
@@ -60,17 +80,16 @@ def ssim(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
             f"ssim needs at least an 11x11 image (the Gaussian window), "
             f"got {a.shape[0]}x{a.shape[1]}"
         )
-    k = _gaussian_kernel()
     C1 = (0.01 * peak) ** 2
     C2 = (0.03 * peak) ** 2
     vals = []
     for c in range(a.shape[-1]):
         x, y = a[..., c], b[..., c]
-        mu_x = fftconvolve(x, k, mode="valid")
-        mu_y = fftconvolve(y, k, mode="valid")
-        xx = fftconvolve(x * x, k, mode="valid") - mu_x**2
-        yy = fftconvolve(y * y, k, mode="valid") - mu_y**2
-        xy = fftconvolve(x * y, k, mode="valid") - mu_x * mu_y
+        mu_x = _valid_conv(x)
+        mu_y = _valid_conv(y)
+        xx = _valid_conv(x * x) - mu_x**2
+        yy = _valid_conv(y * y) - mu_y**2
+        xy = _valid_conv(x * y) - mu_x * mu_y
         s = ((2 * mu_x * mu_y + C1) * (2 * xy + C2)) / (
             (mu_x**2 + mu_y**2 + C1) * (xx + yy + C2)
         )

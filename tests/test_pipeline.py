@@ -877,7 +877,8 @@ def test_fit_quality_metrics(tmp_path):
     scene = Scene.from_colmap(sd.model_dir, sd.image_dir, sd.depth_dir)
 
     res = restore_image(scene, "img_001.png", tmp_path / "o1",
-                        RestoreConfig(num_iter=40, verbose=False))
+                        RestoreConfig(num_iter=40, verbose=False,
+                                      ssim_metric=True))
     m = res.metrics
     assert m["final_cost"] > 0
     assert 0 < m["obs_rmse"] < 0.5
@@ -890,7 +891,8 @@ def test_fit_quality_metrics(tmp_path):
     for cf in (False, True):
         results = restore_survey(
             scene, [f"img_{i:03d}.png" for i in (1, 2)], tmp_path / f"o2{cf}",
-            RestoreConfig(num_iter=40, verbose=False, use_closed_form=cf),
+            RestoreConfig(num_iter=40, verbose=False, use_closed_form=cf,
+                          ssim_metric=True),
             batch_targets=2,
         )
         for r in results:
