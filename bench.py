@@ -176,33 +176,55 @@ class Workload:
         return time.perf_counter() - t0
 
 
+# Every probe buffer's contents are salted with per-process entropy and
+# a process-wide sequence: the tunnel serves identical-input transfers
+# from a cache (CLAUDE.md), which would record falsely healthy links —
+# both across probes within a run (start vs end, per phase) and across
+# runs in one tunnel session.
+import os as _os
+
+_PROBE_SALT = int.from_bytes(_os.urandom(2), "little")
+_PROBE_SEQ = [0]
+
+
+def _probe_buf(nbytes: int) -> "object":
+    import numpy as np
+
+    _PROBE_SEQ[0] += 1
+    v = _PROBE_SALT + _PROBE_SEQ[0]
+    return (
+        np.arange(nbytes, dtype=np.uint8) + np.uint8(v & 0xFF)
+    ) ^ np.uint8((v >> 8) & 0xFF)
+
+
 def measure_link(tag: str) -> dict:
     """Host<->device link probe (~2 s): dispatch round-trip latency and
-    H2D/D2H bandwidth from three ~8 MB transfers each way, perturbed per
-    rep (the tunnel caches identical-input executions). Emitted in the
-    bench JSON so cross-round e2e comparisons can separate code
-    regressions from link-quality sessions (r4's 0.945-vs-1.177 question
-    was unanswerable without this)."""
+    H2D/D2H bandwidth from three ~8 MB transfers each way, every buffer
+    unique (see _probe_buf — the tunnel caches identical-input
+    executions, within AND across runs). Emitted in the bench JSON so
+    cross-round e2e comparisons can separate code regressions from
+    link-quality sessions (r4's 0.945-vs-1.177 question was
+    unanswerable without this)."""
     import jax
     import numpy as np
 
     dev = jax.devices()[0]
     # warm the path (first transfers can stall on the tunnel)
-    jax.device_get(jax.device_put(np.float32(0.0), dev))
+    jax.device_get(jax.device_put(np.float32(_PROBE_SALT), dev))
 
     rtts = []
     for i in range(5):
-        x = jax.device_put(np.float32(i + 1), dev)
+        _PROBE_SEQ[0] += 1
+        x = jax.device_put(np.float32(_PROBE_SALT + _PROBE_SEQ[0]), dev)
         t0 = time.perf_counter()
         jax.device_get(x)
         rtts.append(time.perf_counter() - t0)
     rtt_s = min(rtts)
 
     nbytes = 8 << 20
-    base = np.arange(nbytes, dtype=np.uint8)
     h2d, d2h = [], []
     for rep in range(3):
-        buf = base + np.uint8(rep)  # distinct contents per rep
+        buf = _probe_buf(nbytes)
         t0 = time.perf_counter()
         x = jax.device_put(buf, dev)
         # a 1-element fetch completes only after the upload materialized
@@ -223,22 +245,15 @@ def measure_link(tag: str) -> dict:
     return link
 
 
-_QD2H_SEQ = [0]
-
-
 def quick_d2h(tag: str) -> float:
     """One ~8 MB D2H sample (MB/s) — cheap enough to take after every
     phase, so the artifact shows WHEN the tunnel degraded within a run
-    (observed: e2e phases halving while device metrics stay put). Each
-    sample's buffer contents are unique process-wide (a deterministic
-    counter offset past measure_link's 0..2) — the tunnel serves
-    identical-input transfers from a cache, which would record a
-    falsely healthy link."""
+    (observed: e2e phases halving while device metrics stay put).
+    Buffer contents unique within and across runs (_probe_buf)."""
     import jax
     import numpy as np
 
-    _QD2H_SEQ[0] += 1
-    buf = np.arange(8 << 20, dtype=np.uint8) + np.uint8(16 + _QD2H_SEQ[0])
+    buf = _probe_buf(8 << 20)
     x = jax.device_put(buf, jax.devices()[0])
     jax.device_get(x[:1])
     t0 = time.perf_counter()

@@ -2297,10 +2297,12 @@ def _fit_metrics(telemetry, n_obs: int, rec_u8, raw_rgb, valid,
         raw = rgb_to_f32(raw_rgb)
         m["recon_psnr"] = psnr(rec, raw, mask=valid)
         v = np.asarray(valid, bool)
-        rows, cols = np.nonzero(v) if want_ssim else (np.array([]),) * 2
-        if want_ssim and rows.size:
-            r0, r1 = int(rows.min()), int(rows.max()) + 1
-            c0, c1 = int(cols.min()), int(cols.max()) + 1
+        if want_ssim and v.any():
+            rs, cs = v.any(axis=1), v.any(axis=0)  # O(H+W) bbox
+            r0 = int(np.argmax(rs))
+            r1 = len(rs) - int(np.argmax(rs[::-1]))
+            c0 = int(np.argmax(cs))
+            c1 = len(cs) - int(np.argmax(cs[::-1]))
             if r1 - r0 >= 11 and c1 - c0 >= 11:
                 from sucre_tpu.utils.metrics import ssim
 

@@ -37,11 +37,21 @@ def psnr(a: np.ndarray, b: np.ndarray, mask: np.ndarray | None = None,
     return float(10.0 * np.log10(peak * peak / mse))
 
 
-def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+# SSIM's standard window (Wang et al.): one parameter set shared by
+# BOTH convolution backends so they cannot drift.
+_SSIM_WIN = 11
+_SSIM_SIGMA = 1.5
+
+
+def _gaussian_1d(size: int = _SSIM_WIN, sigma: float = _SSIM_SIGMA) -> np.ndarray:
     x = np.arange(size) - size // 2
     g = np.exp(-(x**2) / (2 * sigma**2))
-    k = np.outer(g, g)
-    return k / k.sum()
+    return g / g.sum()
+
+
+def _gaussian_kernel(size: int = _SSIM_WIN, sigma: float = _SSIM_SIGMA) -> np.ndarray:
+    g = _gaussian_1d(size, sigma)
+    return np.outer(g, g)  # rows/cols each normalized -> sums to 1
 
 
 def _valid_conv(x: np.ndarray) -> np.ndarray:
@@ -51,15 +61,15 @@ def _valid_conv(x: np.ndarray) -> np.ndarray:
     in the report metrics); scipy otherwise. Identical values: the
     Gaussian kernel is outer(g, g)/sum == outer(gn, gn) with
     gn = g/sum(g), and interior pixels don't see the border mode."""
+    h = _SSIM_WIN // 2
     try:
         import cv2
 
         x64 = np.ascontiguousarray(x, np.float64)
-        g = np.exp(-((np.arange(11) - 5) ** 2) / (2 * 1.5**2))
-        gn = (g / g.sum()).astype(np.float64)
+        gn = _gaussian_1d()
         out = cv2.sepFilter2D(x64, -1, gn, gn,
                               borderType=cv2.BORDER_CONSTANT)
-        return out[5:-5, 5:-5]
+        return out[h:-h, h:-h]
     except ImportError:
         from scipy.signal import fftconvolve
 
@@ -75,10 +85,10 @@ def ssim(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
     if a.ndim == 2:
         a = a[..., None]
         b = b[..., None]
-    if a.shape[0] < 11 or a.shape[1] < 11:
+    if a.shape[0] < _SSIM_WIN or a.shape[1] < _SSIM_WIN:
         raise ValueError(
-            f"ssim needs at least an 11x11 image (the Gaussian window), "
-            f"got {a.shape[0]}x{a.shape[1]}"
+            f"ssim needs at least an {_SSIM_WIN}x{_SSIM_WIN} image "
+            f"(the Gaussian window), got {a.shape[0]}x{a.shape[1]}"
         )
     C1 = (0.01 * peak) ** 2
     C2 = (0.03 * peak) ** 2

@@ -205,27 +205,30 @@ def test_indexed_survey_equals_tables_any_idx(row0, data):
 @given(st.integers(0, 500))
 def test_pt_pad_views_properties(v):
     """Piecewise padding: >= max(v, 1), monotone, bounded overpad (< 2x
-    for v >= 2). The probing env override is cleared so a leftover
+    for v >= 2). The probing env override is shielded (saved/restored —
+    hypothesis bodies can't take the monkeypatch fixture) so a leftover
     SUCRE_PT_PAD_GRAN from a probe session can't fail unrelated runs."""
     import os
 
     from sucre_tpu.pipeline import _pt_pad_views
 
-    os.environ.pop("SUCRE_PT_PAD_GRAN", None)
-    p = _pt_pad_views(v, 8)
-    assert p >= max(v, 1)
-    assert p >= _pt_pad_views(v - 1, 8) if v > 0 else True
-    if v >= 2:
-        assert p < 2 * v
+    saved = os.environ.pop("SUCRE_PT_PAD_GRAN", None)
+    try:
+        p = _pt_pad_views(v, 8)
+        assert p >= max(v, 1)
+        assert p >= _pt_pad_views(v - 1, 8) if v > 0 else True
+        if v >= 2:
+            assert p < 2 * v
+    finally:
+        if saved is not None:
+            os.environ["SUCRE_PT_PAD_GRAN"] = saved
 
 
-def test_pt_pad_views_shape_set_bounded():
+def test_pt_pad_views_shape_set_bounded(monkeypatch):
     """The distinct compiled-shape set stays small below any view cap —
     the whole point of the piecewise scheme."""
-    import os
-
     from sucre_tpu.pipeline import _pt_pad_views
 
-    os.environ.pop("SUCRE_PT_PAD_GRAN", None)
+    monkeypatch.delenv("SUCRE_PT_PAD_GRAN", raising=False)
     shapes = {_pt_pad_views(k, 8) for k in range(1, 65)}
     assert len(shapes) <= 14
