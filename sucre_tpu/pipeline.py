@@ -1547,9 +1547,10 @@ def dispatch_survey_batch(
         # Partial-overlap routing. The shared-table program matches every
         # target against the culled-UNION view stack, so per-target
         # culling never applies there. Two better routes exist:
-        #   1. PER-TARGET TABLES (match_survey_per_target): gather each
-        #      target's surviving views into its own table — pairs drop
-        #      from T x V_union to T x max_t(V_t) with still exactly ONE
+        #   1. PER-TARGET VIEW LISTS (match_survey_indexed): each target
+        #      matches only its own surviving views via flat-index
+        #      gathers over the shared stack — pairs drop from
+        #      T x V_union to T x max_t(V_t) with still exactly ONE
         #      device program (no host dispatch chain; immune to link
         #      round-trip latency).
         #   2. CHUNKED with per-(target, chunk) tile RECTANGLES: cuts
