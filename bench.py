@@ -181,9 +181,7 @@ class Workload:
 # from a cache (CLAUDE.md), which would record falsely healthy links —
 # both across probes within a run (start vs end, per phase) and across
 # runs in one tunnel session.
-import os as _os
-
-_PROBE_SALT = int.from_bytes(_os.urandom(2), "little")
+_PROBE_SALT = int.from_bytes(os.urandom(2), "little")
 _PROBE_SEQ = [0]
 
 
@@ -209,8 +207,13 @@ def measure_link(tag: str) -> dict:
     import numpy as np
 
     dev = jax.devices()[0]
-    # warm the path (first transfers can stall on the tunnel)
-    jax.device_get(jax.device_put(np.float32(_PROBE_SALT), dev))
+    # warm the path (first transfers can stall on the tunnel); salted
+    # like every probe payload — a repeat of the start-probe's warmup
+    # bytes would be cache-served and not actually warm anything
+    _PROBE_SEQ[0] += 1
+    jax.device_get(
+        jax.device_put(np.float32(_PROBE_SALT + _PROBE_SEQ[0]), dev)
+    )
 
     rtts = []
     for i in range(5):
@@ -311,8 +314,12 @@ def main() -> None:
     # Persistent compile cache: first-ever compile of the big programs can
     # take minutes (remote-compile environments); cached binaries make
     # subsequent benchmark runs start in seconds.
+    # BENCH_CACHE_DIR diverts compile-cache writes (tests point it at a
+    # tmp dir so CPU-shape entries never pollute the committed cache)
     jax.config.update(
-        "jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache")
+        "jax_compilation_cache_dir",
+        os.environ.get("BENCH_CACHE_DIR",
+                       str(Path(__file__).parent / ".jax_cache")),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -398,7 +398,8 @@ def _pt_pad_views(vmax: int, match_chunk: int) -> int:
     del match_chunk  # no longer tied to the matching chunk size
     g = os.environ.get("SUCRE_PT_PAD_GRAN")
     if g is not None:
-        return -(-max(vmax, 1) // int(g)) * int(g)
+        gi = max(int(g), 1)  # 0/negative would divide by zero
+        return -(-max(vmax, 1) // gi) * gi
     v = max(vmax, 1)
     if v <= 12:  # fine where each pad row is a large relative cost
         return -(-v // 2) * 2
@@ -2304,8 +2305,9 @@ def _fit_metrics(telemetry, n_obs: int, rec_u8, raw_rgb, valid,
             r1 = len(rs) - int(np.argmax(rs[::-1]))
             c0 = int(np.argmax(cs))
             c1 = len(cs) - int(np.argmax(cs[::-1]))
-            if r1 - r0 >= 11 and c1 - c0 >= 11:
-                from sucre_tpu.utils.metrics import ssim
+            from sucre_tpu.utils.metrics import _SSIM_WIN, ssim
+
+            if r1 - r0 >= _SSIM_WIN and c1 - c0 >= _SSIM_WIN:
 
                 v3 = v[r0:r1, c0:c1, None]
                 try:

@@ -9,14 +9,18 @@ import sys
 from pathlib import Path
 
 
-def test_bench_json_contract():
+def test_bench_json_contract(tmp_path):
     repo = Path(__file__).parent.parent
     env = {
         k: v
         for k, v in os.environ.items()
-        if not k.startswith(("PALLAS_AXON", "AXON", "XLA_FLAGS"))
+        if not k.startswith(
+            ("PALLAS_AXON", "AXON", "XLA_FLAGS", "SUCRE_", "JAX_PLATFORMS")
+        )
     }
     env.update(
+        # keep CPU-shape compile entries out of the committed .jax_cache
+        BENCH_CACHE_DIR=str(tmp_path / "cache"),
         BENCH_PLATFORM="cpu", BENCH_VIEWS="3", BENCH_W="64", BENCH_H="48",
         BENCH_TARGETS="2", BENCH_BATCH="2", BENCH_ITERS="2",
         BENCH_REPS="2", BENCH_DEV_REPS="2", BENCH_F16_REPS="2",
